@@ -1,0 +1,17 @@
+"""Query modules. Importing them populates the registry (side-effect)."""
+
+from __future__ import annotations
+
+_LOADED = False
+
+
+def load() -> None:
+    global _LOADED
+    if _LOADED:
+        return
+    # Import order is irrelevant; each module only registers keys.
+    from hh_rumors_presto_spark.queries import (  # noqa: F401
+        flagship,
+    )
+
+    _LOADED = True

@@ -1,0 +1,50 @@
+"""Query + oracle registry backing the driver contract.
+
+Every operator from SURVEY.md §2 registers here via the :func:`query`
+decorator. ``__spark_entry__.queries()`` / ``oracle_sql()`` are thin views
+over these dicts. The oracle is ANSI SQL executed by DuckDB over the same
+parquet fixtures; queries whose semantics DuckDB cannot express (streaming
+internals, LSH approximations) register with ``oracle=None`` and get the
+driver's weaker rows-only check.
+
+Oracle-parity rules applied throughout (SURVEY.md §7.4):
+- float aggregates rounded in BOTH engines before comparison;
+- ``events.ts`` is nanosecond-precision parquet — Spark truncates to
+  microseconds on read, so oracles must ``CAST(ts AS TIMESTAMP)`` (DuckDB
+  TIMESTAMP_NS -> TIMESTAMP truncates to µs) before using it;
+- every computed column aliased identically in Spark and SQL;
+- deterministic total orders (unique-key tiebreakers) wherever the surviving
+  or selected row matters.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` under ``name`` with an optional DuckDB oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query key {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all_queries() -> None:
+    """Import every query module (side effect: registry population)."""
+    from hh_rumors_presto_spark import queries as _q  # noqa: F401
+
+    _q.load()
