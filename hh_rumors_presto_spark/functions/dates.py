@@ -32,9 +32,11 @@ def fmt_month_abbrev(c: Column) -> Column:
     """Format a date as e.g. "Oct. 15, 2025" per fetchRumors.js:153-159.
 
     Uses an element_at over the literal abbreviation table; day is NOT
-    zero-padded. Null/invalid input -> '' (the reference returns '').
+    zero-padded. Null/invalid input -> '' (the reference returns ''):
+    try_cast, because Spark 4 ANSI mode makes plain cast throw on malformed
+    strings.
     """
-    d = c.cast("date")
+    d = c.try_cast("date")
     pretty = F.concat(
         F.element_at(F.array(*[F.lit(m) for m in MONTH_ABBREV]), F.month(d)),
         F.lit(" "),

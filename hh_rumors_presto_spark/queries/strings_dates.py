@@ -1,0 +1,200 @@
+"""String/date scalar-function queries (SURVEY.md §2.B "projection/filter/
+scalar functions"; generalizes §2.A rows 3, 4, 8, 19, 23).
+
+Each key exercises one scalar-function family over a fixture table, with the
+DuckDB-equivalent SQL as oracle. Inputs are deliberately roughed up (padding,
+tabs, diacritics, embedded dates) so the functions do real work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.functions import (
+    clean,
+    extract_iso_date,
+    fmt_month_abbrev,
+    html_escape,
+    slugify,
+)
+from hh_rumors_presto_spark.registry import query
+
+
+@query(
+    "str_clean",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+               coalesce('  ' || text || chr(9) || ' x  y ', ''),
+               '\s+', ' ', 'g')) AS cleaned
+    FROM documents
+    """,
+)
+def str_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace normalization (ref clean, fetchRumors.js:32)."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    messy = F.concat(F.lit("  "), F.col("text"), F.lit("\t x  y "))
+    return docs.select(F.col("doc_id"), clean(messy).alias("cleaned"))
+
+
+@query(
+    "str_slugify",
+    oracle="""
+    SELECT c_custkey,
+           trim(regexp_replace(regexp_replace(
+               lower(strip_accents(c_name || ' Dončić & Café')),
+               '&', ' and ', 'g'), '[^a-z0-9]+', '_', 'g'), '_') AS slug
+    FROM customer
+    """,
+)
+def str_slugify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag slugification incl. NFD diacritic fold (ref fetchRumors.js:33-38).
+
+    Pandas-UDF NFD fold + column-expression lower/replace chain; DuckDB's
+    strip_accents is the oracle equivalent.
+    """
+    cust = io.load_table(spark, sf_dir, "customer")
+    name = F.concat(F.col("c_name"), F.lit(" Dončić & Café"))
+    return cust.select(F.col("c_custkey"), slugify(name).alias("slug"))
+
+
+@query(
+    "str_escape",
+    oracle="""
+    SELECT p_partkey,
+           replace(replace(replace(replace(replace(
+               '<a href="x">' || p_name || ' & ''co''',
+               '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+               '"', '&quot;'), '''', '&#39;') AS escaped
+    FROM part
+    """,
+)
+def str_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML entity escaping (ref esc, index.html:49)."""
+    part = io.load_table(spark, sf_dir, "part")
+    raw = F.concat(F.lit('<a href="x">'), F.col("p_name"), F.lit(" & 'co'"))
+    return part.select(F.col("p_partkey"), html_escape(raw).alias("escaped"))
+
+
+@query(
+    "str_extract_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(strptime(
+               regexp_extract(
+                   'shipped on ' || strftime(o_orderdate, '%B %-d, %Y') || ' priority',
+                   '([A-Za-z]+\\s+\\d{1,2},\\s+\\d{4})', 1),
+               '%B %-d, %Y') AS DATE) AS found_date
+    FROM orders
+    """,
+)
+def str_extract_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Find-a-date-in-text (ref extractISODate, fetchRumors.js:41-50):
+    round-trips o_orderdate through an English sentence."""
+    orders = io.load_table(spark, sf_dir, "orders")
+    sentence = F.concat(
+        F.lit("shipped on "),
+        F.date_format(F.col("o_orderdate"), "MMMM d, yyyy"),
+        F.lit(" priority"),
+    )
+    return orders.select(
+        F.col("o_orderkey"), extract_iso_date(sentence).alias("found_date")
+    )
+
+
+@query(
+    "date_parse_fmt",
+    oracle="""
+    SELECT o_orderkey,
+           list_value('Jan.','Feb.','Mar.','Apr.','May','Jun.',
+                      'Jul.','Aug.','Sep.','Oct.','Nov.','Dec.')[month(o_orderdate)]
+             || ' ' || CAST(day(o_orderdate) AS VARCHAR)
+             || ', ' || CAST(year(o_orderdate) AS VARCHAR) AS date_pretty
+    FROM orders
+    """,
+)
+def date_parse_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonstandard month-abbrev formatting (ref fmtMonthAbbrev,
+    fetchRumors.js:153-159 — May/Jun./Jul./Sep. defy date_format MMM)."""
+    orders = io.load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey"),
+        fmt_month_abbrev(F.col("o_orderdate")).alias("date_pretty"),
+    )
+
+
+@query(
+    "date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + 7 AS ship_by,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+           date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+           year(o_orderdate) AS yr,
+           quarter(o_orderdate) AS qtr,
+           month(o_orderdate) AS mth
+    FROM orders
+    """,
+)
+def date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic family: add days/months, trunc, last_day, datediff,
+    calendar extracts."""
+    orders = io.load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        F.col("o_orderkey"),
+        F.date_add(d, 7).alias("ship_by"),
+        F.add_months(d, 3).alias("plus3m"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+        F.year(d).alias("yr"),
+        F.quarter(d).alias("qtr"),
+        F.month(d).alias("mth"),
+    )
+
+
+@query(
+    "math_basic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           abs(l_discount - 0.05) AS disc_dev,
+           floor(l_quantity / 7) AS qty_bucket,
+           CAST(l_orderkey % 10 AS BIGINT) AS key_mod,
+           sqrt(l_quantity) AS qty_sqrt,
+           ln(l_extendedprice) AS price_ln,
+           power(l_quantity, 2) AS qty_sq,
+           greatest(l_discount, l_tax) AS max_rate,
+           least(l_discount, l_tax) AS min_rate
+    FROM lineitem
+    """,
+)
+def math_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric scalar family. Per-row double arithmetic is IEEE-identical
+    across engines, so no rounding is needed (only aggregates need the
+    decimal-exact treatment; see aggregation module)."""
+    li = io.load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        (
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("charge"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor(F.col("l_quantity") / 7).alias("qty_bucket"),
+        (F.col("l_orderkey") % 10).alias("key_mod"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.log(F.col("l_extendedprice")).alias("price_ln"),
+        F.pow(F.col("l_quantity"), 2).alias("qty_sq"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )

@@ -1,0 +1,155 @@
+"""Unit tests for the scalar-function library against literal expectations
+lifted from reference semantics (FIXTURES.md §B; SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import string
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hh_rumors_presto_spark.functions import (
+    body_already_has_source,
+    clean,
+    dedup_key,
+    extract_iso_date,
+    fmt_month_abbrev,
+    html_escape,
+    slugify,
+)
+
+
+def eval_fn(spark, fn, *values):
+    """Evaluate a Column fn over literal inputs; return list of results."""
+    df = spark.createDataFrame([(v if isinstance(v, tuple) else (v,)) for v in values],
+                               [f"c{i}" for i in range(len(values[0]) if isinstance(values[0], tuple) else 1)])
+    cols = [F.col(c) for c in df.columns]
+    return [r[0] for r in df.select(fn(*cols).alias("out")).collect()]
+
+
+def test_clean(spark):
+    out = eval_fn(spark, clean, "  a \t b\n", "x", None, "   ")
+    assert out == ["a b", "x", "", ""]
+
+
+def test_slugify(spark):
+    out = eval_fn(
+        spark,
+        slugify,
+        "Luka Dončić, Dallas & Mavs",
+        "  LeBron James ",
+        "Victor Wembanyama!!!",
+        None,
+    )
+    assert out == [
+        "luka_doncic_dallas_and_mavs",
+        "lebron_james",
+        "victor_wembanyama",
+        "",
+    ]
+
+
+def test_extract_iso_date(spark):
+    import datetime
+
+    out = eval_fn(
+        spark,
+        extract_iso_date,
+        "traded on October 5, 2025 for cash",
+        "signed May 7, 1999.",
+        "no date here",
+        None,
+    )
+    assert out == [
+        datetime.date(2025, 10, 5),
+        datetime.date(1999, 5, 7),
+        None,
+        None,
+    ]
+
+
+def test_fmt_month_abbrev(spark):
+    # Nonstandard table: bare May, Jun./Jul./Sep. (fetchRumors.js:157)
+    out = eval_fn(
+        spark,
+        lambda c: fmt_month_abbrev(c),
+        "2025-05-03",
+        "2025-09-03",
+        "2025-06-15",
+        "2025-07-04",
+        "2025-10-15",
+        "not-a-date",
+        None,
+    )
+    assert out == [
+        "May 3, 2025",
+        "Sep. 3, 2025",
+        "Jun. 15, 2025",
+        "Jul. 4, 2025",
+        "Oct. 15, 2025",
+        "",
+        "",
+    ]
+
+
+def test_html_escape(spark):
+    out = eval_fn(spark, html_escape, '<a href="x">Tom & \'co\'</a>', None)
+    assert out == [
+        "&lt;a href=&quot;x&quot;&gt;Tom &amp; &#39;co&#39;&lt;/a&gt;",
+        "",
+    ]
+
+
+def test_dedup_key(spark):
+    rows = [("2025-01-02", "T" * 200, "http://u")]
+    df = spark.createDataFrame(rows, ["d", "t", "u"])
+    out = df.select(
+        dedup_key(F.col("d"), F.col("t"), F.col("u")).alias("k")
+    ).collect()[0][0]
+    assert out == "2025-01-02::" + "T" * 120 + "::http://u"
+
+
+@pytest.mark.parametrize(
+    "snippet,url,name,expected",
+    [
+        # trailing anchor href matches url (modulo trailing slash)
+        ('<p>x <a href="http://s/a/">ESPN</a></p>', "http://s/a", "Other", True),
+        # trailing anchor text matches sourceName case-insensitively
+        ('<p>x <a href="http://else">espn</a></p>', "http://s/a", "ESPN", True),
+        # anchor not trailing -> false
+        ('<p><a href="http://s/a">ESPN</a> said</p>', "http://s/a", "ESPN", False),
+        # empty url -> false
+        ('<p>x <a href="http://s/a">ESPN</a></p>', "", "ESPN", False),
+        # no anchor at all -> false
+        ("<p>plain text</p>", "http://s/a", "ESPN", False),
+    ],
+)
+def test_body_already_has_source(spark, snippet, url, name, expected):
+    df = spark.createDataFrame([(snippet, url, name)], ["s", "u", "n"])
+    out = df.select(
+        body_already_has_source(F.col("s"), F.col("u"), F.col("n")).alias("b")
+    ).collect()[0][0]
+    assert out is expected
+
+
+# ---- property-based (SURVEY.md §5.2) ----
+
+_text = st.text(alphabet=string.printable, max_size=60)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=20))
+def test_clean_idempotent(spark, values):
+    once = eval_fn(spark, clean, *values)
+    twice = eval_fn(spark, clean, *once)
+    assert once == twice
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=20))
+def test_slug_charset_invariant(spark, values):
+    for s in eval_fn(spark, slugify, *values):
+        assert set(s) <= set(string.ascii_lowercase + string.digits + "_")
+        assert not s.startswith("_") and not s.endswith("_")
