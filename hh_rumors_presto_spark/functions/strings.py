@@ -92,8 +92,10 @@ def dedup_key(date: Column, title: Column, url: Column) -> Column:
 
 
 # Trailing-anchor pattern of a sanitized snippet: the reference checks the
-# LAST <a> tag and whether the snippet ends with it (fetchRumors.js:163-166).
-_TRAILING_ANCHOR = r'<a[^>]*href="([^"]*)"[^>]*>([^<]*)</a>\s*$'
+# LAST <a> tag and whether the snippet ends with it (fetchRumors.js:167 —
+# case-insensitive, href and label both required non-empty). snippet_html is
+# INNER html (fetchRumors.js:72), so a trailing anchor really ends the string.
+_TRAILING_ANCHOR = r'(?i)<a[^>]*href="([^"]+)"[^>]*>([^<]+)</a>\s*$'
 
 
 def body_already_has_source(snippet_html: Column, url: Column, source_name: Column) -> Column:

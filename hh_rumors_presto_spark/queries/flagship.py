@@ -50,11 +50,11 @@ def _pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Admission filter (tag/p-li has no analog here; length >= 15 does).
     admitted = parsed.filter(F.length("title") >= 15)
 
-    # Snippet with a trailing anchor; href/text vary so suppressSource does.
+    # Snippet (inner HTML, like paragraphHTML output) with a trailing
+    # anchor; href/text vary so suppressSource does.
     snip = admitted.withColumn(
         "snippet_html",
         F.concat(
-            F.lit("<p>"),
             F.col("title"),
             F.lit(' <a href="'),
             F.when(F.col("doc_id") % 3 == 0, F.col("url")).otherwise(
@@ -64,7 +64,7 @@ def _pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("doc_id") % 2 == 0, F.col("sourceName")).otherwise(
                 F.lit("Other")
             ),
-            F.lit("</a></p>"),
+            F.lit("</a>"),
         ),
     )
 
@@ -114,11 +114,11 @@ admitted AS (
 ),
 snip AS (
     SELECT *,
-        '<p>' || title || ' <a href="'
+        title || ' <a href="'
             || CASE WHEN doc_id % 3 = 0 THEN url ELSE url || '/x' END
             || '">'
             || CASE WHEN doc_id % 2 = 0 THEN sourceName ELSE 'Other' END
-            || '</a></p>' AS snippet_html
+            || '</a>' AS snippet_html
     FROM admitted
 ),
 deduped AS (
@@ -149,10 +149,10 @@ SELECT
     sourceName,
     url AS sourceUrl,
     (url <> ''
-     AND regexp_extract(snippet_html, '<a[^>]*href="([^"]*)"[^>]*>([^<]*)</a>\s*$', 1) <> ''
-     AND (regexp_replace(regexp_extract(snippet_html, '<a[^>]*href="([^"]*)"[^>]*>([^<]*)</a>\s*$', 1), '/+$', '')
+     AND regexp_extract(snippet_html, '(?i)<a[^>]*href="([^"]+)"[^>]*>([^<]+)</a>\s*$', 1) <> ''
+     AND (regexp_replace(regexp_extract(snippet_html, '(?i)<a[^>]*href="([^"]+)"[^>]*>([^<]+)</a>\s*$', 1), '/+$', '')
               = regexp_replace(url, '/+$', '')
-          OR lower(trim(regexp_extract(snippet_html, '<a[^>]*href="([^"]*)"[^>]*>([^<]*)</a>\s*$', 2)))
+          OR lower(trim(regexp_extract(snippet_html, '(?i)<a[^>]*href="([^"]+)"[^>]*>([^<]+)</a>\s*$', 2)))
               = lower(trim(sourceName)))
     ) AS suppressSource
 FROM windowed

@@ -114,16 +114,22 @@ def test_dedup_key(spark):
 @pytest.mark.parametrize(
     "snippet,url,name,expected",
     [
-        # trailing anchor href matches url (modulo trailing slash)
-        ('<p>x <a href="http://s/a/">ESPN</a></p>', "http://s/a", "Other", True),
+        # snippet_html is INNER html (paragraphHTML output) — anchor can
+        # genuinely end the string. href matches url (modulo trailing /):
+        ('x said <a href="http://s/a/">ESPN</a>', "http://s/a", "Other", True),
         # trailing anchor text matches sourceName case-insensitively
-        ('<p>x <a href="http://else">espn</a></p>', "http://s/a", "ESPN", True),
+        ('x said <a href="http://else">espn</a>', "http://s/a", "ESPN", True),
+        # uppercase tag still matches (reference regex has /i)
+        ('x said <A HREF="http://s/a">ESPN</A>', "http://s/a", "Other", True),
         # anchor not trailing -> false
-        ('<p><a href="http://s/a">ESPN</a> said</p>', "http://s/a", "ESPN", False),
+        ('<a href="http://s/a">ESPN</a> said', "http://s/a", "ESPN", False),
         # empty url -> false
-        ('<p>x <a href="http://s/a">ESPN</a></p>', "", "ESPN", False),
+        ('x said <a href="http://s/a">ESPN</a>', "", "ESPN", False),
         # no anchor at all -> false
-        ("<p>plain text</p>", "http://s/a", "ESPN", False),
+        ("plain text", "http://s/a", "ESPN", False),
+        # empty href or empty label -> no match -> false (ref uses + not *)
+        ('x <a href="">ESPN</a>', "http://s/a", "ESPN", False),
+        ('x <a href="http://s/a"></a>', "http://s/a", "ESPN", False),
     ],
 )
 def test_body_already_has_source(spark, snippet, url, name, expected):
