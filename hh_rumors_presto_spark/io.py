@@ -34,10 +34,35 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one fixture table. Lazy: no data is read until an action."""
+    """Scan one fixture table. Lazy: no data is read until an action.
+
+    ``events`` is routed through :func:`load_events` (ns-timestamp
+    normalization); everything else is a plain parquet scan.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return load_events(spark, sf_dir)
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the events table with ``ts`` as a proper TimestampType.
+
+    The fixture stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]). The supported
+    path is ``spark.sql.legacy.parquet.nanosAsLong`` (public Spark conf,
+    SPARK-40819): read nanos as LONG, then integer-div to micros —
+    truncation, which is exactly what DuckDB's TIMESTAMP_NS -> TIMESTAMP
+    cast does, so oracle SQL can use ``CAST(ts AS TIMESTAMP)``.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, "events"))
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -12,6 +12,7 @@ def load() -> None:
     # Import order is irrelevant; each module only registers keys.
     from hh_rumors_presto_spark.queries import (  # noqa: F401
         flagship,
+        relational,
         strings_dates,
     )
 
