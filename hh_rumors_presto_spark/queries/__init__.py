@@ -11,9 +11,11 @@ def load() -> None:
         return
     # Import order is irrelevant; each module only registers keys.
     from hh_rumors_presto_spark.queries import (  # noqa: F401
+        aggregation,
         flagship,
         relational,
         strings_dates,
+        windows,
     )
 
     _LOADED = True
