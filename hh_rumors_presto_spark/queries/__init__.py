@@ -13,6 +13,7 @@ def load() -> None:
     from hh_rumors_presto_spark.queries import (  # noqa: F401
         aggregation,
         flagship,
+        joins,
         relational,
         strings_dates,
         windows,
