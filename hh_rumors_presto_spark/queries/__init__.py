@@ -12,6 +12,10 @@ def load() -> None:
     # Import order is irrelevant; each module only registers keys.
     from hh_rumors_presto_spark.queries import (  # noqa: F401
         aggregation,
+        extensions_dedup,
+        extensions_sim,
+        extensions_text,
+        extensions_udf,
         flagship,
         joins,
         relational,

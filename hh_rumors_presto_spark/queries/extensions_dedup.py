@@ -1,0 +1,285 @@
+"""Deduplication suite for training-data pipelines (BASELINE.json mandate;
+SURVEY.md §2.B "UDF surface + LLM-pipeline extensions").
+
+Four families over ``documents``:
+- exact dedup (hash groupBy on content hash),
+- n-gram Jaccard near-dup (token-bigram shingles, inverted-index join),
+- MinHash-LSH candidate pairs (md5-derived hash family -> engine-independent,
+  so even the LSH path has a full DuckDB oracle),
+- SimHash signatures (bitwise majority over token hashes).
+
+Scale design: every pairwise step goes through an inverted index or an LSH
+band bucket — never an unblocked O(n²) cross join. The md5-based hash family
+is deliberately engine-neutral: h(seed, tok) = int(md5(seed||':'||tok)[:15])
+computes identically in Spark (conv) and DuckDB (CAST '0x..'), which turns
+the usual rows-only LSH check into a real value-hash oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.registry import query
+
+N_MINHASH = 8  # 2 bands x 4 rows (b=2, r=4: S-curve threshold ~ (1/2)^(1/4) ≈ 0.84 Jaccard)
+MINHASH_BANDS = 2
+MINHASH_ROWS = N_MINHASH // MINHASH_BANDS
+
+
+def _hex15_to_long(hex_col: Column) -> Column:
+    """First 15 hex chars of an md5 -> BIGINT (< 2^60, no overflow)."""
+    return F.conv(F.substring(hex_col, 1, 15), 16, 10).cast("long")
+
+
+def _tok_hash(seed: int, tok: Column) -> Column:
+    return _hex15_to_long(F.md5(F.concat(F.lit(f"s{seed}:"), tok)))
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: one hash aggregate, min(doc_id) as the
+    deterministic survivor. At 100 TB the md5 shrinks the shuffle key from
+    document bytes to 32 bytes."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+_BIGRAM_SQL = """
+    SELECT doc_id, lang,
+           list_distinct(list_transform(
+               generate_series(1, len(string_split(text,' ')) - 1),
+               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+           )) AS shingles
+    FROM documents
+    WHERE doc_id % 5 = 0
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_BIGRAM_SQL}),
+    counts AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    inv AS (SELECT doc_id, lang, unnest(shingles) AS shingle FROM sh),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM inv a JOIN inv b
+          ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN counts ca ON ca.doc_id = i.doc_a
+    JOIN counts cb ON cb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bigram Jaccard near-dup via inverted-index join (blocked by
+    lang): |A∩B| from a shingle equi-join, |A∪B| by inclusion-exclusion.
+    Rational arithmetic only -> exact cross-engine parity.
+
+    Scale: the join fans out per shared shingle, so cost tracks true
+    similarity mass, not n². Hot shingles (stop-bigrams) are the skew risk —
+    AQE skew-join splits them; a production variant would also drop
+    top-document-frequency shingles.
+    """
+    docs = io.load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    toks = F.split("text", " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+    sh = docs.select("doc_id", "lang", shingles.alias("shingles"))
+    counts = sh.select("doc_id", F.size("shingles").alias("n"))
+    inv = sh.select(
+        "doc_id", "lang", F.explode("shingles").alias("shingle")
+    )
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca, cb = counts.alias("ca"), counts.alias("cb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("ca.n") + F.col("cb.n") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(ca), F.col("ca.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(cb), F.col("cb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.05)
+    )
+
+
+def _minhash_sig_sql() -> str:
+    """Oracle SQL producing the 8 minhash values per doc."""
+    hashes = ",\n           ".join(
+        "min(CAST(('0x' || substring(md5('s%d:' || tok), 1, 15)) AS BIGINT)) AS h%d"
+        % (s, s)
+        for s in range(N_MINHASH)
+    )
+    return f"""
+    SELECT doc_id,
+           {hashes}
+    FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents)
+    GROUP BY doc_id
+    """
+
+
+@query(
+    "dedup_minhash",
+    oracle=f"""
+    WITH sig AS ({_minhash_sig_sql()}),
+    bands AS (
+        SELECT doc_id, 0 AS band,
+               md5(CAST(h0 AS VARCHAR) || ',' || CAST(h1 AS VARCHAR) || ','
+                   || CAST(h2 AS VARCHAR) || ',' || CAST(h3 AS VARCHAR)) AS bucket FROM sig
+        UNION ALL
+        SELECT doc_id, 1,
+               md5(CAST(h4 AS VARCHAR) || ',' || CAST(h5 AS VARCHAR) || ','
+                   || CAST(h6 AS VARCHAR) || ',' || CAST(h7 AS VARCHAR)) FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: distinct tokens -> 8 md5-family min
+    hashes -> 4 bands of 2 -> band-bucket equi-join -> distinct pairs.
+
+    The hash family is engine-neutral (md5 prefix as int), so this LSH path
+    is value-hash-verified against DuckDB rather than rows-only. Scale: the
+    only joins are equi-joins on (band, bucket); no pair is ever formed
+    outside a shared bucket.
+    """
+    docs = io.load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    sig = tok.groupBy("doc_id").agg(
+        *[
+            F.min(_tok_hash(s, F.col("tok"))).alias(f"h{s}")
+            for s in range(N_MINHASH)
+        ]
+    )
+    per_band = []
+    for band in range(MINHASH_BANDS):
+        members = [
+            f"h{band * MINHASH_ROWS + i}" for i in range(MINHASH_ROWS)
+        ]
+        bucket = F.md5(
+            F.concat_ws(",", *[F.col(h).cast("string") for h in members])
+        )
+        per_band.append(
+            sig.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                bucket.alias("bucket"),
+            )
+        )
+    bands = per_band[0]
+    for extra in per_band[1:]:
+        bands = bands.unionAll(extra)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+N_SIMHASH_BITS = 16
+
+
+_SIMHASH_BITS_SQL = ",\n           ".join(
+    "CASE WHEN sum(CASE WHEN (CAST(('0x' || substring(md5('sim:' || tok), 1, 15)) AS BIGINT) "
+    f"// {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN {1 << b} ELSE 0 END AS bit{b}"
+    for b in range(N_SIMHASH_BITS)
+)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH bits AS (
+        SELECT doc_id,
+           {_SIMHASH_BITS_SQL}
+        FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+              FROM documents)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, ({" + ".join(f"bit{b}" for b in range(N_SIMHASH_BITS))}) AS simhash
+    FROM bits
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures: per bit, majority vote of token-hash bits
+    (+1/-1 sum); signature = OR of winning bits. 16 bits here (enough to
+    bucket near-dups); the same generator scales to 64 by changing
+    N_SIMHASH_BITS. Near-dup candidates are then hamming-close signatures —
+    bucketable by signature prefix at scale."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    h = _tok_hash("im", F.col("tok"))  # seed string 'sim:' = 's' + 'im:'
+    bit_cols = [
+        F.when(
+            F.sum(
+                F.when((h.bitwiseAND(F.lit(1 << b))) != 0, 1).otherwise(-1)
+            )
+            > 0,
+            F.lit(1 << b),
+        )
+        .otherwise(0)
+        .alias(f"bit{b}")
+        for b in range(N_SIMHASH_BITS)
+    ]
+    bits = tok.groupBy("doc_id").agg(*bit_cols)
+    total = bits.columns[1:]
+    sig = bits.select(
+        "doc_id",
+        sum([F.col(c) for c in total], F.lit(0)).alias("simhash"),
+    )
+    return sig

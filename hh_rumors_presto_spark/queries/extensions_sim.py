@@ -1,0 +1,206 @@
+"""Similarity search + multimodal columns over the ``embeddings`` fixture
+(BASELINE.json mandate).
+
+Vector math is pure column expressions (functions/vectors.py): F.zip_with /
+F.aggregate over array<double>, sequential left-to-right accumulation —
+bit-identical to DuckDB's list_inner_product on DOUBLE[], so brute-force
+cosine results are value-hash-verified, not rows-only.
+
+Scale path: brute-force top-k broadcasts the (small) query set and never
+shuffles the corpus; the LSH variant buckets by random-hyperplane signature
+so candidate generation is an equi-join. IVF at 100 TB = the same shape with
+k-means centroids as buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.functions import cosine_similarity, dot, l2_norm
+from hh_rumors_presto_spark.registry import query
+
+N_QUERIES = 10
+TOP_K = 5
+
+_COS_SQL = (
+    "list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))"
+    " / (sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))"
+    " * sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))"
+)
+
+
+@query(
+    "sim_topk",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cos_sim
+    FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               {_COS_SQL} AS cos_sim,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_COS_SQL} DESC, e.vec_id
+               ) AS rn
+        FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    )
+    WHERE rn <= {TOP_K}
+    """,
+)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set against the corpus,
+    per-query top-k window. The corpus is scanned once, never shuffled; the
+    per-query window runs on the small post-score side."""
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("q_emb"), F.col("embedding")).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
+@query(
+    "dedup_embedding",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_COS_SQL.replace('q.', 'a.').replace('e.', 'b.')} AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL.replace('q.', 'a.').replace('e.', 'b.')} > 0.3
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the cheap stand-in
+    for an LSH/IVF bucket): pairs only form within a block, so cost is
+    sum(block²), not n²."""
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    cos = cosine_similarity(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(
+            b,
+            (F.col("label_a") == F.col("label_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") > 0.3)
+    )
+
+
+N_PLANES = 8
+
+
+def _hyperplanes(dim: int = 64) -> list[list[float]]:
+    """Deterministic random hyperplanes (fixed seed, generated once on the
+    driver and shipped as literals — no state, no files)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    return rng.standard_normal((N_PLANES, dim)).round(6).tolist()
+
+
+@query("sim_ann_lsh")  # rows-only: approximate recall set is the contract
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: signature = sign bits of 8 projections
+    -> equi-join on (signature) buckets -> exact cosine re-rank inside the
+    bucket, top-k per query. Approximate by design (recall < 1), so the
+    driver applies the rows-only check; sim_topk is the exact baseline.
+
+    At 100 TB: signatures are one cheap projection pass; candidate
+    generation is a bucket equi-join (shuffle on 8-bit keys), and only
+    bucket-mates pay the exact-distance cost.
+    """
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes()
+    sig = F.concat_ws(
+        "",
+        *[
+            F.when(
+                dot(
+                    F.col("embedding"),
+                    F.array(*[F.lit(x) for x in plane]),
+                )
+                >= 0,
+                "1",
+            ).otherwise("0")
+            for plane in planes
+        ],
+    )
+    with_sig = emb.select("vec_id", "embedding", sig.alias("bucket"))
+    queries = with_sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket"),
+    )
+    cand = with_sig.join(F.broadcast(queries), "bucket").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_similarity(F.col("q_emb"), F.col("embedding")).alias(
+                "cos_sim"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
+@query(
+    "multimodal_join",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.source, d.n_chars, e.label,
+           sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(e.embedding AS DOUBLE[]))) AS emb_norm,
+           len(string_split(d.text, ' ')) AS n_tokens
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal row: text metadata + vector stats side by side — the
+    canonical documents⋈embeddings co-location. At scale both sides would be
+    bucketed on doc_id so this join needs no shuffle at all."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    return docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "label",
+        l2_norm(F.col("embedding")).alias("emb_norm"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )

@@ -1,0 +1,239 @@
+"""Text analysis for training-data pipelines (BASELINE.json mandate):
+language-ID heuristic, quality scoring, token counting, tf-idf terms,
+document fingerprinting.
+
+Parity discipline: every score is rational arithmetic (counts and exact
+IEEE divisions/multiplications) — no ln/exp, whose libm implementations can
+differ across engines in the last ulp. The tf-idf uses the rational idf
+variant tf * (N+1)/(df+1) for exactly this reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.registry import query
+
+# BPE-ish word/punct tokenizer (ASCII-safe subset, same regex both engines).
+_BPE_RE = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
+
+_STOPWORDS = ("the", "of", "and", "a", "to", "in", "is", "on", "for")
+
+
+@query(
+    "text_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_unique,
+           length(text) AS n_chars_actual
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish regex tokens, uniques."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               string_split(text, ' ') AS toks,
+               length(text) AS n_chars
+        FROM documents
+    )
+    SELECT doc_id,
+           n_chars,
+           len(toks) AS n_tokens,
+           CAST(n_chars AS DOUBLE) / len(toks) AS avg_token_len,
+           CAST(len(list_filter(toks, x -> list_contains({list(_STOPWORDS)!r}::VARCHAR[], x))) AS DOUBLE)
+               / len(toks) AS stopword_ratio,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS unique_ratio,
+           CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+               / n_chars AS punct_ratio,
+           len(toks) >= 10 AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.3
+               AS passes_quality
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, avg token length, stopword/unique/punct
+    ratios, and a pass/fail gate — the standard pre-training filter set."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_toks = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    n_uniq = F.size(F.array_distinct(toks))
+    n_punct = F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", ""))
+    uniq_ratio = n_uniq.cast("double") / n_toks
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        (F.length("text").cast("double") / n_toks).alias("avg_token_len"),
+        (n_stop.cast("double") / n_toks).alias("stopword_ratio"),
+        uniq_ratio.alias("unique_ratio"),
+        (n_punct.cast("double") / F.length("text")).alias("punct_ratio"),
+        ((n_toks >= 10) & (uniq_ratio > 0.3)).alias("passes_quality"),
+    )
+
+
+# Signature words per language — a deterministic n-gram-style heuristic.
+# The fixture text is synthetic, so this tests the *plumbing* (per-language
+# scoring + argmax) with an exact oracle, not real-world accuracy.
+_LANG_MARKERS = {
+    "de": ("der", "die", "das", "und", "nicht"),
+    "es": ("el", "la", "los", "las", "que"),
+    "fr": ("le", "les", "des", "est", "et"),
+    "en": ("the", "of", "and", "is", "to"),
+}
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = list(_LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(string_split(text, ' '), "
+        f"x -> list_contains({words!r}::VARCHAR[], x)))"
+    )
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE
+             WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+             WHEN {_lang_score_sql("de")} > {_lang_score_sql("es")}
+              AND {_lang_score_sql("de")} > {_lang_score_sql("fr")}
+              AND {_lang_score_sql("de")} > {_lang_score_sql("en")} THEN 'de'
+             WHEN {_lang_score_sql("es")} > {_lang_score_sql("fr")}
+              AND {_lang_score_sql("es")} > {_lang_score_sql("en")} THEN 'es'
+             WHEN {_lang_score_sql("fr")} > {_lang_score_sql("en")} THEN 'fr'
+             ELSE 'en'
+           END AS detected_lang
+    FROM documents
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: CJK codepoint check, then marker-word scores
+    with a fixed precedence argmax. Deterministic rules -> exact oracle."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def score(lang: str):
+        arr = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    detected = (
+        F.when(F.col("text").rlike("[一-鿿]"), "zh")
+        .when(
+            (score("de") > score("es"))
+            & (score("de") > score("fr"))
+            & (score("de") > score("en")),
+            "de",
+        )
+        .when((score("es") > score("fr")) & (score("es") > score("en")), "es")
+        .when(score("fr") > score("en"), "fr")
+        .otherwise("en")
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        detected.alias("detected_lang"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS exact_fp,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS bag_fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact content hash + order-insensitive
+    bag-of-words hash (sorted distinct tokens) — the pair used to catch
+    reordered near-copies cheaply."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    bag = F.concat_ws(
+        " ", F.array_sort(F.array_distinct(F.split("text", " ")))
+    )
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("exact_fp"),
+        F.md5(bag).alias("bag_fp"),
+    )
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, tok AS term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY doc_id, tok
+    ),
+    df AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * (CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, score
+    FROM (
+        SELECT doc_id, term, score,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, term
+               ) AS rn
+        FROM scored
+    )
+    WHERE rn <= 3 AND doc_id % 10 = 0
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf top-3 terms per doc (rational idf (N+1)/(df+1): exact
+    cross-engine floats). df is a tiny aggregate -> broadcast back; the only
+    big shuffle is the (doc, term) tf aggregation."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("tf")
+            * (F.lit(float(n_docs + 1)) / (F.col("df") + 1))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & (F.col("doc_id") % 10 == 0))
+        .select("doc_id", "term", "score")
+    )
