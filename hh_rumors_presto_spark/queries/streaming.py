@@ -1,0 +1,232 @@
+"""Streaming query keys (SURVEY.md §2.B "Streaming"; the reference's only
+stream-ish behavior is the client-side debounce, index.html:115-126 — this
+module is the capability-closure surface over the ``events`` fixture).
+
+Each key runs a genuine Structured Streaming query (file source,
+availableNow trigger, memory sink) and returns the materialized result.
+Where the semantics are batch-expressible the DuckDB oracle checks values
+(tumbling/sliding windows, session windows via gaps-and-islands, streaming
+dedup); watermark-drop and arbitrary-state keys are rows-only.
+
+Scale notes: windowed aggregations shuffle once on (window, key) with
+partial aggregation upstream; state store size is bounded by watermarks
+(event-time TTL). Session windows merge in the state store — the gap bounds
+state growth per key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hh_rumors_presto_spark.registry import query
+from hh_rumors_presto_spark.streaming import (
+    read_events_stream,
+    run_stream_to_df,
+)
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           count(*) AS n,
+           sum(CAST(value AS DECIMAL(28,2))) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation per event_type, run as a real
+    streaming query (complete mode -> all windows emitted at end)."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,2)")).alias("total_value"),
+        )
+    )
+    out = run_stream_to_df(agg, output_mode="complete")
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+    SELECT window_start, count(*) AS n,
+           sum(CAST(value AS DECIMAL(28,2))) AS total_value
+    FROM (
+        SELECT unnest([date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                       date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR])
+                   AS window_start,
+               value
+        FROM events
+    )
+    GROUP BY window_start
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2h size, 1h slide): every event lands in two
+    epoch-aligned windows — the oracle materializes exactly that
+    assignment."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "2 hours", "1 hour")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(28,2)")).alias("total_value"),
+    )
+    out = run_stream_to_df(agg, output_mode="complete")
+    return out.select(
+        F.col("window.start").alias("window_start"), "n", "total_value"
+    )
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                         OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+                            > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_no
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user via the native
+    session_window state-store merge; the oracle is the classic batch
+    gaps-and-islands rewrite (session_end = last event + gap, matching
+    Spark's session_window.end)."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy(
+        F.session_window("ts", "30 minutes"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    out = run_stream_to_df(agg, output_mode="complete")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on (user_id, event_type): first arrival per
+    key is emitted, later ones suppressed by the dedup state store. Output
+    projects only the key, so the result set is deterministic and
+    batch-DISTINCT-equivalent."""
+    ev = read_events_stream(spark, sf_dir)
+    dedup = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_stream_to_df(dedup, output_mode="append")
+
+
+@query("stream_watermark")  # rows-only: drop count depends on batch order
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + append-mode tumbling count: windows are emitted only
+    once the 30-minute watermark passes, and late rows behind it are
+    dropped. With the single-file fixture everything arrives in one batch,
+    so this key exercises the watermark plumbing end-to-end (rows-only
+    check); the multi-batch late-data drop is asserted in
+    tests/test_streaming.py with a controlled two-file source."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    out = run_stream_to_df(agg, output_mode="append")
+    return out.select(F.col("window.start").alias("window_start"), "n")
+
+
+_STATE_SCHEMA = "user_id bigint, n_events bigint, total_cents bigint"
+_OUT_SCHEMA = _STATE_SCHEMA
+
+
+def _running_totals(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state,  # GroupState
+) -> Iterator[pd.DataFrame]:
+    """Arbitrary stateful op: per-user running (count, integer-cents total)
+    carried in GroupState across batches."""
+    import numpy as np
+
+    n, cents = state.get() if state.exists else (0, 0)
+    for pdf in batches:
+        n += len(pdf)
+        cents += int(
+            np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype("int64").sum()
+        )
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+    )
+
+
+@query(
+    "stream_stateful",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS total_cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running totals in explicit GroupState. Exact integer
+    arithmetic, so the final state equals the batch aggregate and the
+    oracle checks values even for this arbitrary-state path."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir)
+    out = (
+        ev.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType="n bigint, cents bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_stream_to_df(out, output_mode="update")

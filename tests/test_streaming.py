@@ -1,0 +1,112 @@
+"""Streaming semantics tests (SURVEY.md §5.2: batch-vs-stream equivalence
+and controlled late-data watermark behavior)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_tumbling_batch_equivalence(spark, sf_dir):
+    """Stream (availableNow) and batch compute the same tumbling counts."""
+    from hh_rumors_presto_spark import io
+    from hh_rumors_presto_spark.streaming import (
+        read_events_stream,
+        run_stream_to_df,
+    )
+
+    ev_s = read_events_stream(spark, sf_dir)
+    streamed = run_stream_to_df(
+        ev_s.groupBy(F.window("ts", "1 hour")).agg(F.count("*").alias("n")),
+        output_mode="complete",
+    ).select(F.col("window.start").alias("ws"), "n")
+
+    ev_b = io.load_events(spark, sf_dir)
+    batch = ev_b.groupBy(
+        F.window("ts", "1 hour")["start"].alias("ws")
+    ).agg(F.count("*").alias("n"))
+
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Two-file source, one file per trigger: rows in file B that fall
+    behind the watermark established by file A are dropped from the
+    append-mode result."""
+    # file A: two on-time rows far apart; file B: one late row in A's range
+    us = 1_000_000
+    hour = 3600 * us
+
+    def write(path: str, rows: list[tuple[int, int]]):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] * 1000 for r in rows], pa.int64()),  # nanos
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = 1_700_000_000 * us
+    a = str(src / "a.parquet")
+    b = str(src / "b.parquet")
+    c = str(src / "c.parquet")
+    # A: events at t0 and t0+10h -> watermark covering t0 established here.
+    write(a, [(1, base), (2, base + 10 * hour)])
+    # B: on-time event; lets the A-derived watermark take effect (Spark
+    # propagates the filtering watermark at batch *planning* time, so it
+    # lags one batch).
+    write(b, [(3, base + 11 * hour)])
+    # C: late event back at t0 (far behind the active watermark) + on-time.
+    write(c, [(4, base + 5 * us), (5, base + 12 * hour)])
+    os.utime(a, (1, 1))
+    os.utime(b, (1_500_000_000, 1_500_000_000))
+    os.utime(c, (2_000_000_000, 2_000_000_000))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from hh_rumors_presto_spark.streaming.helpers import EVENTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    import uuid
+
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).collect()
+    t0_window = (base // us) // 3600 * 3600
+    t0_rows = [
+        r["n"] for r in out if r["window"]["start"].timestamp() == t0_window
+    ]
+    # The t0 window must be emitted exactly once, containing ONLY event 1:
+    # event 4 arrived two batches later, behind the active watermark, and
+    # was dropped (no resurrected duplicate window row either).
+    assert t0_rows == [1], out
