@@ -1,0 +1,68 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline query set — one per operator family (BASELINE.md) — at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Each query executes to completion through the
+noop sink (full plan runs, zero driver-transfer overhead), wall-clock
+timed after a JVM/scan warmup.
+
+Output: {"metric": "headline_total", "value": <sum sec>, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": <sf>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "flagship_pipeline",  # reference pipeline end-to-end
+    "agg_basic",          # TPC-H Q1 hash agg
+    "join_star",          # 5-way star join
+    "win_topk",           # per-group top-k window
+    "dedup_firstwin",     # keyed first-wins dedup
+    "sim_topk",           # brute-force cosine top-k
+    "text_tfidf",         # explode + 2-level agg + window
+    "stream_tumbling",    # structured streaming windowed agg
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from hh_rumors_presto_spark.session import get_spark
+    import __spark_entry__ as ent
+
+    spark = get_spark("bench")
+    qs = ent.queries()
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    # warmup: JVM JIT + file listing + parquet footer caches
+    run("agg_basic")
+
+    timings = {name: round(run(name), 3) for name in HEADLINE}
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

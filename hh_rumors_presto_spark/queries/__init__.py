@@ -19,6 +19,7 @@ def load() -> None:
         flagship,
         joins,
         relational,
+        scans,
         streaming,
         strings_dates,
         windows,
