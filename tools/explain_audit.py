@@ -1,0 +1,82 @@
+"""Plan auditor: check the physical plans of the headline queries for the
+properties the engine promises at scale (SURVEY.md "optimize for scale"):
+
+- parquet scans carry PushedFilters + a pruned ReadSchema;
+- dimension joins are BroadcastHashJoin (no fact-side shuffle);
+- rank<=k windows use WindowGroupLimit (per-partition top-k);
+- sort+limit plans as TakeOrderedAndProject (no global sort);
+- no CartesianProduct anywhere except the intentional tiny cross join.
+
+Usage: python tools/explain_audit.py [key ...]
+Prints PASS/WARN per assertion plus the formatted plan on WARN.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.01"
+
+CHECKS: dict[str, list[tuple[str, str]]] = {
+    # key -> list of (must_match_regex, label)
+    "scan_parquet": [
+        (r"PushedFilters: \[.*GreaterThanOrEqual", "filter pushed to parquet"),
+        (r"ReadSchema: [^\n]*l_orderkey[^\n]*l_linenumber[^\n]*l_quantity", "column pruning"),
+    ],
+    "filter_conj": [
+        (r"PushedFilters: \[.*In\(l_returnflag", "IN-list pushdown"),
+    ],
+    "join_broadcast": [(r"BroadcastHashJoin", "broadcast join")],
+    "join_star": [
+        (r"BroadcastHashJoin", "dimension joins broadcast"),
+    ],
+    "win_topk": [(r"WindowGroupLimit", "per-partition top-k rewrite")],
+    "topk": [(r"TakeOrderedAndProject", "partial top-k, no global sort")],
+    "agg_basic": [
+        (r"HashAggregate", "hash aggregate"),
+        (r"partial_sum", "map-side partial aggregation"),
+    ],
+    "join_merge": [
+        (r"PushedFilters: \[.*EqualTo\(o_orderstatus,F\)", "status filter below join"),
+    ],
+    "sim_topk": [(r"Broadcast", "query side broadcast")],
+}
+
+FORBIDDEN = (
+    ("CartesianProduct", {"join_cross"}),  # allowed only for the tiny demo
+)
+
+
+def main() -> int:
+    import __spark_entry__ as ent
+    from hh_rumors_presto_spark.session import get_spark
+
+    spark = get_spark("explain_audit")
+    qs = ent.queries()
+    keys = sys.argv[1:] or list(CHECKS)
+    n_warn = 0
+    for key in keys:
+        df = qs[key](spark, SF)
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        for pattern, label in CHECKS.get(key, []):
+            if re.search(pattern, plan, re.DOTALL):
+                print(f"PASS  {key}: {label}")
+            else:
+                n_warn += 1
+                print(f"WARN  {key}: MISSING {label}")
+                print(plan[:4000])
+        for bad, allowed in FORBIDDEN:
+            if key not in allowed and bad in plan:
+                n_warn += 1
+                print(f"WARN  {key}: contains {bad}")
+    print(f"\n{n_warn} warnings")
+    return 1 if n_warn else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
