@@ -11,6 +11,7 @@ def load() -> None:
         return
     # Import order is irrelevant; each module only registers keys.
     from hh_rumors_presto_spark.queries import (  # noqa: F401
+        advanced,
         aggregation,
         extensions_dedup,
         extensions_sim,
