@@ -21,6 +21,7 @@ def load() -> None:
         joins,
         relational,
         scans,
+        scans_extra,
         streaming,
         strings_dates,
         windows,
