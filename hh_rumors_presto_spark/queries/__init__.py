@@ -20,6 +20,7 @@ def load() -> None:
         flagship,
         joins,
         relational,
+        scale_patterns,
         scans,
         scans_extra,
         streaming,

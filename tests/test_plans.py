@@ -9,7 +9,7 @@ import re
 import pytest
 
 import __spark_entry__ as ent
-from tools.explain_audit import CHECKS, FORBIDDEN
+from tools.explain_audit import CHECKS, FORBIDDEN, NO_EXCHANGE_KEYS
 
 
 def _plan(spark, key, sf_dir):
@@ -27,3 +27,9 @@ def test_plan_properties(spark, sf_dir, key):
     for bad, allowed in FORBIDDEN:
         if key not in allowed:
             assert bad not in plan, f"{key}: contains {bad}"
+
+
+@pytest.mark.parametrize("key", NO_EXCHANGE_KEYS)
+def test_zero_shuffle_plans(spark, sf_dir, key):
+    plan = _plan(spark, key, sf_dir)
+    assert "Exchange" not in plan, f"{key}: bucketing failed to co-locate\n{plan[:3000]}"

@@ -43,7 +43,17 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"PushedFilters: \[.*EqualTo\(o_orderstatus,F\)", "status filter below join"),
     ],
     "sim_topk": [(r"Broadcast", "query side broadcast")],
+    "scan_partition_pruned": [
+        (r"PartitionFilters: \[[^\]]*o_orderstatus", "partition pruning"),
+    ],
+    "flagship_pipeline": [
+        (r"WindowGroupLimit", "partial dedup before shuffle"),
+        (r"TakeOrderedAndProject", "offset+limit as partial top-k"),
+    ],
 }
+
+# keys whose plan must contain NO shuffle at all
+NO_EXCHANGE_KEYS = ("join_bucketed",)
 
 FORBIDDEN = (
     ("CartesianProduct", {"join_cross"}),  # allowed only for the tiny demo
@@ -74,6 +84,13 @@ def main() -> int:
             if key not in allowed and bad in plan:
                 n_warn += 1
                 print(f"WARN  {key}: contains {bad}")
+        if key in NO_EXCHANGE_KEYS:
+            if "Exchange" in plan:
+                n_warn += 1
+                print(f"WARN  {key}: contains Exchange (bucketing not co-locating)")
+                print(plan[:3000])
+            else:
+                print(f"PASS  {key}: zero-shuffle (bucket co-located)")
     print(f"\n{n_warn} warnings")
     return 1 if n_warn else 0
 
