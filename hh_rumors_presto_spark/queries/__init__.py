@@ -19,6 +19,7 @@ def load() -> None:
         extensions_udf,
         flagship,
         joins,
+        observability,
         relational,
         scale_patterns,
         scans,

@@ -1,0 +1,146 @@
+"""Unit tests for the composed operators (operators/ package) and the
+observe()-based metrics path."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hh_rumors_presto_spark.operators import (
+    asof_join,
+    dedup_first_wins,
+    forward_fill,
+    per_group_top_k,
+)
+from hh_rumors_presto_spark.operators.paged_source import read_paged
+
+
+def test_dedup_first_wins_survivor(spark):
+    df = spark.createDataFrame(
+        [("k1", 1, "a"), ("k1", 2, "b"), ("k2", 3, "c")], ["k", "pos", "v"]
+    )
+    out = dedup_first_wins(df, F.col("k"), [F.col("pos")]).collect()
+    got = {r["k"]: r["v"] for r in out}
+    assert got == {"k1": "a", "k2": "c"}
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[1],
+    )
+)
+def test_dedup_invariants(spark, rows):
+    """Property: output keys unique; output is a subset of input; survivor
+    is the min-pos row per key (SURVEY.md §5.2)."""
+    df = spark.createDataFrame(rows, ["k", "pos"])
+    out = dedup_first_wins(df, F.col("k"), [F.col("pos")]).collect()
+    keys = [r["k"] for r in out]
+    assert len(keys) == len(set(keys))
+    expect = {}
+    for k, pos in rows:
+        if k not in expect or pos < expect[k]:
+            expect[k] = pos
+    assert {r["k"]: r["pos"] for r in out} == expect
+
+
+def test_forward_fill(spark):
+    df = spark.createDataFrame(
+        [(1, 1, None), (1, 2, "x"), (1, 3, None), (1, 4, "y"), (2, 1, None)],
+        ["g", "pos", "v"],
+    )
+    out = forward_fill(df, "v", ["g"], [F.col("pos")], out_col="f").collect()
+    got = {(r["g"], r["pos"]): r["f"] for r in out}
+    assert got == {
+        (1, 1): None,
+        (1, 2): "x",
+        (1, 3): "x",
+        (1, 4): "y",
+        (2, 1): None,
+    }
+
+
+def test_per_group_top_k(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(10)] + [("b", 5)], ["g", "v"]
+    )
+    out = per_group_top_k(df, ["g"], [F.col("v").desc()], k=3).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r["v"])
+    assert sorted(by_g["a"], reverse=True) == [9, 8, 7]
+    assert by_g["b"] == [5]
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "L1"), (1, 250, "L2"), (2, 50, "L3")],
+        ["k", "t", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, 90, "A"), (1, 200, "B"), (2, 60, "C")], ["k", "rt", "payload"]
+    )
+    out = asof_join(
+        left, right, key="k", left_ts="t", right_ts="rt",
+        payload_cols=["payload"],
+    ).collect()
+    got = {r["tag"]: r["payload"] for r in out}
+    # L1 (t=100): latest right <= 100 is (90, A); L2: (200, B);
+    # L3 (t=50): nothing at-or-before -> null (left outer)
+    assert got == {"L1": "A", "L2": "B", "L3": None}
+
+
+def test_paged_source_caps_and_errors(spark):
+    pages = {1: 30, 2: 30, 3: 30}
+
+    def fetch(page: int) -> pd.DataFrame:
+        if page not in pages:
+            return pd.DataFrame({"x": []})
+        return pd.DataFrame({"x": range(pages[page])})
+
+    # per-page cap
+    out = read_paged(
+        spark, fetch, max_pages=10, per_page_limit=20, total_limit=1000,
+        schema="x long, page int",
+    )
+    assert out.count() == 60  # 3 pages x 20 after cap
+    # total cap stops pagination early
+    out = read_paged(
+        spark, fetch, max_pages=10, per_page_limit=30, total_limit=45,
+        schema="x long, page int",
+    )
+    assert out.count() == 45
+    # error mid-crawl keeps partial results (reference break-on-error)
+    def fetch_err(page: int) -> pd.DataFrame:
+        if page == 2:
+            raise RuntimeError("boom")
+        return pd.DataFrame({"x": range(10)})
+
+    out = read_paged(
+        spark, fetch_err, max_pages=10, per_page_limit=30, total_limit=1000,
+        schema="x long, page int",
+    )
+    assert out.count() == 10
+    assert out.select("page").distinct().collect()[0][0] == 1
+
+
+def test_observe_metrics(spark, sf_dir):
+    """df.observe metrics surface through the observation API with no extra
+    jobs (ref #22 debug counters, production path)."""
+    from pyspark.sql import Observation
+
+    from hh_rumors_presto_spark import io
+
+    obs = Observation("stage")
+    docs = io.load_table(spark, sf_dir, "documents")
+    df = docs.observe(obs, F.count(F.lit(1)).alias("n")).filter(
+        F.col("doc_id") % 2 == 0
+    )
+    df.count()
+    assert obs.get["n"] == 500
