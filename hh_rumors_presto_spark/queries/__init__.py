@@ -26,6 +26,7 @@ def load() -> None:
         scans_extra,
         streaming,
         strings_dates,
+        tpch_more,
         windows,
     )
 

@@ -1,0 +1,240 @@
+"""Additional TPC-H-shaped composite queries (Q10/Q14/Q18 analogs adapted
+to the fixture schema) — multi-operator plans that exercise join + agg +
+having + disjunctive predicates through a single Catalyst pipeline."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.registry import query
+
+
+@query(
+    "sql_tpch_q10",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1995-01-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 (returned-item revenue): fact spine join + two broadcast dims +
+    4-key agg + top-20. One lineitem shuffle."""
+    li = io.load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = io.load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") >= F.lit("1995-01-01").cast("date")
+    )
+    cust = io.load_table(spark, sf_dir, "customer")
+    nation = io.load_table(spark, sf_dir, "nation")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "sql_tpch_q14",
+    oracle="""
+    SELECT
+        CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))
+                 ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE)
+        * 100.0
+        / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS DOUBLE)
+            AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1995-09-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1995-10-01'
+    """,
+)
+def sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 (promo revenue share): broadcast part join + conditional/total
+    decimal sums -> one exact double division."""
+    li = io.load_table(spark, sf_dir, "lineitem")
+    part = io.load_table(spark, sf_dir, "part")
+    sd = F.col("l_shipdate").cast("date")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    zero = F.lit(0).cast("decimal(28,10)")
+    agg = (
+        li.filter(
+            (sd >= F.lit("1995-09-01").cast("date"))
+            & (sd < F.lit("1995-10-01").cast("date"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+            ).alias("promo"),
+            F.sum(rev).alias("total"),
+        )
+    )
+    return agg.select(
+        (
+            F.col("promo").cast("double")
+            * 100.0
+            / F.col("total").cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+@query(
+    "sql_tpch_q18",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(28,2))) > 150
+    )
+    SELECT c.c_name, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS orderdate,
+           o.o_totalprice,
+           (SELECT sum(CAST(l2.l_quantity AS DECIMAL(28,2)))
+              FROM lineitem l2 WHERE l2.l_orderkey = o.o_orderkey) AS total_qty
+    FROM orders o
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 25
+    """,
+)
+def sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 (large-volume orders): HAVING over a fact aggregate, semi-joined
+    back to orders+customer, top-25. The aggregate is computed once and
+    reused for both the filter and the output column."""
+    li = io.load_table(spark, sf_dir, "lineitem")
+    orders = io.load_table(spark, sf_dir, "orders")
+    cust = io.load_table(spark, sf_dir, "customer")
+    qty = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(28,2)")).alias("total_qty")
+    )
+    big = qty.filter(F.col("total_qty") > 150)
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "filter_disjunctive",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
+       OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
+       OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15)
+    """,
+)
+def filter_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-shaped disjunctive join predicate: the equi-conjunct keeps the
+    hash join; the OR-of-bands evaluates post-match (Catalyst also pushes
+    the derivable brand/size/quantity envelopes to both scans)."""
+    li = io.load_table(spark, sf_dir, "lineitem")
+    part = io.load_table(spark, sf_dir, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & q.between(1, 11) & s.between(1, 5))
+        | ((b == "Brand#2") & q.between(10, 20) & s.between(1, 10))
+        | ((b == "Brand#3") & q.between(20, 30) & s.between(1, 15))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .select("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "win_distribution",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           nth_value(c_custkey, 2) OVER (PARTITION BY c_nationkey
+                                         ORDER BY c_acctbal DESC, c_custkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_richest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist / nth_value
+    (rational outputs — (rank-1)/(n-1) etc. — so floats match exactly)."""
+    from pyspark.sql import Window
+
+    cust = io.load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("c_custkey", 2).over(wf).alias("second_richest"),
+    )
+
+
+@query(
+    "array_set_ops",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(text, ' ')[1:8] AS head,
+               string_split(text, ' ')[5:12] AS mid
+        FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id,
+           list_sort(list_distinct(list_intersect(head, mid))) AS common,
+           len(list_distinct(list_concat(head, mid))) AS n_union,
+           list_sort(list_distinct(list_filter(head, x -> NOT list_contains(mid, x)))) AS only_head,
+           len(flatten([head, mid])) AS n_flat
+    FROM t
+    """,
+)
+def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra: intersect / union-distinct / except / flatten
+    over token slices (sorted so the set results compare exactly)."""
+    docs = io.load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    toks = F.split("text", " ")
+    head, mid = F.slice(toks, 1, 8), F.slice(toks, 5, 8)
+    return docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(F.array_intersect(head, mid))).alias("common"),
+        F.size(F.array_union(head, mid)).alias("n_union"),
+        F.array_sort(F.array_except(head, mid)).alias("only_head"),
+        F.size(F.flatten(F.array(head, mid))).alias("n_flat"),
+    )
