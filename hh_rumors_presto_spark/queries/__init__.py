@@ -14,6 +14,7 @@ def load() -> None:
         advanced,
         aggregation,
         extensions_dedup,
+        extensions_pipeline,
         extensions_sim,
         extensions_text,
         extensions_udf,

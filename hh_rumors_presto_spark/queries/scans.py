@@ -148,3 +148,33 @@ def scan_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, source string, page int",
     )
     return df.select("doc_id", "source", "page")
+
+
+@query(
+    "scan_paged_dsv2",
+    oracle=f"""
+    SELECT doc_id, source, CAST((rn // {PAGE_SIZE}) + 1 AS INT) AS page
+    FROM (
+        SELECT doc_id, source,
+               row_number() OVER (ORDER BY doc_id) - 1 AS rn
+        FROM documents
+    )
+    WHERE rn < {MAX_PAGES * PAGE_SIZE} AND rn % {PAGE_SIZE} < {PER_PAGE_CAP}
+    """,
+)
+def scan_paged_dsv2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paginated source as a registered Python DataSource (Spark 4
+    pyspark.sql.datasource): one InputPartition per page, pages fetched in
+    PARALLEL on executors — the serial reference crawl turned into a
+    distributed scan. Same caps, same oracle as scan_paged."""
+    from hh_rumors_presto_spark.sources import PagedDataSource
+
+    spark.dataSource.register(PagedDataSource)
+    return (
+        spark.read.format("hh_paged")
+        .option("path", io.table_path(sf_dir, "documents"))
+        .option("pageSize", str(PAGE_SIZE))
+        .option("perPageLimit", str(PER_PAGE_CAP))
+        .option("maxPages", str(MAX_PAGES))
+        .load()
+    )
