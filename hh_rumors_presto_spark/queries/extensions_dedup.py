@@ -283,3 +283,102 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum([F.col(c) for c in total], F.lit(0)).alias("simhash"),
     )
     return sig
+
+
+def _jaccard_pairs_sql(threshold: float = 0.05) -> str:
+    """The dedup_ngram_jaccard pair set (shared CTE text for oracles)."""
+    return f"""
+    WITH sh AS ({_BIGRAM_SQL}),
+    counts AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    inv AS (SELECT doc_id, lang, unnest(shingles) AS shingle FROM sh),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM inv a JOIN inv b
+          ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN counts ca ON ca.doc_id = i.doc_a
+        JOIN counts cb ON cb.doc_id = i.doc_b
+        WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) >= {threshold}
+    )
+    """
+
+
+@query(
+    "dedup_clusters",
+    oracle=(_jaccard_pairs_sql()
+    + """
+    , nodes AS (SELECT doc_id FROM sh),
+    bidir AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT a, b FROM bidir
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a
+    )
+    SELECT n.doc_id,
+           least(n.doc_id, coalesce(min(r.b), n.doc_id)) AS cluster_id
+    FROM nodes n LEFT JOIN reach r ON r.a = n.doc_id
+    GROUP BY n.doc_id
+    """).replace("WITH sh AS", "WITH RECURSIVE sh AS", 1),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the Jaccard pair graph
+    via iterative min-label propagation — the canonical iterative algorithm
+    (driver-coordinated loop, join per round, converges in O(diameter)
+    rounds; each round is one shuffle). Cluster id = min doc_id in the
+    component; singleton docs cluster to themselves.
+
+    The oracle computes the same components with a recursive CTE — the
+    batch-SQL expression of the fixpoint."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = (
+        io.load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+    )
+    # localCheckpoint (eager) truncates the growing iterative lineage each
+    # round — without it, round N replans rounds 1..N-1 and the fixpoint
+    # loop goes quadratic in plan size.
+    edges = pairs.unionAll(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = nodes.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint()
+    for _ in range(20):  # bounded fixpoint; converges in O(diameter) rounds
+        neigh = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("neigh_min"))
+        )
+        # one materialization per round carrying old + new labels, so the
+        # convergence check is a scan of checkpointed data, not a re-join
+        merged = (
+            labels.withColumnRenamed("cluster_id", "old_label")
+            .join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                "old_label",
+                F.least(
+                    F.col("old_label"),
+                    F.coalesce(F.col("neigh_min"), F.col("old_label")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        labels = merged.select("doc_id", "cluster_id")
+        if (
+            merged.filter(F.col("cluster_id") != F.col("old_label"))
+            .limit(1)
+            .count()
+            == 0
+        ):
+            break
+    return labels
