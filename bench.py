@@ -28,6 +28,8 @@ HEADLINE = [
     "sim_topk",           # brute-force cosine top-k
     "text_tfidf",         # explode + 2-level agg + window
     "stream_tumbling",    # structured streaming windowed agg
+    "dedup_minhash",      # shingle MinHash-LSH candidate pairs
+    "pipeline_pretrain",  # composed quality-gate -> dedup -> corpus stats
 ]
 
 

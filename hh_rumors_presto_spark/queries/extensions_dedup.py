@@ -142,7 +142,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig_sql() -> str:
-    """Oracle SQL producing the 8 minhash values per doc."""
+    """Oracle SQL producing the 8 minhash values per doc over BIGRAM
+    shingles (unigram token sets are degenerate on a small vocabulary —
+    every doc looks like every other; bigrams restore discrimination)."""
     hashes = ",\n           ".join(
         "min(CAST(('0x' || substring(md5('s%d:' || tok), 1, 15)) AS BIGINT)) AS h%d"
         % (s, s)
@@ -151,7 +153,11 @@ def _minhash_sig_sql() -> str:
     return f"""
     SELECT doc_id,
            {hashes}
-    FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+    FROM (SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                     generate_series(1, len(string_split(text,' ')) - 1),
+                     i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                 ))) AS tok
           FROM documents)
     GROUP BY doc_id
     """
@@ -185,10 +191,16 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     outside a shared bucket.
     """
     docs = io.load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    toks = F.split("text", " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
     )
+    tok = docs.select("doc_id", F.explode(shingles).alias("tok"))
     sig = tok.groupBy("doc_id").agg(
         *[
             F.min(_tok_hash(s, F.col("tok"))).alias(f"h{s}")
