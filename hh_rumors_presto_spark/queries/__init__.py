@@ -20,6 +20,7 @@ def load() -> None:
         extensions_udf,
         flagship,
         joins,
+        lakehouse,
         observability,
         relational,
         scale_patterns,

@@ -11,6 +11,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import hashlib
 import math
 import sys
@@ -33,6 +34,8 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if os.environ.get("VERIFY_EXACT_FLOATS"):
+            return repr(v)  # bit-exact comparison mode
         # round-trip repr at 12 significant digits to absorb fp noise
         return f"{v:.12g}"
     if isinstance(v, datetime):
