@@ -165,10 +165,10 @@ def date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
            l_extendedprice * (1 - l_discount) AS revenue,
            l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
            abs(l_discount - 0.05) AS disc_dev,
-           floor(l_quantity / 7) AS qty_bucket,
+           CAST(floor(l_quantity / 7) AS BIGINT) AS qty_bucket,
            CAST(l_orderkey % 10 AS BIGINT) AS key_mod,
            sqrt(l_quantity) AS qty_sqrt,
-           ln(l_extendedprice) AS price_ln,
+           round(ln(l_extendedprice), 6) AS price_ln,
            power(l_quantity, 2) AS qty_sq,
            greatest(l_discount, l_tax) AS max_rate,
            least(l_discount, l_tax) AS min_rate
@@ -176,9 +176,12 @@ def date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def math_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Numeric scalar family. Per-row double arithmetic is IEEE-identical
-    across engines, so no rounding is needed (only aggregates need the
-    decimal-exact treatment; see aggregation module)."""
+    """Numeric scalar family. Per-row +,-,*,/ and sqrt are IEEE
+    correctly-rounded -> bit-identical across engines (verified with the
+    harness's VERIFY_EXACT_FLOATS mode); ln is libm-dependent (last-ulp
+    differences between JVM and DuckDB), so it is rounded to 6 decimals on
+    both sides. floor() is cast to BIGINT in the oracle because Spark's
+    floor returns LONG while DuckDB's returns DOUBLE."""
     li = io.load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -193,7 +196,7 @@ def math_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_quantity") / 7).alias("qty_bucket"),
         (F.col("l_orderkey") % 10).alias("key_mod"),
         F.sqrt("l_quantity").alias("qty_sqrt"),
-        F.log(F.col("l_extendedprice")).alias("price_ln"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
         F.pow(F.col("l_quantity"), 2).alias("qty_sq"),
         F.greatest("l_discount", "l_tax").alias("max_rate"),
         F.least("l_discount", "l_tax").alias("min_rate"),
