@@ -13,6 +13,7 @@ def load() -> None:
     from hh_rumors_presto_spark.queries import (  # noqa: F401
         advanced,
         aggregation,
+        analytics_extra,
         extensions_dedup,
         extensions_pipeline,
         extensions_sim,
@@ -27,6 +28,7 @@ def load() -> None:
         scans,
         scans_extra,
         streaming,
+        streaming_joins,
         strings_dates,
         tpch_more,
         windows,

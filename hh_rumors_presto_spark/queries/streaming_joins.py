@@ -1,0 +1,104 @@
+"""Stream-stream join + foreachBatch sink (SURVEY.md §2.B streaming
+closure; these are the two Structured Streaming capabilities beyond
+windowed aggregation that production pipelines lean on).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hh_rumors_presto_spark.registry import query
+from hh_rumors_presto_spark.streaming import read_events_stream
+
+
+@query(
+    "stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'click') c
+    JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases attributed to clicks by the same
+    user within 1 hour. Both sides carry watermarks; the time-bound join
+    condition lets the state store evict rows once the watermark passes
+    click_ts + 1h — bounded state, the non-negotiable property for an
+    unbounded stream join."""
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("click_id", "purchase_id", "user_id")
+    # run to completion via the shared helper semantics (append mode is the
+    # only mode for stream-stream inner joins)
+    from hh_rumors_presto_spark.streaming import run_stream_to_df
+
+    return run_stream_to_df(joined, output_mode="append")
+
+
+@query(
+    "stream_foreach_batch",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch lands as parquet through a batch
+    writer (the exactly-once pattern for sinks without a streaming
+    connector — idempotent per epochId). The query returns the re-read,
+    re-aggregated sink contents."""
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"hh_feb_{uuid.uuid4().hex[:8]}"
+    )
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.write.mode("append")
+            .parquet(os.path.join(out_dir, f"epoch={epoch_id}"))
+        )
+
+    ev = read_events_stream(spark, sf_dir).select("event_id", "event_type")
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(out_dir, "_chk"))
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(os.path.join(out_dir, "epoch=*"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
