@@ -162,3 +162,29 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
         F.last("n_events", ignorenulls=True).over(w).alias("last_seen_events"),
     )
+
+
+@query(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.95) AS p95,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles — Spark's percentile() and DuckDB's
+    quantile_cont use the same linear interpolation and match bit-for-bit
+    (verified). The exact form needs a per-group sort; agg_approx_quantile
+    is the sketch-based 100 TB alternative."""
+    li = io.load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.25).alias("p25"),
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.95).alias("p95"),
+        F.count("*").alias("n"),
+    )

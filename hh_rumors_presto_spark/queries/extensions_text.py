@@ -237,3 +237,53 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") <= 3) & (F.col("doc_id") % 10 == 0))
         .select("doc_id", "term", "score")
     )
+
+
+@query(
+    "text_stem",
+    oracle="""
+    SELECT doc_id,
+           list_transform(
+               string_split(text, ' '),
+               t -> CASE
+                      WHEN length(t) > 5 AND t LIKE '%ing' THEN substring(t, 1, length(t) - 3)
+                      WHEN length(t) > 4 AND t LIKE '%ed' THEN substring(t, 1, length(t) - 2)
+                      WHEN length(t) > 3 AND t LIKE '%es' THEN substring(t, 1, length(t) - 2)
+                      WHEN length(t) > 3 AND t LIKE '%s' AND t NOT LIKE '%ss'
+                          THEN substring(t, 1, length(t) - 1)
+                      ELSE t
+                    END
+           ) AS stemmed
+    FROM documents
+    WHERE doc_id % 10 = 0
+    """,
+)
+def text_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lightweight suffix-stripping stemmer (S-stemmer-style rules) as a
+    pure array transform — the normalization step before token-level dedup
+    or tf-idf; no UDF, fully codegen'd."""
+    docs = io.load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    toks = F.split("text", " ")
+    stemmed = F.transform(
+        toks,
+        lambda t: F.when(
+            (F.length(t) > 5) & t.endswith("ing"),
+            t.substr(F.lit(1), F.length(t) - 3),
+        )
+        .when(
+            (F.length(t) > 4) & t.endswith("ed"),
+            t.substr(F.lit(1), F.length(t) - 2),
+        )
+        .when(
+            (F.length(t) > 3) & t.endswith("es"),
+            t.substr(F.lit(1), F.length(t) - 2),
+        )
+        .when(
+            (F.length(t) > 3) & t.endswith("s") & ~t.endswith("ss"),
+            t.substr(F.lit(1), F.length(t) - 1),
+        )
+        .otherwise(t),
+    )
+    return docs.select("doc_id", stemmed.alias("stemmed"))
