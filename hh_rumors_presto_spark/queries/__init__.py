@@ -20,6 +20,7 @@ def load() -> None:
         extensions_text,
         extensions_udf,
         flagship,
+        flagship_multitag,
         joins,
         lakehouse,
         observability,

@@ -201,3 +201,78 @@ def math_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("l_discount", "l_tax").alias("max_rate"),
         F.least("l_discount", "l_tax").alias("min_rate"),
     )
+
+
+@query(
+    "str_like",
+    oracle="""
+    SELECT p_partkey, p_name,
+           p_name LIKE '%gold%' AS has_gold,
+           p_name ILIKE '%GOLD%' AS has_gold_ci,
+           regexp_matches(p_name, '^[a-z]+ [a-z]+') AS two_words
+    FROM part
+    WHERE p_name LIKE '%o%'
+    """,
+)
+def str_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / ILIKE / RLIKE predicate family (the LIKE filter also pushes
+    down to the parquet scan as StringContains)."""
+    part = io.load_table(spark, sf_dir, "part")
+    return part.filter(F.col("p_name").like("%o%")).select(
+        "p_partkey",
+        "p_name",
+        F.col("p_name").like("%gold%").alias("has_gold"),
+        F.col("p_name").ilike("%GOLD%").alias("has_gold_ci"),
+        F.col("p_name").rlike("^[a-z]+ [a-z]+").alias("two_words"),
+    )
+
+
+@query(
+    "str_misc",
+    oracle="""
+    SELECT n_nationkey,
+           lpad(n_name, 15, '.') AS padded,
+           reverse(n_name) AS reversed,
+           repeat('-', CAST(n_nationkey % 4 AS INT)) AS dashes,
+           translate(n_name, 'AEIOU', 'aeiou') AS lowered_vowels,
+           left(n_name, 3) AS prefix3,
+           right(n_name, 2) AS suffix2
+    FROM nation
+    """,
+)
+def str_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining string-function family: pad/reverse/repeat/translate/
+    left/right."""
+    nat = io.load_table(spark, sf_dir, "nation")
+    return nat.select(
+        "n_nationkey",
+        F.lpad("n_name", 15, ".").alias("padded"),
+        F.reverse("n_name").alias("reversed"),
+        F.repeat(F.lit("-"), (F.col("n_nationkey") % 4).cast("int")).alias("dashes"),
+        F.translate("n_name", "AEIOU", "aeiou").alias("lowered_vowels"),
+        F.substring("n_name", 1, 3).alias("prefix3"),
+        F.col("n_name").substr(F.length("n_name") - 1, F.lit(2)).alias("suffix2"),
+    )
+
+
+@query(
+    "null_fns",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_resolved,
+           o_totalprice IS NULL AS price_missing,
+           ifnull(NULL, o_orderpriority) AS prio
+    FROM orders
+    """,
+)
+def null_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling family: nullif / coalesce / isNull / ifnull."""
+    orders = io.load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")
+        ).alias("status_resolved"),
+        F.col("o_totalprice").isNull().alias("price_missing"),
+        F.ifnull(F.lit(None), F.col("o_orderpriority")).alias("prio"),
+    )
