@@ -25,6 +25,7 @@ def load() -> None:
         lakehouse,
         observability,
         relational,
+        render,
         scale_patterns,
         scans,
         scans_extra,
