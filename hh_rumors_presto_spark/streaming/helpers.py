@@ -45,17 +45,34 @@ def read_events_stream(
 
 
 def run_stream_to_df(
-    stream_df: DataFrame, output_mode: str = "complete"
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Drive a streaming DataFrame to completion (availableNow) into a
-    memory sink; return the sink contents as a batch DataFrame."""
+    memory sink; return the sink contents as a batch DataFrame.
+
+    ``state_partitions`` sizes the state store (streaming shuffles have no
+    AQE, so the session's batch-oriented shuffle.partitions is wrong for
+    them): the count is fixed at first planning and should track stateful
+    key cardinality / executor cores — 8 suits the local fixtures, a
+    cluster job would pass cores-proportional values. Set around the
+    synchronous run and restored after.
+    """
+    spark = stream_df.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
