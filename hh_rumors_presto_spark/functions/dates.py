@@ -25,7 +25,9 @@ def extract_iso_date(c: Column) -> Column:
     """
     phrase = F.regexp_extract(F.coalesce(c, F.lit("")), _DATE_IN_TEXT, 1)
     normalized = F.regexp_replace(phrase, r"\s+", " ")
-    return F.to_date(F.nullif(normalized, F.lit("")), "MMMM d, yyyy")
+    # try_to_date: the regex admits non-dates ("Boston 12, 2024"); ANSI
+    # to_date would throw where the reference returns '' — null instead.
+    return F.try_to_date(F.nullif(normalized, F.lit("")), "MMMM d, yyyy")
 
 
 def fmt_month_abbrev(c: Column) -> Column:

@@ -31,4 +31,6 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Null (not ANSI DIVIDE_BY_ZERO) for zero-norm vectors — oracle SQL
+    mirrors this with nullif on the denominator."""
+    return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))

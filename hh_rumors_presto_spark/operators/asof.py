@@ -26,15 +26,24 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     payload_cols: list[str],
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """Latest-right-at-or-before-left per key. Left rows with no match keep
-    nulls (left outer semantics, like DuckDB ASOF LEFT JOIN)."""
+    nulls (left outer semantics, like DuckDB ASOF LEFT JOIN).
+
+    ``right_tiebreak`` names a unique right column that breaks timestamp
+    ties deterministically (max_by over a bare ts is nondeterministic when
+    two right rows collapse to the same microsecond).
+    """
     lid = "__asof_lid"
     l = left.withColumn(lid, F.monotonically_increasing_id())
     cond = (l[key] == right[key]) & (right[right_ts] <= l[left_ts])
     joined = l.join(right, cond, "left")
-    aggs = [
-        F.max_by(right[c], right[right_ts]).alias(c) for c in payload_cols
-    ]
+    order = (
+        F.struct(right[right_ts], right[right_tiebreak])
+        if right_tiebreak
+        else right[right_ts]
+    )
+    aggs = [F.max_by(right[c], order).alias(c) for c in payload_cols]
     left_cols = [F.first(l[c]).alias(c) for c in left.columns]
     return joined.groupBy(lid).agg(*left_cols, *aggs).drop(lid)

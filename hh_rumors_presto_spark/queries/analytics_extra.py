@@ -32,10 +32,11 @@ from hh_rumors_presto_spark.registry import query
         GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           (sxy - sx * sy / n) / (n - 1) AS covar_samp,
-           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+           (sxy - sx * sy / n) / nullif(n - 1, 0) AS covar_samp,
+           sqrt((sxx - sx * sx / n) / nullif(n - 1, 0)) AS stddev_qty,
            (sxy - sx * sy / n)
-             / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_price
+             / nullif(sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n), 0.0)
+               AS corr_qty_price
     FROM m
     """,
 )
@@ -57,14 +58,19 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n")
     sx, sy = F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    # nullif guards: single-row groups (n-1 = 0) and zero-variance columns
+    # yield NULL, matching the oracle, instead of ANSI DIVIDE_BY_ZERO
     return m.select(
         "l_returnflag",
         "n",
-        ((sxy - sx * sy / n) / (n - 1)).alias("covar_samp"),
-        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("stddev_qty"),
+        ((sxy - sx * sy / n) / F.nullif(n - 1, F.lit(0))).alias("covar_samp"),
+        F.sqrt((sxx - sx * sx / n) / F.nullif(n - 1, F.lit(0))).alias("stddev_qty"),
         (
             (sxy - sx * sy / n)
-            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+            / F.nullif(
+                F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n),
+                F.lit(0.0),
+            )
         ).alias("corr_qty_price"),
     )
 

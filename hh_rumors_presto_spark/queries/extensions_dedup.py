@@ -37,6 +37,24 @@ def _tok_hash(seed: int, tok: Column) -> Column:
     return _hex15_to_long(F.md5(F.concat(F.lit(f"s{seed}:"), tok)))
 
 
+def bigram_shingles(toks: Column) -> Column:
+    """Distinct token-bigram shingles. Guarded for single-token documents:
+    F.sequence(1, size-1) would count DOWN to 0 when size=1 and element_at
+    would throw under ANSI — return an empty array instead (matching the
+    oracle's empty generate_series(1, 0))."""
+    raw = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+    return F.when(F.size(toks) >= 2, raw).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 @query(
     "dedup_exact",
     oracle="""
@@ -103,15 +121,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 5 == 0
     )
     toks = F.split("text", " ")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        )
-    )
-    sh = docs.select("doc_id", "lang", shingles.alias("shingles"))
+    sh = docs.select("doc_id", "lang", bigram_shingles(toks).alias("shingles"))
     counts = sh.select("doc_id", F.size("shingles").alias("n"))
     inv = sh.select(
         "doc_id", "lang", F.explode("shingles").alias("shingle")
@@ -192,15 +202,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = io.load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        )
-    )
-    tok = docs.select("doc_id", F.explode(shingles).alias("tok"))
+    tok = docs.select("doc_id", F.explode(bigram_shingles(toks)).alias("tok"))
     sig = tok.groupBy("doc_id").agg(
         *[
             F.min(_tok_hash(s, F.col("tok"))).alias(f"h{s}")

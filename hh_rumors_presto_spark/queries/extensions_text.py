@@ -65,7 +65,7 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                / len(toks) AS stopword_ratio,
            CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS unique_ratio,
            CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
-               / n_chars AS punct_ratio,
+               / nullif(n_chars, 0) AS punct_ratio,
            len(toks) >= 10 AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.3
                AS passes_quality
     FROM t
@@ -89,7 +89,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text").cast("double") / n_toks).alias("avg_token_len"),
         (n_stop.cast("double") / n_toks).alias("stopword_ratio"),
         uniq_ratio.alias("unique_ratio"),
-        (n_punct.cast("double") / F.length("text")).alias("punct_ratio"),
+        (
+            n_punct.cast("double") / F.nullif(F.length("text"), F.lit(0))
+        ).alias("punct_ratio"),
         ((n_toks >= 10) & (uniq_ratio > 0.3)).alias("passes_quality"),
     )
 

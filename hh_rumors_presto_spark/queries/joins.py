@@ -251,16 +251,21 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_asof",
     oracle="""
-    SELECT o.o_orderkey,
-           (SELECT max_by(e.event_id, e.ts)
-              FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
-             WHERE e.user_id = o.o_custkey % 20
-               AND e.ts <= CAST(o.o_orderdate AS TIMESTAMP)) AS last_event_id,
-           (SELECT max(e.ts)
-              FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
-             WHERE e.user_id = o.o_custkey % 20
-               AND e.ts <= CAST(o.o_orderdate AS TIMESTAMP)) AS last_event_ts
-    FROM orders o
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    matches AS (
+        SELECT o.o_orderkey, e.event_id, e.ts,
+               row_number() OVER (
+                   PARTITION BY o.o_orderkey
+                   ORDER BY e.ts DESC, e.event_id DESC
+               ) AS rn
+        FROM orders o JOIN e
+          ON e.user_id = o.o_custkey % 20
+         AND e.ts <= CAST(o.o_orderdate AS TIMESTAMP)
+        WHERE o.o_orderkey % 100 = 0
+    )
+    SELECT o.o_orderkey, m.event_id AS last_event_id, m.ts AS last_event_ts
+    FROM orders o LEFT JOIN (SELECT * FROM matches WHERE rn = 1) m
+      ON m.o_orderkey = o.o_orderkey
     WHERE o.o_orderkey % 100 = 0
     """,
 )
@@ -289,5 +294,6 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="o_ts",
         right_ts="last_event_ts",
         payload_cols=["last_event_id", "last_event_ts"],
+        right_tiebreak="last_event_id",
     )
     return out.select("o_orderkey", "last_event_id", "last_event_ts")

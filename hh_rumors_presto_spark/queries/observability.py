@@ -64,7 +64,7 @@ def _stages(spark: SparkSession, sf_dir: str):
     UNION ALL
     SELECT 'totalAfterDedup', count(*) FROM deduped
     UNION ALL
-    SELECT 'returning', least(count(*) - 1, 8) FROM deduped
+    SELECT 'returning', greatest(least(count(*) - 1, 8), 0) FROM deduped
     """,
 )
 def debug_counters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -57,6 +57,8 @@ def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.size(F.map_keys(m)).alias("n_keys"),
-        F.element_at(F.map_keys(m), 1).alias("first_key"),
-        F.element_at(m, "k").alias("k_value"),
+        # try_element_at: props='{}' yields an empty map and plain
+        # element_at would throw under ANSI; the oracle's [1] is null-safe
+        F.try_element_at(F.map_keys(m), F.lit(1)).alias("first_key"),
+        F.try_element_at(m, F.lit("k")).alias("k_value"),
     )

@@ -159,3 +159,32 @@ def test_slug_charset_invariant(spark, values):
     for s in eval_fn(spark, slugify, *values):
         assert set(s) <= set(string.ascii_lowercase + string.digits + "_")
         assert not s.startswith("_") and not s.endswith("_")
+
+
+def test_extract_iso_date_malformed_phrases(spark):
+    """Regex-matched but unparseable phrases must yield null, not an ANSI
+    parse error (reference returns '')."""
+    out = eval_fn(
+        spark,
+        extract_iso_date,
+        "met in Boston 12, 2024 today",
+        "quantity May 45, 2025 units",
+    )
+    assert out == [None, None]
+
+
+def test_single_token_doc_shingles(spark):
+    """Single-token / empty documents produce empty shingle sets instead of
+    an ANSI element_at crash."""
+    from pyspark.sql import functions as F
+
+    from hh_rumors_presto_spark.queries.extensions_dedup import bigram_shingles
+
+    df = spark.createDataFrame([("solo",), ("a b",), ("",)], ["text"])
+    out = [
+        r[0]
+        for r in df.select(
+            bigram_shingles(F.split("text", " ")).alias("s")
+        ).collect()
+    ]
+    assert out == [[], ["a b"], []]

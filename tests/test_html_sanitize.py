@@ -49,3 +49,22 @@ def test_sanitize_column_form(spark):
     )
     out = df.select(sanitize_html(F.col("raw")).alias("s")).collect()[0][0]
     assert out == 'x <a href="u" target="_blank">s</a>'
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        # anchor nested inside a non-anchor element is destroyed (the
+        # reference's DOM walk replaces <em> with its textContent first)
+        ('<em><a href="x">t</a></em> tail', "t tail"),
+        # unclosed anchor auto-closes (jsdom serialization behavior)
+        ('<a href="x">unclosed', '<a href="x" target="_blank">unclosed</a>'),
+        # full-string wrappers act as the root and do not destroy anchors
+        (
+            '<div><p>x <a href="u">s</a></p></div>',
+            'x <a href="u" target="_blank">s</a>',
+        ),
+    ],
+)
+def test_sanitize_reference_fidelity(raw, expected):
+    assert sanitize_html_str(raw) == expected
