@@ -28,7 +28,11 @@ from hh_rumors_presto_spark.functions import (
 from hh_rumors_presto_spark.registry import query
 
 
-def _pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def flagship_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The pipeline's named intermediate stages — the single source of
+    truth reused by flagship_pipeline, render_block (queries/render.py) and
+    debug_counters (queries/observability.py); their SQL oracles mirror
+    these exact derivations."""
     docs = io.load_table(spark, sf_dir, "documents")
 
     # Parse/extract stage analog: title from the text block, document order
@@ -85,7 +89,15 @@ def _pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed = (
         deduped.orderBy(F.col("date").desc(), F.col("pos")).offset(1).limit(8)
     )
+    return {
+        "admitted": admitted,
+        "deduped": deduped,
+        "windowed": windowed,
+    }
 
+
+def _pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    windowed = flagship_stages(spark, sf_dir)["windowed"]
     return windowed.select(
         F.col("date"),
         fmt_month_abbrev(F.col("date")).alias("date_pretty"),

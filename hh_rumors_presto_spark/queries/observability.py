@@ -7,38 +7,19 @@ listener bus (the production path — zero extra jobs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hh_rumors_presto_spark import io
-from hh_rumors_presto_spark.functions import clean, dedup_key
 from hh_rumors_presto_spark.registry import query
 
 
 def _stages(spark: SparkSession, sf_dir: str):
-    """The flagship pipeline's three counted stages (same derivations as
-    queries/flagship.py)."""
-    docs = io.load_table(spark, sf_dir, "documents")
-    parsed = docs.select(
-        F.col("doc_id").alias("pos"),
-        clean(F.substring(F.col("text"), 1, 30)).alias("title"),
-        F.date_add(
-            F.lit("2024-01-01").cast("date"), (F.col("doc_id") % 60).cast("int")
-        ).alias("date"),
-        F.concat(
-            F.lit("https://"), F.col("source"), F.lit(".example.com/item")
-        ).alias("url"),
-    )
-    merged = parsed.filter(F.length("title") >= 15)
-    key = dedup_key(F.col("date"), F.col("title"), F.col("url"))
-    w = Window.partitionBy(key).orderBy(F.col("date").desc(), F.col("pos"))
-    deduped = (
-        merged.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-    returning = deduped.orderBy(F.col("date").desc(), F.col("pos")).offset(1).limit(8)
-    return merged, deduped, returning
+    """The flagship pipeline's three counted stages (shared builder in
+    queries/flagship.py — one source of truth)."""
+    from hh_rumors_presto_spark.queries.flagship import flagship_stages
+
+    s = flagship_stages(spark, sf_dir)
+    return s["admitted"], s["deduped"], s["windowed"]
 
 
 @query(

@@ -74,45 +74,10 @@ def render_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     under a header (ref buildPrestoHTML). The fold is
     sort_array(collect_list(struct(order-key, fragment))) -> concat_ws —
     the deterministic form of an ordered string aggregation."""
-    # rebuild the windowed item set with its ordering keys exposed
-    docs = io.load_table(spark, sf_dir, "documents")
-    from hh_rumors_presto_spark.functions import clean, dedup_key, fmt_month_abbrev
-    from pyspark.sql import Window
+    from hh_rumors_presto_spark.functions import fmt_month_abbrev
+    from hh_rumors_presto_spark.queries.flagship import flagship_stages
 
-    parsed = docs.select(
-        F.col("doc_id").alias("pos"),
-        clean(F.substring("text", 1, 30)).alias("title"),
-        F.date_add(
-            F.lit("2024-01-01").cast("date"), (F.col("doc_id") % 60).cast("int")
-        ).alias("date"),
-        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/item")).alias("url"),
-        F.col("source").alias("sourceName"),
-        F.col("doc_id"),
-    )
-    admitted = parsed.filter(F.length("title") >= 15)
-    snip = admitted.withColumn(
-        "snippet_html",
-        F.concat(
-            F.col("title"),
-            F.lit(' <a href="'),
-            F.when(F.col("doc_id") % 3 == 0, F.col("url")).otherwise(
-                F.concat(F.col("url"), F.lit("/x"))
-            ),
-            F.lit('">'),
-            F.when(F.col("doc_id") % 2 == 0, F.col("sourceName")).otherwise(
-                F.lit("Other")
-            ),
-            F.lit("</a>"),
-        ),
-    )
-    key = dedup_key(F.col("date"), F.col("title"), F.col("url"))
-    w_dedup = Window.partitionBy(key).orderBy(F.col("date").desc(), F.col("pos"))
-    deduped = (
-        snip.withColumn("rn", F.row_number().over(w_dedup))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
-    windowed = deduped.orderBy(F.col("date").desc(), F.col("pos")).offset(1).limit(8)
+    windowed = flagship_stages(spark, sf_dir)["windowed"]
 
     footer = F.when(
         F.col("url") != "",
