@@ -33,6 +33,7 @@ def load() -> None:
         streaming_joins,
         strings_dates,
         tpch_more,
+        udtf_native,
         windows,
     )
 
