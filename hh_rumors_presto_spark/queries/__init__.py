@@ -14,6 +14,7 @@ def load() -> None:
         advanced,
         aggregation,
         analytics_extra,
+        event_analytics,
         extensions_dedup,
         extensions_pipeline,
         extensions_sim,

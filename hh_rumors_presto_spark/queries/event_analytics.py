@@ -1,0 +1,162 @@
+"""Batch event-analytics operators over the events fixture: sessionization
+(gaps-and-islands), funnel conversion, cohort retention — the standard
+product-analytics trio, each a composition of keyed windows and hash
+aggregates (one shuffle per stage, no driver loops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.registry import query
+
+GAP_MIN = 30
+
+
+@query(
+    "ts_sessionize",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                         OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+                            > INTERVAL {GAP_MIN} MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT *, sum(is_new) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        FROM marked
+    )
+    SELECT user_id, session_no,
+           min(ts) AS session_start,
+           max(ts) AS session_last,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via gaps-and-islands: lag + gap flag + running
+    sum = session number, then per-session aggregates. The batch twin of
+    stream_session (same 30-minute gap)."""
+    ev = io.load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = ev.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > GAP_MIN * 60), 1).otherwise(0),
+    )
+    numbered = marked.withColumn(
+        "session_no",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_last"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH stages AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(t_view) AS n_viewed,
+           count(CASE WHEN t_click > t_view THEN 1 END) AS n_clicked_after_view,
+           count(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
+               AS n_full_funnel
+    FROM stages
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): first-touch timestamp per
+    stage via conditional min, then ordered-progression counts. One hash
+    aggregate per user + one global rollup — no self-joins."""
+    ev = io.load_table(spark, sf_dir, "events")
+
+    def first_ts(kind: str):
+        return F.min(
+            F.when(F.col("event_type") == kind, F.col("ts"))
+        ).alias(f"t_{kind}")
+
+    stages = ev.groupBy("user_id").agg(
+        first_ts("view"), first_ts("click"), first_ts("purchase")
+    )
+    return stages.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias(
+            "n_clicked_after_view"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(min(date_trunc('day', CAST(ts AS TIMESTAMP))) AS DATE) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id,
+               date_diff('day', f.cohort_day,
+                         CAST(date_trunc('day', CAST(e.ts AS TIMESTAMP)) AS DATE)) AS day_offset,
+               f.cohort_day
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, day_offset, count(*) AS active_users
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted on
+    each subsequent day-offset (first week). The firsts aggregate is small
+    -> broadcast back onto the event stream."""
+    ev = io.load_table(spark, sf_dir, "events")
+    # cast to DATE: Spark's date_trunc returns timestamp, DuckDB's returns
+    # DATE — align the grain explicitly
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.date_diff(day, F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("active_users"))
+    )

@@ -238,3 +238,56 @@ def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.array_except(head, mid)).alias("only_head"),
         F.size(F.flatten(F.array(head, mid))).alias("n_flat"),
     )
+
+
+@query(
+    "sql_tpch_q7",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey % 10 + 1
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    WHERE sn.n_name <> cn.n_name
+      AND sn.n_nationkey < 4 AND cn.n_nationkey < 4
+    GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+    """,
+)
+def sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 (volume shipping between nation pairs, adapted: the fixture's
+    supplier table is 10 rows so suppkey maps via modulo): double-dimension
+    join with an inequality between the two nation legs + 3-key agg.
+    Lineitem shuffles once on the orders spine; every dimension broadcasts,
+    including nation twice under different aliases."""
+    li = io.load_table(spark, sf_dir, "lineitem")
+    sup = io.load_table(spark, sf_dir, "supplier")
+    orders = io.load_table(spark, sf_dir, "orders")
+    cust = io.load_table(spark, sf_dir, "customer")
+    nation = io.load_table(spark, sf_dir, "nation")
+    sn = nation.alias("sn")
+    cn = nation.alias("cn")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    return (
+        li.join(F.broadcast(sup), sup.s_suppkey == li.l_suppkey % 10 + 1)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sn), F.col("sn.n_nationkey") == sup.s_nationkey)
+        .join(F.broadcast(cn), F.col("cn.n_nationkey") == cust.c_nationkey)
+        .filter(
+            (F.col("sn.n_name") != F.col("cn.n_name"))
+            & (F.col("sn.n_nationkey") < 4)
+            & (F.col("cn.n_nationkey") < 4)
+        )
+        .groupBy(
+            F.col("sn.n_name").alias("supp_nation"),
+            F.col("cn.n_name").alias("cust_nation"),
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(revenue).alias("revenue"))
+    )
