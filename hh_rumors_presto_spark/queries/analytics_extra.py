@@ -20,15 +20,21 @@ from hh_rumors_presto_spark.registry import query
 @query(
     "agg_corr",
     oracle="""
-    WITH m AS (
+    WITH d AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS DECIMAL(18,2)) AS qd,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS pd
+        FROM lineitem
+    ),
+    m AS (
         SELECT l_returnflag,
                count(*) AS n,
-               CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
-               CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
-               CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS syy,
-               CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxy
-        FROM lineitem
+               CAST(sum(qd) AS DOUBLE) AS sx,
+               CAST(sum(pd) AS DOUBLE) AS sy,
+               CAST(sum(qd * qd) AS DOUBLE) AS sxx,
+               CAST(sum(pd * pd) AS DOUBLE) AS syy,
+               CAST(sum(qd * pd) AS DOUBLE) AS sxy
+        FROM d
         GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
@@ -45,15 +51,19 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring): order-insensitive, bit-exact across engines — unlike the
     built-in streaming accumulators."""
     li = io.load_table(spark, sf_dir, "lineitem")
-    q, p = F.col("l_quantity"), F.col("l_extendedprice")
-    dec = lambda c: c.cast("decimal(28,6)")  # noqa: E731
+    # Cast the BASE columns to decimal (unambiguous 2-dec values) and
+    # multiply in exact decimal — casting the double PRODUCT to decimal is
+    # not cross-engine-stable at ~1e10 magnitudes, where the rounding
+    # boundary sits below the double's own precision.
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
     m = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.sum(dec(q)).cast("double").alias("sx"),
-        F.sum(dec(p)).cast("double").alias("sy"),
-        F.sum(dec(q * q)).cast("double").alias("sxx"),
-        F.sum(dec(p * p)).cast("double").alias("syy"),
-        F.sum(dec(q * p)).cast("double").alias("sxy"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p * p).cast("double").alias("syy"),
+        F.sum(q * p).cast("double").alias("sxy"),
     )
     n = F.col("n")
     sx, sy = F.col("sx"), F.col("sy")
