@@ -24,6 +24,7 @@ def load() -> None:
         flagship_multitag,
         joins,
         lakehouse,
+        misc_ops,
         observability,
         relational,
         render,
