@@ -17,27 +17,8 @@ from hh_rumors_presto_spark.registry import query
 @query(
     "sql_tpch_q3",
     oracle="""
-    SELECT l.l_orderkey,
-           sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS revenue,
-           CAST(o.o_orderdate AS DATE) AS orderdate
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE c.c_mktsegment = 'BUILDING'
-      AND CAST(o.o_orderdate AS DATE) < DATE '1996-01-01'
-      AND CAST(l.l_shipdate AS DATE) > DATE '1996-01-01'
-    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
-    ORDER BY revenue DESC, l.l_orderkey
-    LIMIT 10
-    """,
-)
-def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 (shipping priority) through the SQL API — text SQL over
-    registered views compiles to the same Catalyst plan as the DataFrame
-    form; the segment/date filters push below both joins."""
-    io.register_views(spark, sf_dir)
-    return spark.sql(
-        """
+    SELECT l_orderkey, CAST(round(revenue, 2) AS DOUBLE) AS revenue, orderdate
+    FROM (
         SELECT l.l_orderkey,
                sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS revenue,
                CAST(o.o_orderdate AS DATE) AS orderdate
@@ -50,6 +31,34 @@ def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
         ORDER BY revenue DESC, l.l_orderkey
         LIMIT 10
+    )
+    """,
+)
+def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) through the SQL API — text SQL over
+    registered views compiles to the same Catalyst plan as the DataFrame
+    form; the segment/date filters push below both joins. Revenue is summed
+    in DECIMAL (order-insensitive) then cast to DOUBLE in the final
+    projection for driver-canonicalizer type stability; the TOP-10 is taken
+    on the exact decimal value before the cast."""
+    io.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_orderkey, CAST(round(revenue, 2) AS DOUBLE) AS revenue, orderdate
+        FROM (
+            SELECT l.l_orderkey,
+                   sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS revenue,
+                   CAST(o.o_orderdate AS DATE) AS orderdate
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND CAST(o.o_orderdate AS DATE) < DATE '1996-01-01'
+              AND CAST(l.l_shipdate AS DATE) > DATE '1996-01-01'
+            GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
+            ORDER BY revenue DESC, l.l_orderkey
+            LIMIT 10
+        )
         """
     )
 
@@ -57,7 +66,7 @@ def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_filtered_q6",
     oracle="""
-    SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))) AS revenue,
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_lines
     FROM lineitem
     WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
@@ -80,11 +89,14 @@ def agg_filtered_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(
-                (F.col("l_extendedprice") * F.col("l_discount")).cast(
-                    "decimal(28,10)"
-                )
-            ).alias("revenue"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                        "decimal(28,10)"
+                    )
+                ),
+                2,
+            ).cast("double").alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -119,10 +131,10 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pivot",
     oracle="""
     SELECT l_returnflag,
-           sum(CASE WHEN l_linestatus = 'O'
-                    THEN CAST(l_quantity AS DECIMAL(28,2)) END) AS qty_O,
-           sum(CASE WHEN l_linestatus = 'F'
-                    THEN CAST(l_quantity AS DECIMAL(28,2)) END) AS qty_F
+           CAST(sum(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(28,2)) END) AS DOUBLE) AS qty_O,
+           CAST(sum(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(28,2)) END) AS DOUBLE) AS qty_F
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -138,8 +150,8 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "l_returnflag",
-        F.col("O").alias("qty_O"),
-        F.col("F").alias("qty_F"),
+        F.col("O").cast("double").alias("qty_O"),
+        F.col("F").cast("double").alias("qty_F"),
     )
 
 
@@ -147,13 +159,26 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style sketch): engine-specific estimates, so
     rows-only. The 100 TB replacement for exact quantiles — mergeable
-    sketches, no global sort."""
+    sketches, no global sort.
+
+    Output is one scalar row per (group, quantile) — the driver's
+    canonicalizer cannot sort array-typed cells (r1 err), so the quantile
+    array is posexploded into q/value rows."""
     li = io.load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_quantiles"
-        ),
+    qs = [0.5, 0.95, 0.99]
+    agged = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", qs, 10000).alias("price_quantiles"),
         F.count("*").alias("n"),
+    )
+    return agged.select(
+        "l_returnflag",
+        F.posexplode("price_quantiles").alias("qpos", "price_quantile"),
+        "n",
+    ).select(
+        "l_returnflag",
+        F.element_at(F.array(*[F.lit(q) for q in qs]), F.col("qpos") + 1).alias("q"),
+        "price_quantile",
+        "n",
     )
 
 

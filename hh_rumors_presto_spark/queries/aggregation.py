@@ -42,7 +42,10 @@ def _dec(c: F.Column, scale: int = 2) -> F.Column:
         GROUP BY l_returnflag, l_linestatus
     )
     SELECT l_returnflag, l_linestatus,
-           sum_qty, sum_base_price, sum_disc_price, sum_charge,
+           CAST(sum_qty AS DOUBLE) AS sum_qty,
+           CAST(sum_base_price AS DOUBLE) AS sum_base_price,
+           CAST(round(sum_disc_price, 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum_charge, 2) AS DOUBLE) AS sum_charge,
            CAST(sum_qty AS DOUBLE) / count_order AS avg_qty,
            CAST(sum_base_price AS DOUBLE) / count_order AS avg_price,
            CAST(sum_disc AS DOUBLE) / count_order AS avg_disc,
@@ -51,7 +54,19 @@ def _dec(c: F.Column, scale: int = 2) -> F.Column:
     """,
 )
 def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: filtered scan -> 2-key hash agg, 8 aggregates."""
+    """TPC-H Q1 shape: filtered scan -> 2-key hash agg, 8 aggregates.
+
+    Sums are computed in DECIMAL (order-insensitive) but the FINAL projection
+    casts them to DOUBLE: the driver's canonicalizer stringifies Spark
+    decimal.Decimal and DuckDB DECIMAL->float64 differently (r1 hash-fails).
+    High-scale sums are first round(x, 2)-ed: (a) DuckDB's decimal->double
+    goes int128->double / 10^scale, only correctly rounded when the
+    unscaled value fits in 2^53 — at scale 10 a ~1e8 sum has a ~1e18
+    unscaled value and lands 1 ulp off Spark's BigDecimal conversion; (b) a
+    bare CAST to DECIMAL(28,2) truncates in DuckDB but HALF_UPs in Spark.
+    round() is half-away-from-zero in BOTH engines (verified), and at scale
+    2 the double conversion is exact+correctly rounded, hence
+    bit-identical."""
     li = io.load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
@@ -70,10 +85,10 @@ def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "l_returnflag",
         "l_linestatus",
-        "sum_qty",
-        "sum_base_price",
-        "sum_disc_price",
-        "sum_charge",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_base_price").cast("double").alias("sum_base_price"),
+        F.round("sum_disc_price", 2).cast("double").alias("sum_disc_price"),
+        F.round("sum_charge", 2).cast("double").alias("sum_charge"),
         (F.col("sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
         (F.col("sum_base_price").cast("double") / F.col("count_order")).alias("avg_price"),
         (F.col("sum_disc").cast("double") / F.col("count_order")).alias("avg_disc"),
@@ -121,7 +136,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            GROUPING(l_returnflag, l_linestatus) AS gid,
-           sum(CAST(l_quantity AS DECIMAL(28,2))) AS sum_qty,
+           CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
            count(*) AS n
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -132,7 +147,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = io.load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping_id().alias("gid"),
-        F.sum(_dec(F.col("l_quantity"))).alias("sum_qty"),
+        F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
         F.count("*").alias("n"),
     ).select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
 
@@ -142,7 +157,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            GROUPING(o_orderstatus, o_orderpriority) AS gid,
-           sum(CAST(o_totalprice AS DECIMAL(28,2))) AS sum_price,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price,
            count(*) AS n
     FROM orders
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
@@ -152,7 +167,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = io.load_table(spark, sf_dir, "orders")
     return li.cube("o_orderstatus", "o_orderpriority").agg(
         F.grouping_id().alias("gid"),
-        F.sum(_dec(F.col("o_totalprice"))).alias("sum_price"),
+        F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("sum_price"),
         F.count("*").alias("n"),
     ).select("o_orderstatus", "o_orderpriority", "gid", "sum_price", "n")
 
@@ -193,11 +208,11 @@ def agg_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_conditional",
     oracle="""
     SELECT l_linestatus,
-           sum(CASE WHEN l_returnflag = 'R'
+           CAST(round(sum(CASE WHEN l_returnflag = 'R'
                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))
-                    ELSE CAST(0 AS DECIMAL(28,10)) END) AS returned_revenue,
+                    ELSE CAST(0 AS DECIMAL(28,10)) END), 2) AS DOUBLE) AS returned_revenue,
            count(CASE WHEN l_quantity > 40 THEN 1 END) AS n_bulk,
-           sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS n_full_price
+           CAST(sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_full_price
     FROM lineitem
     GROUP BY l_linestatus
     """,
@@ -207,11 +222,14 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = io.load_table(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_linestatus").agg(
-        F.sum(
-            F.when(F.col("l_returnflag") == "R", _dec(revenue, 10)).otherwise(
-                F.lit(0).cast("decimal(28,10)")
-            )
-        ).alias("returned_revenue"),
+        F.round(
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", _dec(revenue, 10)).otherwise(
+                    F.lit(0).cast("decimal(28,10)")
+                )
+            ),
+            2,
+        ).cast("double").alias("returned_revenue"),
         F.count(F.when(F.col("l_quantity") > 40, F.lit(1))).alias("n_bulk"),
         F.sum(F.when(F.col("l_discount") == 0, 1).otherwise(0)).alias("n_full_price"),
     )

@@ -18,19 +18,21 @@ GAP_MIN = 30
 @query(
     "ts_sessionize",
     oracle=f"""
-    WITH marked AS (
-        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
-               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
-                         OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
-                            > INTERVAL {GAP_MIN} MINUTE
+    WITH base AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    marked AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL {GAP_MIN} MINUTE
                     THEN 1 ELSE 0 END AS is_new
-        FROM events
+        FROM base
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     numbered AS (
-        SELECT *, sum(is_new) OVER (
+        SELECT *, CAST(sum(is_new) OVER (
             PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
         FROM marked
     )
     SELECT user_id, session_no,
@@ -44,15 +46,20 @@ GAP_MIN = 30
 def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization via gaps-and-islands: lag + gap flag + running
     sum = session number, then per-session aggregates. The batch twin of
-    stream_session (same 30-minute gap)."""
+    stream_session (same 30-minute gap).
+
+    Gaps are compared at MICROSECOND precision (unix_micros) to match the
+    oracle's µs-precision INTERVAL comparison exactly — a whole-second cast
+    would split sessions differently for sub-second gaps straddling the
+    30-minute boundary."""
     ev = io.load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts"
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     marked = ev.withColumn(
         "is_new",
-        F.when(gap.isNull() | (gap > GAP_MIN * 60), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > GAP_MIN * 60 * 1_000_000), 1).otherwise(0),
     )
     numbered = marked.withColumn(
         "session_no",

@@ -100,7 +100,7 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens
     FROM deduped
     GROUP BY lang

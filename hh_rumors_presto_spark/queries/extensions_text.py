@@ -244,26 +244,36 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_stem",
     oracle="""
+    WITH stemmed AS (
+        SELECT doc_id,
+               list_transform(
+                   string_split(text, ' '),
+                   t -> CASE
+                          WHEN length(t) > 5 AND t LIKE '%ing' THEN substring(t, 1, length(t) - 3)
+                          WHEN length(t) > 4 AND t LIKE '%ed' THEN substring(t, 1, length(t) - 2)
+                          WHEN length(t) > 3 AND t LIKE '%es' THEN substring(t, 1, length(t) - 2)
+                          WHEN length(t) > 3 AND t LIKE '%s' AND t NOT LIKE '%ss'
+                              THEN substring(t, 1, length(t) - 1)
+                          ELSE t
+                        END
+               ) AS toks
+        FROM documents
+        WHERE doc_id % 10 = 0
+    )
     SELECT doc_id,
-           list_transform(
-               string_split(text, ' '),
-               t -> CASE
-                      WHEN length(t) > 5 AND t LIKE '%ing' THEN substring(t, 1, length(t) - 3)
-                      WHEN length(t) > 4 AND t LIKE '%ed' THEN substring(t, 1, length(t) - 2)
-                      WHEN length(t) > 3 AND t LIKE '%es' THEN substring(t, 1, length(t) - 2)
-                      WHEN length(t) > 3 AND t LIKE '%s' AND t NOT LIKE '%ss'
-                          THEN substring(t, 1, length(t) - 1)
-                      ELSE t
-                    END
-           ) AS stemmed
-    FROM documents
-    WHERE doc_id % 10 = 0
+           generate_subscripts(toks, 1) AS pos,
+           unnest(toks) AS stem
+    FROM stemmed
     """,
 )
 def text_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lightweight suffix-stripping stemmer (S-stemmer-style rules) as a
     pure array transform — the normalization step before token-level dedup
-    or tf-idf; no UDF, fully codegen'd."""
+    or tf-idf; no UDF, fully codegen'd.
+
+    Output is one (doc_id, pos, stem) row per token — array-typed result
+    columns crash the driver canonicalizer (r1 err), so the stemmed array
+    is posexploded (1-based pos to match SQL generate_subscripts)."""
     docs = io.load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 10 == 0
     )
@@ -288,4 +298,7 @@ def text_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(t),
     )
-    return docs.select("doc_id", stemmed.alias("stemmed"))
+    return (
+        docs.select("doc_id", F.posexplode(stemmed).alias("pos", "stem"))
+        .select("doc_id", (F.col("pos") + 1).alias("pos"), "stem")
+    )

@@ -69,7 +69,7 @@ def _per_user_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     "udaf_grouped",
     oracle="""
     SELECT user_id, count(*) AS n,
-           sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS total_cents,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
            min(event_id) AS first_event,
            max(event_id) AS last_event
     FROM events

@@ -70,7 +70,7 @@ def join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_star",
     oracle="""
     SELECT r.r_name AS region_name, n.n_name AS nation_name,
-           sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_lines
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -104,7 +104,9 @@ def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation_name"),
         )
         .agg(
-            F.sum(revenue.cast("decimal(28,10)")).alias("revenue"),
+            F.round(F.sum(revenue.cast("decimal(28,10)")), 2)
+            .cast("double")
+            .alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -115,7 +117,7 @@ def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey, c.c_name,
            count(o.o_orderkey) AS n_orders,
-           coalesce(sum(CAST(o.o_totalprice AS DECIMAL(28,2))), CAST(0 AS DECIMAL(28,2))) AS total_spend
+           CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(28,2))), CAST(0 AS DECIMAL(28,2))) AS DOUBLE) AS total_spend
     FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_custkey, c.c_name
     """,
@@ -133,7 +135,7 @@ def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(
                 F.sum(F.col("o_totalprice").cast("decimal(28,2)")),
                 F.lit(0).cast("decimal(28,2)"),
-            ).alias("total_spend"),
+            ).cast("double").alias("total_spend"),
         )
     )
 

@@ -5,6 +5,7 @@ column-profiling operator.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -41,18 +42,21 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
     SELECT c_nationkey,
-           list_sort(list_distinct(list(c_mktsegment))) AS segments,
+           array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',') AS segments,
            len(list_distinct(list(c_mktsegment))) AS n_segments
     FROM customer
     GROUP BY c_nationkey
     """,
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set into a sorted array (sorted -> deterministic under the
-    value hash; bare collect_set order is partition-dependent)."""
+    """collect_set into a sorted, comma-joined scalar (sorted ->
+    deterministic under the value hash; joined because array-typed output
+    columns crash the driver canonicalizer)."""
     cust = io.load_table(spark, sf_dir, "customer")
     return cust.groupBy("c_nationkey").agg(
-        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias(
+            "segments"
+        ),
         F.size(F.collect_set("c_mktsegment")).alias("n_segments"),
     )
 
@@ -95,21 +99,30 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pruned years. partitionOverwriteMode=dynamic replaces exactly the
     partitions present in the batch — the idempotent re-run behavior
     backfills need."""
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    import shutil
+
     orders = io.load_table(spark, sf_dir, "orders")
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"hh_sink_part_{os.path.basename(sf_dir)}"
-    )
-    (
-        orders.select(
-            "o_orderkey",
-            "o_totalprice",
-            F.year("o_orderdate").cast("int").alias("yr"),
+    # key by a hash of the full fixture path and clear any previous run:
+    # dynamic overwrite only replaces partitions present in THIS batch, so a
+    # stale dir from different data would leak rows into the read-back.
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"hh_sink_part_{digest}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            orders.select(
+                "o_orderkey",
+                "o_totalprice",
+                F.year("o_orderdate").cast("int").alias("yr"),
+            )
+            .write.partitionBy("yr")
+            .mode("overwrite")
+            .parquet(out_dir)
         )
-        .write.partitionBy("yr")
-        .mode("overwrite")
-        .parquet(out_dir)
-    )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     return (
         spark.read.parquet(out_dir)
         .filter(F.col("yr") >= 1996)

@@ -66,7 +66,7 @@ def _bucketed_dir() -> str:
     "join_bucketed",
     oracle="""
     SELECT l.l_orderkey, count(*) AS n_lines,
-           sum(CAST(l.l_quantity AS DECIMAL(28,2))) AS sum_qty,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
            max(o.o_totalprice) AS total
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY l.l_orderkey
@@ -114,7 +114,9 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(
             F.count("*").alias("n_lines"),
-            F.sum(F.col("l_quantity").cast("decimal(28,2)")).alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("sum_qty"),
             F.max("o_totalprice").alias("total"),
         )
     )
@@ -158,7 +160,7 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_salted",
     oracle="""
     SELECT e.event_type, count(*) AS n,
-           sum(CAST(e.value AS DECIMAL(28,2))) AS total_value
+           CAST(sum(CAST(e.value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
     FROM (SELECT event_type, value, user_id % 3 AS hot_key FROM events) e
     JOIN (SELECT DISTINCT user_id % 3 AS hot_key FROM events) d
       ON e.hot_key = d.hot_key
@@ -186,5 +188,5 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = probe.join(dim, ["hot_key", "salt"])
     return joined.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(28,2)")).alias("total_value"),
+        F.sum(F.col("value").cast("decimal(28,2)")).cast("double").alias("total_value"),
     )

@@ -36,7 +36,7 @@ from hh_rumors_presto_spark.streaming import (
     SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
            event_type,
            count(*) AS n,
-           sum(CAST(value AS DECIMAL(28,2))) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -57,7 +57,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window.start").alias("window_start"),
         "event_type",
         "n",
-        "total_value",
+        F.col("total_value").cast("double").alias("total_value"),
     )
 
 
@@ -65,7 +65,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_sliding",
     oracle="""
     SELECT window_start, count(*) AS n,
-           sum(CAST(value AS DECIMAL(28,2))) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
     FROM (
         SELECT unnest([date_trunc('hour', CAST(ts AS TIMESTAMP)),
                        date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR])
@@ -87,26 +87,30 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_stream_to_df(agg, output_mode="complete")
     return out.select(
-        F.col("window.start").alias("window_start"), "n", "total_value"
+        F.col("window.start").alias("window_start"),
+        "n",
+        F.col("total_value").cast("double").alias("total_value"),
     )
 
 
 @query(
     "stream_session",
     oracle="""
-    WITH marked AS (
-        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
-                         OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
-                            > INTERVAL 30 MINUTE
+    WITH base AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    marked AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_session
-        FROM events
+        FROM base
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
         SELECT user_id, ts,
                sum(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS session_no
         FROM marked

@@ -14,17 +14,20 @@ from hh_rumors_presto_spark.registry import query
 @query(
     "sql_tpch_q10",
     oracle="""
-    SELECT c.c_custkey, c.c_name, n.n_name,
-           sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS revenue
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    WHERE l.l_returnflag = 'R'
-      AND CAST(o.o_orderdate AS DATE) >= DATE '1995-01-01'
-    GROUP BY c.c_custkey, c.c_name, n.n_name
-    ORDER BY revenue DESC, c.c_custkey
-    LIMIT 20
+    SELECT c_custkey, c_name, n_name, CAST(round(revenue, 2) AS DOUBLE) AS revenue
+    FROM (
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND CAST(o.o_orderdate AS DATE) >= DATE '1995-01-01'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+    )
     """,
 )
 def sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,6 +52,12 @@ def sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(revenue).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round("revenue", 2).cast("double").alias("revenue"),
+        )
     )
 
 
@@ -110,8 +119,8 @@ def sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.c_name, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS orderdate,
            o.o_totalprice,
-           (SELECT sum(CAST(l2.l_quantity AS DECIMAL(28,2)))
-              FROM lineitem l2 WHERE l2.l_orderkey = o.o_orderkey) AS total_qty
+           CAST((SELECT sum(CAST(l2.l_quantity AS DECIMAL(28,2)))
+              FROM lineitem l2 WHERE l2.l_orderkey = o.o_orderkey) AS DOUBLE) AS total_qty
     FROM orders o
     JOIN big ON o.o_orderkey = big.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -138,7 +147,7 @@ def sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.col("o_orderdate").cast("date").alias("orderdate"),
             "o_totalprice",
-            "total_qty",
+            F.col("total_qty").cast("double").alias("total_qty"),
         )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(25)
@@ -216,16 +225,17 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents WHERE doc_id % 10 = 0
     )
     SELECT doc_id,
-           list_sort(list_distinct(list_intersect(head, mid))) AS common,
+           array_to_string(list_sort(list_distinct(list_intersect(head, mid))), ' ') AS common,
            len(list_distinct(list_concat(head, mid))) AS n_union,
-           list_sort(list_distinct(list_filter(head, x -> NOT list_contains(mid, x)))) AS only_head,
+           array_to_string(list_sort(list_distinct(list_filter(head, x -> NOT list_contains(mid, x)))), ' ') AS only_head,
            len(flatten([head, mid])) AS n_flat
     FROM t
     """,
 )
 def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array set algebra: intersect / union-distinct / except / flatten
-    over token slices (sorted so the set results compare exactly)."""
+    over token slices (sorted + space-joined: set results compare exactly
+    and no array-typed column reaches the driver canonicalizer)."""
     docs = io.load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 10 == 0
     )
@@ -233,9 +243,11 @@ def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     head, mid = F.slice(toks, 1, 8), F.slice(toks, 5, 8)
     return docs.select(
         "doc_id",
-        F.array_sort(F.array_distinct(F.array_intersect(head, mid))).alias("common"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.array_intersect(head, mid))), " "
+        ).alias("common"),
         F.size(F.array_union(head, mid)).alias("n_union"),
-        F.array_sort(F.array_except(head, mid)).alias("only_head"),
+        F.array_join(F.array_sort(F.array_except(head, mid)), " ").alias("only_head"),
         F.size(F.flatten(F.array(head, mid))).alias("n_flat"),
     )
 
@@ -245,7 +257,7 @@ def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            year(l.l_shipdate) AS l_year,
-           sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN supplier s ON s.s_suppkey = l.l_suppkey % 10 + 1
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -289,5 +301,5 @@ def sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cn.n_name").alias("cust_nation"),
             F.year("l_shipdate").alias("l_year"),
         )
-        .agg(F.sum(revenue).alias("revenue"))
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
     )

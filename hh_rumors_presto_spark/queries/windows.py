@@ -122,22 +122,22 @@ def win_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
     )
     SELECT o_custkey, o_orderkey,
-           sum(CAST(o_totalprice AS DECIMAL(28,2))) OVER (
+           CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) OVER (
                PARTITION BY o_custkey ORDER BY od, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS running_total,
+           ) AS DOUBLE) AS running_total,
            count(*) OVER (
                PARTITION BY o_custkey ORDER BY od, o_orderkey
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
            ) AS cnt3,
-           sum(CAST(o_totalprice AS DECIMAL(28,2))) OVER (
+           CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) OVER (
                PARTITION BY o_custkey ORDER BY od, o_orderkey
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
-           ) AS sum3,
-           sum(CAST(o_totalprice AS DECIMAL(28,2))) OVER (
+           ) AS DOUBLE) AS sum3,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) OVER (
                PARTITION BY o_custkey ORDER BY o_totalprice
                RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW
-           ) AS near_sum
+           ) AS DOUBLE) AS near_sum
     FROM t
     """,
 )
@@ -164,10 +164,10 @@ def win_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "o_custkey",
         "o_orderkey",
-        F.sum("tp_dec").over(w_run).alias("running_total"),
+        F.sum("tp_dec").over(w_run).cast("double").alias("running_total"),
         F.count("*").over(w_3).alias("cnt3"),
-        F.sum("tp_dec").over(w_3).alias("sum3"),
-        F.sum("tp_dec").over(w_range).alias("near_sum"),
+        F.sum("tp_dec").over(w_3).cast("double").alias("sum3"),
+        F.sum("tp_dec").over(w_range).cast("double").alias("near_sum"),
     )
 
 

@@ -32,3 +32,31 @@ def test_oracle_keys_subset_of_queries():
     qs = ent.queries()
     for key in ent.oracle_sql():
         assert key in qs
+
+
+def test_front_keys_valid():
+    """The driver samples the first 50 keys; FRONT_KEYS defines that window.
+    It must be exactly 50 real, distinct keys."""
+    qs = ent.queries()
+    assert len(ent.FRONT_KEYS) == 50
+    assert len(set(ent.FRONT_KEYS)) == 50
+    missing = [k for k in ent.FRONT_KEYS if k not in qs]
+    assert not missing, missing
+    assert list(qs)[:50] == ent.FRONT_KEYS
+
+
+def test_no_driver_hostile_output_types(spark, sf_dir):
+    """The driver's canonicalizer chokes on array/map/struct cells
+    (unhashable in its pandas sort) and stringifies Decimal differently per
+    engine — so no query may emit them in its FINAL schema (r1 lesson:
+    text_stem/agg_approx_quantile err'd, 7 decimal keys hash-failed)."""
+    from pyspark.sql import types as T
+
+    banned = (T.ArrayType, T.MapType, T.StructType, T.DecimalType)
+    offenders = []
+    for name, fn in ent.queries().items():
+        df = fn(spark, sf_dir)
+        for field in df.schema.fields:
+            if isinstance(field.dataType, banned):
+                offenders.append(f"{name}.{field.name}: {field.dataType}")
+    assert not offenders, offenders
