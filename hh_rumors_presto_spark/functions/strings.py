@@ -110,8 +110,11 @@ def body_already_has_source(snippet_html: Column, url: Column, source_name: Colu
     text = F.regexp_extract(snippet_html, _TRAILING_ANCHOR, 2)
     has_anchor = href != F.lit("")
     norm = lambda c: F.regexp_replace(c, "/+$", "")  # noqa: E731
+    # the reference clean()s the label before comparing (fetchRumors.js:167),
+    # which collapses interior whitespace runs — not just trim
+    ws = lambda c: F.trim(F.regexp_replace(c, r"\s+", " "))  # noqa: E731
     same_href = norm(href) == norm(F.coalesce(url, F.lit("")))
-    same_text = F.lower(F.trim(text)) == F.lower(F.trim(F.coalesce(source_name, F.lit(""))))
+    same_text = F.lower(ws(text)) == F.lower(ws(F.coalesce(source_name, F.lit(""))))
     return (
         (F.coalesce(url, F.lit("")) != F.lit(""))
         & has_anchor

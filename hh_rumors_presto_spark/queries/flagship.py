@@ -164,8 +164,8 @@ SELECT
      AND regexp_extract(snippet_html, '(?i)<a[^>]*href="([^"]+)"[^>]*>([^<]+)</a>\s*$', 1) <> ''
      AND (regexp_replace(regexp_extract(snippet_html, '(?i)<a[^>]*href="([^"]+)"[^>]*>([^<]+)</a>\s*$', 1), '/+$', '')
               = regexp_replace(url, '/+$', '')
-          OR lower(trim(regexp_extract(snippet_html, '(?i)<a[^>]*href="([^"]+)"[^>]*>([^<]+)</a>\s*$', 2)))
-              = lower(trim(sourceName)))
+          OR lower(trim(regexp_replace(regexp_extract(snippet_html, '(?i)<a[^>]*href="([^"]+)"[^>]*>([^<]+)</a>\s*$', 2), '\s+', ' ', 'g')))
+              = lower(trim(regexp_replace(sourceName, '\s+', ' ', 'g'))))
     ) AS suppressSource
 FROM windowed
 """

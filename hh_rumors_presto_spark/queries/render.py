@@ -110,12 +110,18 @@ def render_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda s: s["fragment"],
     )
-    return items.agg(
-        F.concat(
-            F.lit("<h3>More on the subject</h3>\n"),
-            F.concat_ws("\n", ordered),
-        ).alias("block"),
+    # zero admitted items must yield NULL block (the oracle's string_agg
+    # over zero rows is NULL and '...' || NULL propagates), not header+"".
+    agged = items.agg(
+        F.concat_ws("\n", ordered).alias("body"),
         F.count("*").alias("n_items"),
+    )
+    return agged.select(
+        F.when(
+            F.col("n_items") > 0,
+            F.concat(F.lit("<h3>More on the subject</h3>\n"), F.col("body")),
+        ).alias("block"),
+        "n_items",
     )
 
 

@@ -130,6 +130,10 @@ def test_dedup_key(spark):
         # empty href or empty label -> no match -> false (ref uses + not *)
         ('x <a href="">ESPN</a>', "http://s/a", "ESPN", False),
         ('x <a href="http://s/a"></a>', "http://s/a", "ESPN", False),
+        # label with interior whitespace run still matches: the reference
+        # clean()s the label (collapses \s+) before comparing
+        ('x said <a href="http://else">ESPN  Insider</a>', "http://s/a", "ESPN Insider", True),
+        ('x said <a href="http://else">ESPN\tInsider</a>', "http://s/a", "espn insider", True),
     ],
 )
 def test_body_already_has_source(spark, snippet, url, name, expected):

@@ -144,3 +144,31 @@ def test_observe_metrics(spark, sf_dir):
     )
     df.count()
     assert obs.get["n"] == 500
+
+
+def test_sessionize_subsecond_gap(spark, tmp_path):
+    """A gap of 30min + 0.5s must start a NEW session: the gap compare runs
+    at microsecond precision. (A whole-second cast truncates 5400.5s - 3600s
+    to exactly 1800s = not > 30min and wrongly merges the sessions.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hh_rumors_presto_spark.registry import QUERIES, load_all_queries
+
+    load_all_queries()
+    sec = 1_000_000_000  # ns
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1], pa.int64()),
+            "event_id": pa.array([10, 11, 12], pa.int64()),
+            # 0s, 1800s (same session: gap exactly 30min), 3600.5s (new:
+            # gap 1800.5s; whole-second truncation would see exactly 1800)
+            "ts": pa.array([0, 1800 * sec, 3600 * sec + sec // 2], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = QUERIES["ts_sessionize"](spark, str(tmp_path)).collect()
+    sessions = {(r.user_id, r.session_no): r.n_events for r in out}
+    assert len(sessions) == 2
+    assert sessions[(1, 1)] == 2
+    assert sessions[(1, 2)] == 1
