@@ -30,6 +30,9 @@ HEADLINE = [
     "stream_tumbling",    # structured streaming windowed agg
     "dedup_minhash",      # shingle MinHash-LSH candidate pairs
     "pipeline_pretrain",  # composed quality-gate -> dedup -> corpus stats
+    "join_asof",          # non-equi as-of join (equi key + max_by reduce)
+    "dedup_clusters",     # iterative connected components (multi-job)
+    "render_block",       # ordered group-all string fold (ref end product)
 ]
 
 

@@ -37,6 +37,23 @@ def _tok_hash(seed: int, tok: Column) -> Column:
     return _hex15_to_long(F.md5(F.concat(F.lit(f"s{seed}:"), tok)))
 
 
+# Universal hash family for MinHash: h_s(x) = (A_s*(x mod P) + B_s) mod P
+# over ONE md5 base hash per token. One md5 instead of N_MINHASH md5s per
+# shingle occurrence (the md5 was ~all the minhash CPU at sf0.1: 5M
+# shingles x 8 digests); the affine family is the textbook Carter-Wegman
+# construction and is exact 64-bit integer arithmetic in both engines
+# (A*(x%P) < 1e18 < 2^63 — no overflow under ANSI mode).
+MINHASH_P = 1_000_000_007
+MINHASH_A = (712839123, 947121931, 281474357, 653789141,
+             912831211, 137438953, 431655765, 786433213)
+MINHASH_B = (15485863, 32452843, 49979687, 67867967,
+             86028121, 104395301, 122949823, 141650939)
+
+
+def _affine_hash(s: int, base: Column) -> Column:
+    return (F.lit(MINHASH_A[s]) * (base % MINHASH_P) + MINHASH_B[s]) % MINHASH_P
+
+
 def bigram_shingles(toks: Column) -> Column:
     """Distinct token-bigram shingles. Guarded for single-token documents:
     F.sequence(1, size-1) would count DOWN to 0 when size=1 and element_at
@@ -154,21 +171,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_sig_sql() -> str:
     """Oracle SQL producing the 8 minhash values per doc over BIGRAM
     shingles (unigram token sets are degenerate on a small vocabulary —
-    every doc looks like every other; bigrams restore discrimination)."""
+    every doc looks like every other; bigrams restore discrimination).
+    Mirrors the Spark side's one-md5 + affine universal-hash family."""
     hashes = ",\n           ".join(
-        "min(CAST(('0x' || substring(md5('s%d:' || tok), 1, 15)) AS BIGINT)) AS h%d"
-        % (s, s)
+        f"min(({MINHASH_A[s]} * (base % {MINHASH_P}) + {MINHASH_B[s]}) % {MINHASH_P}) AS h{s}"
         for s in range(N_MINHASH)
     )
     return f"""
     SELECT doc_id,
            {hashes}
     FROM (SELECT doc_id,
-                 unnest(list_distinct(list_transform(
-                     generate_series(1, len(string_split(text,' ')) - 1),
-                     i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
-                 ))) AS tok
-          FROM documents)
+                 CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS base
+          FROM (SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           generate_series(1, len(string_split(text,' ')) - 1),
+                           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                       ))) AS tok
+                FROM documents))
     GROUP BY doc_id
     """
 
@@ -203,30 +222,38 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = io.load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     tok = docs.select("doc_id", F.explode(bigram_shingles(toks)).alias("tok"))
-    sig = tok.groupBy("doc_id").agg(
+    base = _hex15_to_long(F.md5(F.col("tok")))
+    sig = tok.select("doc_id", base.alias("base")).groupBy("doc_id").agg(
         *[
-            F.min(_tok_hash(s, F.col("tok"))).alias(f"h{s}")
+            F.min(_affine_hash(s, F.col("base"))).alias(f"h{s}")
             for s in range(N_MINHASH)
         ]
     )
-    per_band = []
-    for band in range(MINHASH_BANDS):
-        members = [
-            f"h{band * MINHASH_ROWS + i}" for i in range(MINHASH_ROWS)
-        ]
+    # Materialize the signature table once: it is tiny (N_MINHASH longs per
+    # doc vs the exploded shingle stream) and both self-join sides need it.
+    # Without this the scan+shingle+min-agg subtree runs once PER SIDE
+    # (Spark does not reuse exchanges across self-join branches here) —
+    # measured 2x end-to-end at sf0.1. Same pattern production LSH uses:
+    # signatures are the thing you persist, shingles are never kept.
+    sig = sig.localCheckpoint(eager=False)
+    # one (band, bucket) struct per band, exploded from a single signature
+    # row — NOT a per-band unionAll, which would re-run the whole
+    # scan+shingle+agg subtree once per band per join side (4x the work;
+    # with explode the two self-join sides are identical subtrees and the
+    # signature shuffle is computed once and re-read via ReusedExchange).
+    def band_struct(band: int):
+        members = [f"h{band * MINHASH_ROWS + i}" for i in range(MINHASH_ROWS)]
         bucket = F.md5(
             F.concat_ws(",", *[F.col(h).cast("string") for h in members])
         )
-        per_band.append(
-            sig.select(
-                "doc_id",
-                F.lit(band).alias("band"),
-                bucket.alias("bucket"),
-            )
-        )
-    bands = per_band[0]
-    for extra in per_band[1:]:
-        bands = bands.unionAll(extra)
+        return F.struct(F.lit(band).alias("band"), bucket.alias("bucket"))
+
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[band_struct(b) for b in range(MINHASH_BANDS)])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -351,7 +378,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle computes the same components with a recursive CTE — the
     batch-SQL expression of the fixpoint."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # checkpoint the pair list BEFORE mirroring it: both union branches
+    # read the materialized pairs instead of running the expensive
+    # shingle-inverted-index join once per branch
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     nodes = (
         io.load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 5 == 0)

@@ -50,6 +50,17 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"WindowGroupLimit", "partial dedup before shuffle"),
         (r"TakeOrderedAndProject", "offset+limit as partial top-k"),
     ],
+    "join_salted": [
+        (r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", "hash equi-join on (key, salt)"),
+        (r"explode\(\[0,1,2", "build side exploded once per salt value"),
+    ],
+    "join_asof": [
+        (r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", "equi-join on the key (band is a join condition, not a nested loop)"),
+        (r"max_by", "as-of reduced via max_by, no fan-out window"),
+    ],
+    "dedup_minhash": [
+        (r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", "candidate pairs via band-bucket equi-join"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -57,6 +68,10 @@ NO_EXCHANGE_KEYS = ("join_bucketed",)
 
 FORBIDDEN = (
     ("CartesianProduct", {"join_cross"}),  # allowed only for the tiny demo
+    # brute-force cosine top-k intentionally scores every (query, corpus)
+    # pair against a tiny broadcast query side — BNLJ is that exact plan;
+    # everywhere else a nested loop is a scale bug
+    ("BroadcastNestedLoopJoin", {"sim_topk"}),
 )
 
 
