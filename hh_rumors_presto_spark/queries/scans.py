@@ -169,6 +169,9 @@ def scan_paged_dsv2(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed scan. Same caps, same oracle as scan_paged."""
     from hh_rumors_presto_spark.sources import PagedDataSource
 
+    # the reader implements pushFilters, which Spark rejects unless this
+    # (runtime-settable) conf is on — the driver harness owns the session
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(PagedDataSource)
     return (
         spark.read.format("hh_paged")
@@ -177,4 +180,41 @@ def scan_paged_dsv2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("perPageLimit", str(PER_PAGE_CAP))
         .option("maxPages", str(MAX_PAGES))
         .load()
+    )
+
+
+@query(
+    "scan_paged_pushdown",
+    oracle=f"""
+    SELECT doc_id, source, CAST((rn // {PAGE_SIZE}) + 1 AS INT) AS page
+    FROM (
+        SELECT doc_id, source,
+               row_number() OVER (ORDER BY doc_id) - 1 AS rn
+        FROM documents
+    )
+    WHERE rn < {2 * PAGE_SIZE} AND rn % {PAGE_SIZE} < {PER_PAGE_CAP}
+    """,
+)
+def scan_paged_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter pushdown INTO the paginated source (the Python DataSource
+    API's analog of DSv2 SupportsPushDownLimit, SURVEY.md §4.1): the
+    ``page <= 2`` predicate reaches PagedReader.pushFilters, which prunes
+    the page list before any fetch — pages 3..{MAX_PAGES} are never read,
+    the reference's stop-paginating-early contract
+    (fetchRumors.js:130,148). Unit-tested partition pruning in
+    tests/test_operators.py."""
+    from hh_rumors_presto_spark.sources import PagedDataSource
+
+    # runtime-settable; required or Spark refuses a reader with pushFilters
+    # (the driver harness owns the session, so set it here, not the factory)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PagedDataSource)
+    return (
+        spark.read.format("hh_paged")
+        .option("path", io.table_path(sf_dir, "documents"))
+        .option("pageSize", str(PAGE_SIZE))
+        .option("perPageLimit", str(PER_PAGE_CAP))
+        .option("maxPages", str(MAX_PAGES))
+        .load()
+        .filter(F.col("page") <= 2)
     )

@@ -15,7 +15,17 @@ unchanged — partition-per-page, retry/skip policy per partition.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
 
 
 class PagedDataSource(DataSource):
@@ -48,9 +58,49 @@ class PagedReader(DataSourceReader):
         self.page_size = int(options.get("pageSize", "100"))
         self.per_page_limit = int(options.get("perPageLimit", "80"))
         self.max_pages = int(options.get("maxPages", "5"))
+        self._page_pred = None  # callable(page) -> bool once filters pushed
+
+    def pushFilters(self, filters):
+        """Filter pushdown (the DSv2 SupportsPushDownFilters analog — the
+        Python API has no limit pushdown, so bounded scans are expressed as
+        predicates on ``page``): comparisons against the ``page`` column
+        prune whole pages BEFORE any fetch happens, which is the
+        reference's stop-paginating-early behavior
+        (fetchRumors.js:130,148). Everything else is returned as
+        unsupported for Spark to evaluate."""
+        preds = []
+        unsupported = []
+        for f in filters:
+            supported = (
+                isinstance(
+                    f,
+                    (EqualTo, LessThan, LessThanOrEqual, GreaterThan,
+                     GreaterThanOrEqual, In),
+                )
+                and tuple(f.attribute) == ("page",)
+            )
+            if not supported:
+                unsupported.append(f)  # Spark applies it after the scan
+            elif isinstance(f, EqualTo):
+                preds.append(lambda p, v=f.value: p == v)
+            elif isinstance(f, LessThan):
+                preds.append(lambda p, v=f.value: p < v)
+            elif isinstance(f, LessThanOrEqual):
+                preds.append(lambda p, v=f.value: p <= v)
+            elif isinstance(f, GreaterThan):
+                preds.append(lambda p, v=f.value: p > v)
+            elif isinstance(f, GreaterThanOrEqual):
+                preds.append(lambda p, v=f.value: p >= v)
+            else:  # In
+                preds.append(lambda p, vs=tuple(f.values): p in vs)
+        self._page_pred = lambda p: all(pred(p) for pred in preds)
+        return unsupported
 
     def partitions(self):
-        return [_PagePartition(p) for p in range(1, self.max_pages + 1)]
+        pages = range(1, self.max_pages + 1)
+        if self._page_pred is not None:
+            pages = [p for p in pages if self._page_pred(p)]
+        return [_PagePartition(p) for p in pages]
 
     def read(self, partition: _PagePartition):
         """Executor-side page fetch. Failure policy matches the reference:

@@ -172,3 +172,29 @@ def test_sessionize_subsecond_gap(spark, tmp_path):
     assert len(sessions) == 2
     assert sessions[(1, 1)] == 2
     assert sessions[(1, 2)] == 1
+
+
+def test_paged_datasource_filter_pushdown(spark, sf_dir):
+    """page predicates pushed via DataSourceReader.pushFilters must prune
+    partitions before any fetch; non-page filters come back unsupported."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, LessThanOrEqual
+
+    from hh_rumors_presto_spark.sources.paged_datasource import PagedReader
+
+    reader = PagedReader({"path": "unused", "maxPages": "5"})
+    leftover = list(
+        reader.pushFilters(
+            [LessThanOrEqual(("page",), 3), GreaterThan(("page",), 1),
+             EqualTo(("doc_id",), 7)]
+        )
+    )
+    assert len(leftover) == 1 and isinstance(leftover[0], EqualTo)
+    assert [p.page for p in reader.partitions()] == [2, 3]
+
+    # end-to-end: the pruned scan returns exactly pages <= 2
+    from hh_rumors_presto_spark.registry import QUERIES, load_all_queries
+
+    load_all_queries()
+    out = QUERIES["scan_paged_pushdown"](spark, sf_dir)
+    pages = sorted({r.page for r in out.select("page").distinct().collect()})
+    assert pages == [1, 2]
