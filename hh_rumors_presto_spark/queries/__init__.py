@@ -15,6 +15,7 @@ def load() -> None:
         aggregation,
         analytics_extra,
         event_analytics,
+        extensions_corpus,
         extensions_dedup,
         extensions_pipeline,
         extensions_sim,

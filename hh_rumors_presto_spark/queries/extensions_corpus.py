@@ -1,0 +1,260 @@
+"""Corpus-curation operators: the remaining steps of a pretraining data
+pipeline beyond dedup/similarity (BASELINE.json mandate, "beyond the
+reference's own operators"): language-balanced sampling, blocklist
+redaction, corpus n-gram statistics, boilerplate-prefix detection, and
+embedding normalization/quantization plumbing.
+
+All oracle-exact: deterministic md5 sampling, integer/rational arithmetic,
+and fp expressions written with IDENTICAL association on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.registry import query
+
+# per-language keep rates for the balanced sample: dominant language
+# downsampled hard, tail languages kept at a higher rate (the standard
+# rebalancing move for multilingual corpora)
+STRAT_MOD = {"en": 10, "de": 2, "fr": 2, "es": 2, "zh": 2}
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+        SELECT doc_id, lang,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM documents
+    )
+    WHERE (lang = 'en' AND h % 10 = 0) OR (lang <> 'en' AND h % 2 = 0)
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced deterministic sampling: keep 10% of the dominant
+    language, 50% of the tail — selection is a pure function of the doc key
+    (stable across partitioning/engines/reruns), one scan, no shuffle."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    keep = ((F.col("lang") == "en") & (h % 10 == 0)) | (
+        (F.col("lang") != "en") & (h % 2 == 0)
+    )
+    return docs.filter(keep).select("doc_id", "lang")
+
+
+_BLOCK_RE = r"\b(customer|query|vector)\b"
+
+
+@query(
+    "text_blocklist",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(text, '{_BLOCK_RE}', '[TERM]', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(text, '{_BLOCK_RE}')) AS INT) AS n_hits,
+           len(regexp_extract_all(text, '{_BLOCK_RE}'))
+               > len(string_split(text, ' ')) * 0.05 AS flagged
+    FROM documents
+    WHERE doc_id % 10 = 0
+    """,
+)
+def text_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist redaction (the dictionary form of PII scrubbing): replace
+    blocklisted terms, count hits, flag documents whose hit density exceeds
+    5% of tokens. Pure regexp column expressions — whole-stage codegen'd,
+    the same shape a real PII pass (emails/phones) uses."""
+    docs = io.load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    n_hits = F.regexp_count("text", F.lit(_BLOCK_RE)).cast("int")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace("text", _BLOCK_RE, "[TERM]").alias("scrubbed"),
+        n_hits.alias("n_hits"),
+        (n_hits > F.size(F.split("text", " ")) * 0.05).alias("flagged"),
+    )
+
+
+@query(
+    "text_ngram_freq",
+    oracle="""
+    SELECT shingle, n
+    FROM (
+        SELECT shingle, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, shingle) AS rn
+        FROM (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(string_split(text,' ')) - 1),
+                       i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                   )) AS shingle
+            FROM documents
+        )
+        GROUP BY shingle
+    )
+    WHERE rn <= 20
+    """,
+)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram frequency top-20 (the n-gram table behind
+    contamination checks and stop-shingle lists): explode (NOT distinct per
+    doc — raw occurrence counts), hash agg with map-side partials, then a
+    single top-k — TakeOrderedAndProject, no global sort."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    counts = (
+        docs.filter(F.size(toks) >= 2)
+        .select(F.explode(grams).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        counts.orderBy(F.col("n").desc(), F.col("shingle"))
+        .limit(20)
+        .select("shingle", "n")
+    )
+
+
+PREFIX_TOKENS = 3
+
+
+@query(
+    "dedup_prefix",
+    oracle=f"""
+    SELECT prefix_hash, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+    FROM (
+        SELECT doc_id,
+               md5(array_to_string(string_split(text, ' ')[1:{PREFIX_TOKENS}], ' ')) AS prefix_hash
+        FROM documents
+    )
+    GROUP BY prefix_hash
+    HAVING count(*) > 1
+    """,
+)
+def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-prefix detection: documents sharing the same leading
+    {PREFIX_TOKENS}-token prefix (headers, templates) bucketed by prefix
+    hash — one hash aggregate on a 32-byte key, min(doc_id) survivor.
+    The prefix-window analog of dedup_exact."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    prefix = F.array_join(
+        F.slice(F.split("text", " "), 1, PREFIX_TOKENS), " "
+    )
+    return (
+        docs.groupBy(F.md5(prefix).alias("prefix_hash"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@query(
+    "emb_normalize",
+    oracle="""
+    SELECT vec_id, dim, norm,
+           CAST(list_sum(list_transform(
+               CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor((127.0 * x) / norm) AS BIGINT)
+           )) AS BIGINT) AS q_sum
+    FROM (
+        SELECT vec_id, embedding,
+               len(embedding) AS dim,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS norm
+        FROM embeddings
+    )
+    WHERE norm > 0
+    """,
+)
+def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-normalize + int8-style quantization plumbing: per-vector
+    norm, then floor((127*x)/norm) per component summed to an integer
+    checksum (floor -> exact integer arithmetic, so the cross-engine check
+    is exact; the quantized vector itself would be the payload at 100 TB —
+    4x smaller than float32, the standard ANN-index footprint trick)."""
+    from hh_rumors_presto_spark.functions import dot
+
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    with_norm = emb.select(
+        "vec_id",
+        vec.alias("v"),
+        F.size("embedding").alias("dim"),
+        F.sqrt(dot(vec, vec)).alias("norm"),
+    ).filter(F.col("norm") > 0)
+    q_sum = F.aggregate(
+        F.transform(
+            F.col("v"),
+            lambda x: F.floor((F.lit(127.0) * x) / F.col("norm")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, q: acc + q,
+    )
+    return with_norm.select("vec_id", "dim", "norm", q_sum.alias("q_sum"))
+
+
+@query(
+    "agg_moments",
+    oracle="""
+    SELECT l_returnflag, n, mean, m2,
+           (s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean)
+               / (m2 * sqrt(m2)) AS skewness
+    FROM (
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS mean,
+               CAST(sum(CAST(l_quantity AS DECIMAL(28,2))
+                        * CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS s2,
+               CAST(sum(CAST(l_quantity AS DECIMAL(28,2))
+                        * CAST(l_quantity AS DECIMAL(28,2))
+                        * CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS s3,
+               CAST(sum(CAST(l_quantity AS DECIMAL(28,2))
+                        * CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / count(*)
+                   - (CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / count(*))
+                     * (CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / count(*)) AS m2
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    """,
+)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment statistics (variance + skewness) from EXACT decimal
+    power sums: the moments are order-insensitive decimals, and the final
+    double formula uses only +,-,*,/,sqrt (all correctly rounded IEEE ops)
+    with identical association on both engines — so even skewness is
+    bit-exact cross-engine, no libm pow() anywhere."""
+    li = io.load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(28,2)")
+    g = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q).alias("s1d"),
+        F.sum(q * q).alias("s2d"),
+        F.sum(q * q * q).alias("s3d"),
+    )
+    mean = F.col("s1d").cast("double") / F.col("n")
+    s2 = F.col("s2d").cast("double")
+    s3 = F.col("s3d").cast("double")
+    m2 = s2 / F.col("n") - mean * mean
+    skew = (
+        s3 / F.col("n") - F.lit(3.0) * mean * (s2 / F.col("n"))
+        + F.lit(2.0) * mean * mean * mean
+    ) / (m2 * F.sqrt(m2))
+    return g.select(
+        "l_returnflag",
+        "n",
+        mean.alias("mean"),
+        m2.alias("m2"),
+        skew.alias("skewness"),
+    )
