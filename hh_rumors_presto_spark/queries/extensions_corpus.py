@@ -258,3 +258,97 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         m2.alias("m2"),
         skew.alias("skewness"),
     )
+
+
+N_SALTS = 8
+
+
+@query(
+    "agg_two_stage",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(28,2))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation: a handful of hot group keys (5
+    event types over the whole table) would each land on ONE reducer in a
+    naive groupBy. Stage 1 aggregates on (key, salt) spreading each hot key
+    over N_SALTS reducers; stage 2 combines the per-salt partials. Decimal
+    sums make the two-stage reduction exactly equal to the direct
+    aggregation (the oracle IS the direct form) under any partitioning —
+    which is the whole point at 100 TB."""
+    ev = io.load_table(spark, sf_dir, "events")
+    salted = ev.select(
+        "event_type",
+        "value",
+        (F.col("event_id") % N_SALTS).alias("salt"),
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("value").cast("decimal(28,2)")).alias("psum"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("psum"), 2).cast("double").alias("total_value"),
+    )
+
+
+DECON_N = 5  # n-gram width for contamination checks
+
+
+def _five_gram_sql(src_filter: str) -> str:
+    return f"""
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(string_split(text,' ')) - {DECON_N - 1}),
+                   i -> array_to_string(string_split(text,' ')[i:i+{DECON_N - 1}], ' ')
+               ))) AS gram
+        FROM documents
+        WHERE {src_filter} AND len(string_split(text,' ')) >= {DECON_N}
+    """
+
+
+@query(
+    "text_decontaminate",
+    oracle=f"""
+    WITH bench AS ({_five_gram_sql("doc_id % 97 = 0")}),
+    train AS ({_five_gram_sql("doc_id % 97 <> 0")})
+    SELECT t.doc_id, count(DISTINCT t.gram) AS n_overlap
+    FROM train t JOIN (SELECT DISTINCT gram FROM bench) b ON t.gram = b.gram
+    GROUP BY t.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training documents sharing any distinct
+    {DECON_N}-gram with the held-out benchmark slice (doc_id % 97 = 0),
+    with overlap counts. The benchmark gram set is tiny -> broadcast; the
+    training side streams through it without shuffling the corpus — the
+    standard n-gram-overlap decontamination pass of a pretraining build."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (DECON_N - 1)),
+            lambda i: F.array_join(F.slice(toks, i, DECON_N), " "),
+        )
+    )
+
+    def gram_rows(df):
+        return (
+            df.filter(F.size(toks) >= DECON_N)
+            .select("doc_id", F.explode(grams).alias("gram"))
+        )
+
+    bench = gram_rows(docs.filter(F.col("doc_id") % 97 == 0)).select(
+        "gram"
+    ).distinct()
+    train = gram_rows(docs.filter(F.col("doc_id") % 97 != 0))
+    return (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_overlap"))
+    )

@@ -303,3 +303,133 @@ def sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
     )
+
+
+@query(
+    "sql_tpch_q4",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1995-07-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1995-10-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_discount > 0.06
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def sql_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape (order priority checking; the fixture has no
+    commit/receipt dates, so 'late lines' becomes 'deeply discounted
+    lines'): EXISTS decorrelated to a left-semi join — the lineitem side
+    is pre-filtered, so the semi join probes a reduced set; no fan-out,
+    no distinct needed."""
+    orders = io.load_table(spark, sf_dir, "orders")
+    li = io.load_table(spark, sf_dir, "lineitem")
+    od = F.col("o_orderdate").cast("date")
+    late = li.filter(F.col("l_discount") > 0.06).select("l_orderkey")
+    return (
+        orders.filter(
+            (od >= F.lit("1995-07-01").cast("date"))
+            & (od < F.lit("1995-10-01").cast("date"))
+        )
+        .join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "sql_tpch_q12",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1995-01-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1996-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def sql_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (priority mix per line class; the fixture has no
+    l_shipmode/commit/receipt dates, so linestatus stands in for mode and
+    the ship-year range for the lateness filter): date filter pushed into
+    the lineitem scan, join on the orders spine, conditional counts."""
+    orders = io.load_table(spark, sf_dir, "orders")
+    li = io.load_table(spark, sf_dir, "lineitem")
+    sd = F.col("l_shipdate").cast("date")
+    filtered = li.filter(
+        (sd >= F.lit("1995-01-01").cast("date"))
+        & (sd < F.lit("1996-01-01").cast("date"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        filtered.join(orders, filtered.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "sql_tpch_q22",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE)
+               / count(*) AS v
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT cntrycode,
+           count(*) AS numcust,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(28,2))), 2) AS DOUBLE) AS totacctbal
+    FROM (
+        SELECT substring(CAST(c_custkey AS VARCHAR), 1, 1) AS cntrycode,
+               c_acctbal
+        FROM customer c, avg_bal
+        WHERE c.c_acctbal > avg_bal.v
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND CAST(o.o_orderdate AS DATE) >= DATE '2000-06-01'
+          )
+    )
+    GROUP BY cntrycode
+    """,
+)
+def sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 (global sales opportunity, adapted: every fixture customer has
+    SOME order, so the probe is 'no order since mid-2000'): scalar
+    aggregate broadcast as a filter threshold + anti join against recent
+    orders + grouped totals. The scalar subquery never shuffles the fact
+    side."""
+    cust = io.load_table(spark, sf_dir, "customer")
+    orders = io.load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") >= F.lit("2000-06-01").cast("date")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(28,2)")).cast("double")
+            / F.count("*")
+        ).alias("v")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("v"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(
+            F.substring(F.col("c_custkey").cast("string"), 1, 1).alias("cntrycode")
+        )
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(28,2)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
