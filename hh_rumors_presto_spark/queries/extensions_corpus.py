@@ -352,3 +352,94 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("gram").alias("n_overlap"))
     )
+
+
+@query(
+    "ts_ohlc",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, event_id, value,
+               CAST(ts AS TIMESTAMP) AS ts,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket
+        FROM events
+    ),
+    ordered AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY user_id, bucket
+                                  ORDER BY ts, event_id) AS rn_open,
+               row_number() OVER (PARTITION BY user_id, bucket
+                                  ORDER BY ts DESC, event_id DESC) AS rn_close
+        FROM base
+    )
+    SELECT user_id, bucket,
+           min(CASE WHEN rn_open = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           min(CASE WHEN rn_close = 1 THEN value END) AS close,
+           count(*) AS n
+    FROM ordered
+    GROUP BY user_id, bucket
+    """,
+)
+def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling to hourly OHLC bars per key: open/close via
+    min_by/max_by with (ts, event_id) struct tiebreakers — ONE hash
+    aggregate, no window, no sort (the oracle uses windows only because
+    DuckDB's arg_min can't take a composite ordering value). The standard
+    downsample shape for metric/event streams."""
+    ev = io.load_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("ts"))
+    tie = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.select("user_id", "event_id", "value", "ts", bucket.alias("bucket"))
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.min_by("value", tie).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", tie).alias("close"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "json_malformed",
+    oracle="""
+    SELECT
+        count(*) AS n_rows,
+        count(CASE WHEN json_valid(maybe_bad) THEN 1 END) AS n_valid,
+        CAST(sum(CASE WHEN json_valid(maybe_bad)
+                 THEN CAST(json_extract_string(maybe_bad, '$.k') AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS k_sum
+    FROM (
+        SELECT CASE WHEN event_id % 7 = 0
+                    THEN substring(props, 1, length(props) - 1)
+                    ELSE props END AS maybe_bad
+        FROM events
+    )
+    """,
+)
+def json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input tolerance (the PERMISSIVE-mode contract of a real
+    ingest, generalizing the reference's break-on-error partial results,
+    fetchRumors.js:133-138): every 7th record's JSON is truncated;
+    from_json yields NULL for those instead of failing the job, and the
+    aggregate reports row/valid/value tallies."""
+    from pyspark.sql import types as T
+
+    ev = io.load_table(spark, sf_dir, "events")
+    maybe_bad = F.when(
+        F.col("event_id") % 7 == 0,
+        F.expr("substring(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    parsed = ev.select(
+        F.from_json(
+            maybe_bad, T.StructType([T.StructField("k", T.LongType())])
+        ).alias("p")
+    )
+    return parsed.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.col("p.k")).alias("n_valid"),
+        F.coalesce(F.sum("p.k"), F.lit(0)).alias("k_sum"),
+    )
