@@ -443,3 +443,80 @@ def json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.col("p.k")).alias("n_valid"),
         F.coalesce(F.sum("p.k"), F.lit(0)).alias("k_sum"),
     )
+
+
+@query(
+    "dedup_levenshtein",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               substring(text, 1, 40) AS head,
+               array_to_string(string_split(text, ' ')[1:2], ' ') AS block
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.head, b.head) AS INT) AS dist
+    FROM d a JOIN d b ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 20
+    """,
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup on document heads, BLOCKED by the leading
+    2-token prefix so the quadratic Levenshtein only runs within small
+    buckets (cost Σ block², never n²) — the classic blocking+verify pair
+    pattern of record linkage. levenshtein() is exact integer DP in both
+    engines, so the check is oracle-exact."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("head"),
+        F.array_join(F.slice(F.split("text", " "), 1, 2), " ").alias("block"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(dist <= 20)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("int").alias("dist"),
+        )
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment AS mode_segment, n
+    FROM (
+        SELECT c_nationkey, c_mktsegment, count(*) AS n,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY count(*) DESC, c_mktsegment) AS rn
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    )
+    WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent value, ties broken by
+    value order): two-level hash aggregate + max_by struct — no window on
+    the big table; built-in mode() is NOT used because its tie-breaking is
+    engine-dependent."""
+    cust = io.load_table(spark, sf_dir, "customer")
+    counts = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("n")
+    )
+    # max_by over (n, reversed-value) would need a descending string — use
+    # min_by over (-n, value): smallest negative count = largest count,
+    # then lexicographically smallest value breaks ties
+    tie = F.struct((-F.col("n")).alias("neg_n"), F.col("c_mktsegment"))
+    return counts.groupBy("c_nationkey").agg(
+        F.min_by("c_mktsegment", tie).alias("mode_segment"),
+        F.min_by("n", tie).alias("n"),
+    )
