@@ -27,6 +27,7 @@ def asof_join(
     right_ts: str,
     payload_cols: list[str],
     right_tiebreak: str | None = None,
+    left_id: str | None = None,
 ) -> DataFrame:
     """Latest-right-at-or-before-left per key. Left rows with no match keep
     nulls (left outer semantics, like DuckDB ASOF LEFT JOIN).
@@ -34,9 +35,18 @@ def asof_join(
     ``right_tiebreak`` names a unique right column that breaks timestamp
     ties deterministically (max_by over a bare ts is nondeterministic when
     two right rows collapse to the same microsecond).
+
+    ``left_id`` names a unique left column used as the re-aggregation key.
+    Pass it whenever one exists: monotonically_increasing_id is only
+    stable while no upstream shuffle reorders rows, and a deterministic
+    key keeps speculative/retried tasks exactly reproducible at scale.
     """
     lid = "__asof_lid"
-    l = left.withColumn(lid, F.monotonically_increasing_id())
+    l = (
+        left.withColumn(lid, F.col(left_id))
+        if left_id
+        else left.withColumn(lid, F.monotonically_increasing_id())
+    )
     cond = (l[key] == right[key]) & (right[right_ts] <= l[left_ts])
     joined = l.join(right, cond, "left")
     order = (

@@ -61,6 +61,20 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "dedup_minhash": [
         (r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", "candidate pairs via band-bucket equi-join"),
     ],
+    "text_decontaminate": [
+        (r"BroadcastHashJoin", "benchmark gram set broadcast, corpus never shuffles"),
+    ],
+    "agg_two_stage": [
+        (r"hashpartitioning\(event_type[^\)]*salt", "stage-1 partials spread over (key, salt)"),
+    ],
+    "ts_ohlc": [
+        (r"max_by", "open/close via min_by/max_by, no window"),
+    ],
+    "sql_tpch_q4": [(r"LeftSemi", "EXISTS as left-semi join")],
+    "sql_tpch_q22": [(r"LeftAnti", "NOT EXISTS as left-anti join")],
+    "dedup_levenshtein": [
+        (r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", "blocked equi-join, Levenshtein post-filter"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -69,9 +83,11 @@ NO_EXCHANGE_KEYS = ("join_bucketed",)
 FORBIDDEN = (
     ("CartesianProduct", {"join_cross"}),  # allowed only for the tiny demo
     # brute-force cosine top-k intentionally scores every (query, corpus)
-    # pair against a tiny broadcast query side — BNLJ is that exact plan;
-    # everywhere else a nested loop is a scale bug
-    ("BroadcastNestedLoopJoin", {"sim_topk"}),
+    # pair against a tiny broadcast query side — BNLJ is that exact plan.
+    # q22's BNLJ is the ONE-ROW scalar-threshold broadcast (how Catalyst
+    # executes an uncorrelated scalar subquery). Everywhere else a nested
+    # loop is a scale bug.
+    ("BroadcastNestedLoopJoin", {"sim_topk", "sql_tpch_q22"}),
 )
 
 
