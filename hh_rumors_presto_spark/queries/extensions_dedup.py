@@ -400,25 +400,36 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = nodes.select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     ).localCheckpoint()
-    for _ in range(20):  # bounded fixpoint; converges in O(diameter) rounds
+    def propagate(lbl: DataFrame) -> DataFrame:
         neigh = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
+            edges.join(lbl, edges.doc_b == lbl.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("cluster_id").alias("neigh_min"))
         )
-        # one materialization per round carrying old + new labels, so the
-        # convergence check is a scan of checkpointed data, not a re-join
-        merged = (
-            labels.withColumnRenamed("cluster_id", "old_label")
+        return (
+            lbl.withColumnRenamed("cluster_id", "prev")
             .join(neigh, "doc_id", "left")
             .select(
                 "doc_id",
-                "old_label",
                 F.least(
-                    F.col("old_label"),
-                    F.coalesce(F.col("neigh_min"), F.col("old_label")),
+                    F.col("prev"),
+                    F.coalesce(F.col("neigh_min"), F.col("prev")),
                 ).alias("cluster_id"),
             )
+        )
+
+    for _ in range(10):  # bounded fixpoint; converges in O(diameter) rounds
+        # TWO propagation steps per materialization+probe: min-label
+        # propagation is monotone non-increasing (no oscillation), so the
+        # double step halves the per-round checkpoint + convergence-job
+        # overhead without changing the fixpoint
+        stepped = propagate(propagate(labels.select("doc_id", "cluster_id")))
+        merged = (
+            labels.select(
+                "doc_id", F.col("cluster_id").alias("old_label")
+            )
+            .join(stepped, "doc_id")
+            .select("doc_id", "old_label", "cluster_id")
             .localCheckpoint()
         )
         labels = merged.select("doc_id", "cluster_id")
