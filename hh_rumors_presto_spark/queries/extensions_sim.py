@@ -204,3 +204,101 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2_norm(F.col("embedding")).alias("emb_norm"),
         F.size(F.split("text", " ")).alias("n_tokens"),
     )
+
+
+N_CENTROIDS = 16
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_inner_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+        f" / nullif(sqrt(list_inner_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+        f" * sqrt(list_inner_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))), 0.0)"
+    )
+
+
+@query(
+    "sim_ivf",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS c_emb
+        FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    scored AS (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_cos_sql("e.embedding", "c.c_emb")} DESC, c.cent_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cent_id AS cell FROM scored WHERE rn = 1
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, cell
+        FROM assigned WHERE vec_id < {N_QUERIES}
+    ),
+    cand AS (
+        SELECT q.query_id, a.vec_id AS neighbor_id,
+               {_cos_sql("q.q_emb", "a.embedding")} AS cos_sim
+        FROM assigned a JOIN q ON a.cell = q.cell AND a.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM cand
+    )
+    WHERE rn <= {TOP_K}
+    """,
+)
+def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a deterministic coarse quantizer (the first
+    {N_CENTROIDS} vectors as centroids) assigns every vector to its
+    nearest-centroid cell; queries search ONLY their own cell (nprobe=1)
+    with exact cosine re-rank. Unlike the hyperplane LSH key, the whole
+    path is deterministic, so it carries a full value-hash oracle.
+
+    Scale shape: centroid scoring is a broadcast of {N_CENTROIDS} rows over
+    one corpus scan; cell assignment is a per-row argmax (max_by struct, no
+    window over the corpus); candidate generation is an equi-join on cell.
+    At 100 TB the centroids come from a sampled k-means and nprobe grows —
+    the dataflow is unchanged."""
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    cs = cosine_similarity(F.col("embedding"), F.col("c_emb"))
+    assigned = (
+        emb.join(F.broadcast(cents))
+        .select("vec_id", "embedding", "cent_id", cs.alias("cs"))
+        .groupBy("vec_id")
+        .agg(
+            F.first("embedding").alias("embedding"),
+            F.max_by(
+                "cent_id", F.struct(F.col("cs"), (-F.col("cent_id")).alias("nc"))
+            ).alias("cell"),
+        )
+    )
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "cell",
+    )
+    cand = assigned.join(F.broadcast(q), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_similarity(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
