@@ -234,3 +234,53 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_df(out, output_mode="update")
+
+
+@query(
+    "stream_ohlc",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, event_id, value,
+               CAST(ts AS TIMESTAMP) AS ts,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start
+        FROM events
+    ),
+    ordered AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY user_id, window_start
+                                  ORDER BY ts, event_id) AS rn_open,
+               row_number() OVER (PARTITION BY user_id, window_start
+                                  ORDER BY ts DESC, event_id DESC) AS rn_close
+        FROM base
+    )
+    SELECT user_id, window_start,
+           min(CASE WHEN rn_open = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           min(CASE WHEN rn_close = 1 THEN value END) AS close
+    FROM ordered
+    GROUP BY user_id, window_start
+    """,
+)
+def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC bars: the ts_ohlc downsample run as a real streaming
+    query — min_by/max_by with (ts, event_id) struct tiebreakers inside a
+    tumbling-window aggregation (complete mode). Same one-state-store
+    shape as stream_tumbling; the oracle is the batch equivalent."""
+    ev = read_events_stream(spark, sf_dir)
+    tie = F.struct(F.col("ts"), F.col("event_id"))
+    agg = ev.groupBy(F.window("ts", "1 hour"), "user_id").agg(
+        F.min_by("value", tie).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", tie).alias("close"),
+    )
+    out = run_stream_to_df(agg, output_mode="complete")
+    return out.select(
+        "user_id",
+        F.col("window.start").alias("window_start"),
+        "open",
+        "high",
+        "low",
+        "close",
+    )

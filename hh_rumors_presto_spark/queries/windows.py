@@ -198,3 +198,42 @@ def win_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
     )
     return out.select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+
+
+@query(
+    "win_time_range",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE user_id < 20
+    )
+    SELECT user_id, event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(round(sum(CAST(value AS DECIMAL(28,2))) OVER w, 2) AS DOUBLE)
+               AS sum_last_hour
+    FROM base
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per-user trailing-1-hour count and sum at
+    every event (the sliding-lookback metric shape). Spark's rangeBetween
+    needs a numeric ordering column, so the frame orders by unix_micros
+    with a 3600e6-microsecond lookback — exactly the oracle's INTERVAL 1
+    HOUR frame at the µs precision both engines store (sums in decimal,
+    rounded once)."""
+    ev = io.load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3600 * 1_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.round(F.sum(F.col("value").cast("decimal(28,2)")).over(w), 2)
+        .cast("double")
+        .alias("sum_last_hour"),
+    )
