@@ -35,6 +35,7 @@ def load() -> None:
         streaming,
         streaming_joins,
         strings_dates,
+        tpch_full,
         tpch_more,
         udtf_native,
         windows,
