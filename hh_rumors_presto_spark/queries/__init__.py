@@ -16,6 +16,7 @@ def load() -> None:
         analytics_extra,
         event_analytics,
         extensions_corpus,
+        extensions_curation,
         extensions_dedup,
         extensions_pipeline,
         extensions_sim,
