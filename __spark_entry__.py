@@ -51,10 +51,33 @@ FRONT_KEYS = [
 ]
 
 
+# Keys that already have a fully-green CORRECTNESS_r01 row. They sort LAST
+# so that, if the driver's window is ever wider than 50, the extra slots go
+# to keys that have never had a driver correctness row rather than re-proving
+# known-green ones.
+_R1_GREEN = frozenset({
+    "agg_argmax", "agg_corr", "agg_distinct", "agg_grouping_sets",
+    "agg_histogram", "agg_percentile_exact", "agg_stats", "agg_string",
+    "cohort_retention", "dedup_clusters", "dedup_embedding", "dedup_exact",
+    "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+    "flagship_multitag", "flagship_pipeline", "funnel_conversion",
+    "join_broadcast", "json_parse_struct", "mm_decode", "mm_frame_sample",
+    "multimodal_join", "sample_hash", "set_union_byname", "sim_topk",
+    "subq_scalar", "text_chunk", "text_fingerprint", "text_langid",
+    "text_quality", "text_tfidf", "text_tokens", "ts_gapfill", "udf_scalar",
+    "udtf_extract",
+})
+
+
 def _ordered(d: dict) -> dict:
     front = {k: d[k] for k in FRONT_KEYS if k in d}
-    rest = {k: v for k, v in d.items() if k not in front}
-    return {**front, **rest}
+    untested = {
+        k: v for k, v in d.items() if k not in front and k not in _R1_GREEN
+    }
+    green = {
+        k: v for k, v in d.items() if k not in front and k in _R1_GREEN
+    }
+    return {**front, **untested, **green}
 
 
 def entry(spark: SparkSession) -> DataFrame:
