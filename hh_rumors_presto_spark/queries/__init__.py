@@ -24,6 +24,7 @@ def load() -> None:
         extensions_udf,
         flagship,
         flagship_multitag,
+        graph,
         joins,
         lakehouse,
         misc_ops,

@@ -1,0 +1,261 @@
+"""Graph analytics over the order graph (SURVEY.md §2.B graph rows).
+
+The graph is bipartite customer↔supplier: an undirected edge per distinct
+(o_custkey, l_suppkey) trading pair from ``orders ⋈ lineitem``, stored as
+two directed edges. Node ids are disjoint by parity: customer c -> 2c,
+supplier s -> 2s+1.
+
+Determinism discipline: PageRank is the classic case where float sums make
+cross-engine (and cross-partitioning!) results diverge — the per-node
+contribution sum is order-dependent in IEEE arithmetic. So ranks are kept
+in BIGINT **fixed-point** (1.0 == 10^12) and every update uses only
+integer multiply + truncating division + exact integer sums: bit-identical
+under any reduction order, any partitioning, and across Spark/DuckDB.
+That turns an ordinarily rows-only sketch into a full value-hash oracle.
+
+Scale posture (100 TB): each PageRank/BFS round is one equi-join + one
+hash aggregate on the edge list — the standard Pregel-as-joins shape; no
+collect of edges or ranks, driver holds only the scalar node count.
+``localCheckpoint`` per round truncates the iterative lineage exactly as
+in dedup_clusters (extensions_dedup.py). Edge build is one shuffle join;
+at cluster scale the edge list would be bucketed by src once and reused
+across all rounds with zero further edge shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.registry import query
+
+_SCALE = 1_000_000_000_000  # fixed-point 1.0
+_DAMP_NUM, _DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
+
+# Shared oracle CTE: the bipartite directed edge list + degrees + node set.
+_GRAPH_SQL = """
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey * 2 AS c_node, l.l_suppkey * 2 + 1 AS s_node
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+        SELECT c_node AS src, s_node AS dst FROM pairs
+        UNION ALL
+        SELECT s_node, c_node FROM pairs
+    ),
+    deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),
+    params AS (SELECT count(*) AS n FROM deg)
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = io.load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        F.col("c_node").alias("src"), F.col("s_node").alias("dst")
+    ).unionAll(pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst")))
+
+
+@query(
+    "graph_pagerank",
+    oracle=_GRAPH_SQL
+    + f"""
+    , r0 AS (
+        SELECT node, {_SCALE} // (SELECT n FROM params) AS rank_fp FROM deg
+    ),
+    r1 AS (
+        SELECT d.node,
+               (15 * {_SCALE}) // (100 * (SELECT n FROM params))
+               + coalesce(s.contrib, 0) AS rank_fp
+        FROM deg d LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(sum(((r.rank_fp * {_DAMP_NUM}) // {_DAMP_DEN}) // dg.outdeg) AS BIGINT) AS contrib
+            FROM edges e
+            JOIN r0 r ON e.src = r.node
+            JOIN deg dg ON dg.node = e.src
+            GROUP BY e.dst
+        ) s ON d.node = s.node
+    ),
+    r2 AS (
+        SELECT d.node,
+               (15 * {_SCALE}) // (100 * (SELECT n FROM params))
+               + coalesce(s.contrib, 0) AS rank_fp
+        FROM deg d LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(sum(((r.rank_fp * {_DAMP_NUM}) // {_DAMP_DEN}) // dg.outdeg) AS BIGINT) AS contrib
+            FROM edges e
+            JOIN r1 r ON e.src = r.node
+            JOIN deg dg ON dg.node = e.src
+            GROUP BY e.dst
+        ) s ON d.node = s.node
+    ),
+    r3 AS (
+        SELECT d.node,
+               (15 * {_SCALE}) // (100 * (SELECT n FROM params))
+               + coalesce(s.contrib, 0) AS rank_fp
+        FROM deg d LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(sum(((r.rank_fp * {_DAMP_NUM}) // {_DAMP_DEN}) // dg.outdeg) AS BIGINT) AS contrib
+            FROM edges e
+            JOIN r2 r ON e.src = r.node
+            JOIN deg dg ON dg.node = e.src
+            GROUP BY e.dst
+        ) s ON d.node = s.node
+    )
+    SELECT node,
+           CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           rank_fp
+    FROM r3
+    ORDER BY rank_fp DESC, node
+    LIMIT 100
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank, 3 iterations, damping 0.85, on the bipartite
+    order graph. All arithmetic is BIGINT (multiply, truncating DIV, exact
+    sums) so the result is bit-identical to the unrolled-SQL oracle under
+    any partitioning — see module docstring. Top-100 nodes by rank.
+
+    One join + one agg per round (Pregel-as-joins); ranks/degrees never
+    leave the cluster; the driver holds only the node-count scalar."""
+    edges = _edges(spark, sf_dir).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).withColumnRenamed(
+        "src", "node"
+    )
+    deg = deg.localCheckpoint()
+    n = deg.count()  # scalar only; same count the oracle's params CTE takes
+    teleport = (15 * _SCALE) // (100 * n)  # exact integer, matches // in SQL
+
+    ranks = deg.select("node", F.lit(_SCALE // n).cast("long").alias("rank_fp"))
+    for _ in range(3):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg.withColumnRenamed("node", "dnode"), F.col("src") == F.col("dnode"))
+            .select(
+                F.col("dst"),
+                F.expr(
+                    f"CAST((rank_fp * {_DAMP_NUM}) DIV {_DAMP_DEN} DIV outdeg AS BIGINT)"
+                ).alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").cast("long").alias("contrib"))
+        )
+        ranks = (
+            deg.join(contribs, deg.node == contribs.dst, "left")
+            .select(
+                "node",
+                (F.lit(teleport) + F.coalesce(F.col("contrib"), F.lit(0)))
+                .cast("long")
+                .alias("rank_fp"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        ranks.select(
+            "node",
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            "rank_fp",
+        )
+        .orderBy(F.col("rank_fp").desc(), "node")
+        .limit(100)
+    )
+
+
+@query(
+    "graph_degree",
+    oracle=_GRAPH_SQL
+    + """
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           outdeg AS degree,
+           count(*) AS n_nodes
+    FROM deg
+    GROUP BY 1, 2
+    """,
+)
+def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution per node class — the graph profiling step (and
+    the skew probe you run before deciding salting for the join rounds)."""
+    deg = _edges(spark, sf_dir).groupBy("src").agg(F.count("*").alias("outdeg"))
+    return deg.groupBy(
+        F.when(F.col("src") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.col("outdeg").alias("degree"),
+    ).agg(F.count("*").alias("n_nodes"))
+
+
+@query(
+    "graph_bfs",
+    oracle=_GRAPH_SQL
+    + """
+    , l0 AS (
+        SELECT node, 0 AS level FROM deg WHERE node % 2 = 0 AND node <= 10
+    ),
+    f1 AS (
+        SELECT DISTINCT e.dst AS node FROM edges e JOIN l0 ON e.src = l0.node
+    ),
+    l1 AS (
+        SELECT f1.node, 1 AS level FROM f1
+        WHERE NOT EXISTS (SELECT 1 FROM l0 WHERE l0.node = f1.node)
+    ),
+    f2 AS (
+        SELECT DISTINCT e.dst AS node FROM edges e JOIN l1 ON e.src = l1.node
+    ),
+    l2 AS (
+        SELECT f2.node, 2 AS level FROM f2
+        WHERE NOT EXISTS (SELECT 1 FROM l0 WHERE l0.node = f2.node)
+          AND NOT EXISTS (SELECT 1 FROM l1 WHERE l1.node = f2.node)
+    ),
+    f3 AS (
+        SELECT DISTINCT e.dst AS node FROM edges e JOIN l2 ON e.src = l2.node
+    ),
+    l3 AS (
+        SELECT f3.node, 3 AS level FROM f3
+        WHERE NOT EXISTS (SELECT 1 FROM l0 WHERE l0.node = f3.node)
+          AND NOT EXISTS (SELECT 1 FROM l1 WHERE l1.node = f3.node)
+          AND NOT EXISTS (SELECT 1 FROM l2 WHERE l2.node = f3.node)
+    )
+    SELECT node, level FROM l0
+    UNION ALL SELECT node, level FROM l1
+    UNION ALL SELECT node, level FROM l2
+    UNION ALL SELECT node, level FROM l3
+    """,
+)
+def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS levels (3 expansion rounds) from customers 1–5.
+    Frontier expansion = equi-join frontier⋈edges, dedup, anti-join against
+    visited — each round one shuffle join, integer levels so the result is
+    engine-exact. The iterative-traversal primitive behind reachability,
+    taint propagation, and k-hop neighborhood features."""
+    edges = _edges(spark, sf_dir).localCheckpoint()
+    visited = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .filter((F.col("node") % 2 == 0) & (F.col("node") <= 10))
+        .select("node", F.lit(0).alias("level"))
+        .localCheckpoint()
+    )
+    frontier = visited.select("node")
+    for lvl in (1, 2, 3):
+        nxt = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(lvl).alias("level"))
+            .localCheckpoint()
+        )
+        visited = visited.unionAll(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return visited
