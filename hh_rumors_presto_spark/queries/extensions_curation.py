@@ -424,3 +424,195 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_qty"),
         )
     )
+
+
+# --- round-2 additions: segment dedup, quality ranking, histogram, best-of ---
+
+_SEG = 16  # tokens per segment
+
+
+@query(
+    "text_segment_dedup",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    segs AS (
+        SELECT doc_id,
+               generate_subscripts(seglist, 1) - 1 AS seg_idx,
+               unnest(seglist) AS seg
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(0, CAST((len(toks) + {_SEG} - 1) // {_SEG} AS INT) - 1),
+                       i -> array_to_string(list_slice(toks, i * {_SEG} + 1, i * {_SEG} + {_SEG}), ' ')
+                   ) AS seglist
+            FROM t
+        )
+    ),
+    ranked AS (
+        SELECT doc_id, seg_idx,
+               row_number() OVER (
+                   PARTITION BY md5(seg) ORDER BY doc_id, seg_idx
+               ) AS rn
+        FROM segs
+    )
+    SELECT doc_id,
+           count(*) AS n_segs,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS keep_ratio
+    FROM ranked
+    GROUP BY doc_id
+    """,
+)
+def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate-SEGMENT removal (C4/CCNet-style boilerplate
+    strip): docs are cut into fixed 16-token segments; a segment survives
+    only in its first occurrence corpus-wide (order = (doc_id, seg_idx)).
+    Output: per-doc segment counts + keep ratio.
+
+    Scale: segments shuffle once on md5(segment) (the dedup key) —
+    identical shape to dedup_exact but at sub-document granularity; the
+    per-doc re-agg is a second keyed shuffle. No global window."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    nseg = F.floor((F.size(toks) + _SEG - 1) / _SEG).cast("int")
+    seglist = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * _SEG + 1, _SEG)),
+    )
+    segs = docs.select(
+        "doc_id", F.posexplode(seglist).alias("seg_idx", "seg")
+    )
+    w = Window.partitionBy(F.md5("seg")).orderBy("doc_id", "seg_idx")
+    ranked = segs.select(
+        "doc_id", "seg_idx", F.row_number().over(w).alias("rn")
+    )
+    kept = F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_segs"),
+        kept.cast("long").alias("n_kept"),
+        (kept.cast("double") / F.count("*")).alias("keep_ratio"),
+    )
+
+
+@query(
+    "curation_quality_rank",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split(text, ' '),
+                        t -> list_contains({list(_STOPWORDS)!r}, t))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS stop_ratio,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS distinct_ratio
+        FROM documents
+    ),
+    blended AS (
+        SELECT doc_id, lang,
+               0.6 * distinct_ratio + 0.4 * stop_ratio AS score
+        FROM scored
+    )
+    SELECT doc_id, lang, score, pr
+    FROM (
+        SELECT doc_id, lang, score,
+               percent_rank() OVER (
+                   PARTITION BY lang ORDER BY score DESC, doc_id
+               ) AS pr
+        FROM blended
+    )
+    WHERE pr <= 0.25
+    """,
+)
+def curation_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ensemble ranking: blend exact count ratios (stopword +
+    type/token) into one score, percent_rank per language partition, keep
+    the top quartile. Every input to the float blend is a single integer
+    division (exact, engine-identical); the blend is one fixed-shape
+    expression, so the ranking is bit-stable cross-engine.
+
+    Scale: window partitions by lang — at 100 TB with few langs you'd
+    pre-bucket by (lang, score-band) or cut on an approx-quantile
+    threshold instead of ranking inside one partition per lang; the
+    operator contract (top share per class) is the same."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("double") / n
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    blended = docs.select(
+        "doc_id",
+        "lang",
+        (F.lit(0.6) * distinct_ratio + F.lit(0.4) * stop_ratio).alias("score"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        blended.select(
+            "doc_id", "lang", "score", F.percent_rank().over(w).alias("pr")
+        )
+        .filter(F.col("pr") <= 0.25)
+    )
+
+
+@query(
+    "corpus_length_histogram",
+    oracle="""
+    SELECT lang,
+           length(CAST(n_chars AS VARCHAR)) AS digits,
+           count(*) AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram in decimal-digit buckets (exact integer
+    bucketing — no log(), whose libm rounding differs per engine). The
+    length-distribution profile that drives chunk-size and packing
+    decisions."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    return docs.groupBy(
+        "lang", F.length(F.col("n_chars").cast("string")).alias("digits")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "dedup_best_of",
+    oracle="""
+    SELECT doc_id, n_copies, n_chars
+    FROM (
+        SELECT doc_id, n_chars,
+               count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+               row_number() OVER (
+                   PARTITION BY md5(text)
+                   ORDER BY n_chars DESC, doc_id
+               ) AS rn
+        FROM documents
+    )
+    WHERE rn = 1
+    """,
+)
+def dedup_best_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority dedup: exact-content groups keep the BEST survivor (max
+    n_chars, then smallest doc_id) rather than first-wins — the shape used
+    when duplicates differ in metadata quality. One hash agg via max_by
+    over an ordering struct; no window, no second shuffle (the oracle uses
+    a window because DuckDB's arg_max can't take the composite tiebreak)."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    tie = F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+    return (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(
+            F.max_by("doc_id", tie).alias("doc_id"),
+            F.count("*").alias("n_copies"),
+            F.max_by("n_chars", tie).alias("n_chars"),
+        )
+        .select("doc_id", "n_copies", "n_chars")
+    )

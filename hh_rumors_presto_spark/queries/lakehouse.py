@@ -5,7 +5,7 @@ DataFrame ops), and wide->long unpivot."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hh_rumors_presto_spark import io
@@ -121,4 +121,169 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("metric") == "l_quantity", "quantity")
         .when(F.col("metric") == "l_extendedprice", "price")
         .otherwise("discount"),
+    )
+
+
+# --- round-2 additions: CDC compaction, snapshot diff, partial-agg merge ---
+
+
+@query(
+    "cdc_compact",
+    oracle="""
+    WITH log AS (
+        SELECT user_id,
+               CAST(ts AS TIMESTAMP) AS ts,
+               event_id,
+               CASE WHEN event_type = 'purchase' THEN 'delete'
+                    ELSE 'upsert' END AS op,
+               value
+        FROM events
+    ),
+    latest AS (
+        SELECT user_id, op, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM log
+    )
+    SELECT user_id, value AS last_value
+    FROM latest
+    WHERE rn = 1 AND op = 'upsert'
+    """,
+)
+def cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction (CDC latest-wins): the events stream is read as
+    a change log keyed by user_id — latest record per key wins by
+    (ts, event_id), and keys whose final op is a delete ('purchase' stands
+    in for the delete marker) vanish from the snapshot. This is MERGE
+    INTO's read-side materialization without a table format.
+
+    Scale: one shuffle on the key + per-key window — the standard CDC
+    compaction plan; at 100 TB the changelog is additionally partitioned
+    by ingest date so compaction only touches recent partitions."""
+    ev = io.load_table(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        log.select("user_id", "op", "value", F.row_number().over(w).alias("rn"))
+        .filter((F.col("rn") == 1) & (F.col("op") == "upsert"))
+        .select("user_id", F.col("value").alias("last_value"))
+    )
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+    WITH snap_a AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1997-07-01'
+    ),
+    snap_b AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END
+                   AS o_orderstatus,
+               o_totalprice
+        FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+    )
+    SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change
+    FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_orderstatus <> b.o_orderstatus
+       OR a.o_totalprice <> b.o_totalprice
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: full-outer join two snapshots of the same table on
+    the primary key and label rows added / removed / changed (the
+    time-travel diff a table format gives you, expressed on plain scans;
+    snapshot B perturbs status on a deterministic key slice to exercise
+    the 'changed' branch).
+
+    Scale: one co-partitioned full-outer join on the key; with bucketed
+    snapshots this is exchange-free."""
+    orders = io.load_table(spark, sf_dir, "orders")
+    odate = F.col("o_orderdate").cast("date")
+    snap_a = orders.filter(odate < F.lit("1997-07-01").cast("date")).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snap_b = orders.filter(odate < F.lit("1998-01-01").cast("date")).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    a = snap_a.alias("a")
+    b = snap_b.alias("b")
+    joined = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    return joined.filter(
+        F.col("a.o_orderkey").isNull()
+        | F.col("b.o_orderkey").isNull()
+        | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+        | (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+    ).select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        F.when(F.col("a.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("b.o_orderkey").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("change"),
+    )
+
+
+@query(
+    "agg_partial_merge",
+    oracle="""
+    WITH partials AS (
+        SELECT o_orderstatus,
+               o_orderkey % 4 AS shard,
+               count(*) AS part_n,
+               sum(CAST(o_totalprice AS DECIMAL(28,2))) AS part_sum,
+               min(o_totalprice) AS part_min,
+               max(o_totalprice) AS part_max
+        FROM orders
+        GROUP BY 1, 2
+    )
+    SELECT o_orderstatus,
+           CAST(sum(part_n) AS BIGINT) AS n,
+           CAST(sum(part_sum) AS DOUBLE) AS total,
+           min(part_min) AS min_price,
+           max(part_max) AS max_price
+    FROM partials
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-state demo: shard-level partial aggregates (count / decimal
+    sum / min / max) merged into finals in a second aggregation — the
+    pattern behind incremental rollups and cube refreshes, where shards
+    arrive pre-aggregated and the combiner never re-reads raw data. Decimal
+    partials make the two-level sum equal the direct sum exactly under any
+    shard assignment."""
+    orders = io.load_table(spark, sf_dir, "orders")
+    partials = orders.groupBy(
+        "o_orderstatus", (F.col("o_orderkey") % 4).alias("shard")
+    ).agg(
+        F.count("*").alias("part_n"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("part_sum"),
+        F.min("o_totalprice").alias("part_min"),
+        F.max("o_totalprice").alias("part_max"),
+    )
+    return partials.groupBy("o_orderstatus").agg(
+        F.sum("part_n").cast("long").alias("n"),
+        F.sum("part_sum").cast("double").alias("total"),
+        F.min("part_min").alias("min_price"),
+        F.max("part_max").alias("max_price"),
     )
