@@ -33,6 +33,7 @@ HEADLINE = [
     "join_asof",          # non-equi as-of join (equi key + max_by reduce)
     "dedup_clusters",     # iterative connected components (multi-job)
     "render_block",       # ordered group-all string fold (ref end product)
+    "graph_pagerank",     # fixed-point PageRank, 3 Pregel-as-joins rounds
 ]
 
 

@@ -128,31 +128,38 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     One join + one agg per round (Pregel-as-joins); ranks/degrees never
     leave the cluster; the driver holds only the node-count scalar."""
     edges = _edges(spark, sf_dir).localCheckpoint()
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).withColumnRenamed(
-        "src", "node"
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("outdeg"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint()
     )
-    deg = deg.localCheckpoint()
     n = deg.count()  # scalar only; same count the oracle's params CTE takes
     teleport = (15 * _SCALE) // (100 * n)  # exact integer, matches // in SQL
 
-    ranks = deg.select("node", F.lit(_SCALE // n).cast("long").alias("rank_fp"))
+    # ranks carries outdeg through the loop, so each round is exactly TWO
+    # joins: node-level shares ⋈ edges (fan-out), then deg ⋈ contribs
+    # (fan-in). The per-src share is computed once per node, not per edge.
+    ranks = deg.select(
+        "node", "outdeg", F.lit(_SCALE // n).cast("long").alias("rank_fp")
+    )
     for _ in range(3):
+        shares = ranks.select(
+            "node",
+            F.expr(
+                f"CAST((rank_fp * {_DAMP_NUM}) DIV {_DAMP_DEN} DIV outdeg AS BIGINT)"
+            ).alias("share"),
+        )
         contribs = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(deg.withColumnRenamed("node", "dnode"), F.col("src") == F.col("dnode"))
-            .select(
-                F.col("dst"),
-                F.expr(
-                    f"CAST((rank_fp * {_DAMP_NUM}) DIV {_DAMP_DEN} DIV outdeg AS BIGINT)"
-                ).alias("contrib"),
-            )
+            edges.join(shares, edges.src == shares.node)
             .groupBy("dst")
-            .agg(F.sum("contrib").cast("long").alias("contrib"))
+            .agg(F.sum("share").cast("long").alias("contrib"))
         )
         ranks = (
             deg.join(contribs, deg.node == contribs.dst, "left")
             .select(
                 "node",
+                "outdeg",
                 (F.lit(teleport) + F.coalesce(F.col("contrib"), F.lit(0)))
                 .cast("long")
                 .alias("rank_fp"),

@@ -75,6 +75,21 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "dedup_levenshtein": [
         (r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", "blocked equi-join, Levenshtein post-filter"),
     ],
+    # NOTE: the per-round join+agg shape of graph_pagerank is invisible in
+    # the returned plan (localCheckpoint truncates lineage each round); the
+    # gate checks the final top-100 is a partial top-k, not a global sort.
+    "graph_pagerank": [
+        (r"TakeOrderedAndProject", "top-100 as partial top-k, no global sort"),
+    ],
+    "dedup_best_of": [
+        (r"max_by", "survivor via max_by, no window/second shuffle"),
+    ],
+    "snapshot_diff": [
+        (r"SortMergeJoin FullOuter|ShuffledHashJoin FullOuter", "key-partitioned full-outer join"),
+    ],
+    "agg_partial_merge": [
+        (r"HashAggregate", "two-level hash aggregation"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
