@@ -14,6 +14,7 @@ def load() -> None:
         advanced,
         aggregation,
         analytics_extra,
+        analytics_round2,
         event_analytics,
         extensions_corpus,
         extensions_curation,
