@@ -300,3 +300,50 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_id="o_orderkey",
     )
     return out.select("o_orderkey", "last_event_id", "last_event_ts")
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_orderstatus END AS k
+        FROM orders WHERE o_orderkey % 20 = 0
+    ),
+    b AS (
+        SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                    ELSE substring('OFP', 1 + n_nationkey % 3, 1) END AS k,
+               n_nationkey
+        FROM nation
+    )
+    SELECT a.o_orderkey, b.n_nationkey, a.k
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of dropping out — still a hash-partitionable
+    equi-join (NULLs hash to one bucket; at scale a hot NULL key gets the
+    salting treatment like any other skewed key)."""
+    orders = io.load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 20 == 0
+    )
+    nation = io.load_table(spark, sf_dir, "nation")
+    a = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("k"),
+    )
+    b = nation.select(
+        F.when(F.col("n_nationkey") % 5 == 0, F.lit(None))
+        .otherwise(
+            F.substring(F.lit("OFP"), F.lit(1) + F.col("n_nationkey") % 3, F.lit(1))
+        )
+        .alias("k"),
+        "n_nationkey",
+    )
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        "o_orderkey", "n_nationkey", a["k"].alias("k")
+    )

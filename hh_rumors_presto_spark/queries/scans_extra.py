@@ -62,3 +62,110 @@ def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at(F.map_keys(m), F.lit(1)).alias("first_key"),
         F.try_element_at(m, F.lit("k")).alias("k_value"),
     )
+
+
+@query(
+    "scan_schema_merge",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders WHERE o_orderkey % 100 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 100 = 50
+    """,
+)
+def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet drops of the same table where
+    the newer one added a column, read as one dataset with
+    ``mergeSchema=true`` (old files surface NULL for the added column) —
+    the append-only schema-evolution contract a lakehouse table relies on.
+
+    Scale: schema merge happens at footer level (per-file schemas union in
+    the driver); data is never rewritten."""
+    import shutil
+    import tempfile
+
+    orders = io.load_table(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"hh_schema_merge_{os.path.basename(os.path.abspath(sf_dir))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    v1 = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 100 == 50).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.parquet(os.path.join(base, "drop=1"))
+    v2.write.parquet(os.path.join(base, "drop=2"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(base, "drop=1"), os.path.join(base, "drop=2"))
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+@query(
+    "scan_dpp",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr
+        FROM orders
+        WHERE year(CAST(o_orderdate AS DATE)) >= 1997
+    )
+    SELECT f.yr, count(*) AS n,
+           CAST(sum(CAST(f.o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total
+    FROM (SELECT o_orderkey, o_totalprice,
+                 CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr
+          FROM orders) f
+    JOIN dim ON f.yr = dim.yr
+    GROUP BY f.yr
+    """,
+)
+def scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: a fact table PARTITIONED BY yr joined to
+    a filtered dimension — Spark broadcasts the dim's yr values into the
+    fact scan at runtime, so only matching partitions are read even though
+    the fact-side filter is not a literal (plan shows
+    ``PartitionFilters: [dynamicpruning#...]``). THE mechanism that makes
+    star-schema queries touch 1% of a 100 TB fact table.
+
+    The partitioned copy is written once per fixture dir and reused."""
+    import tempfile
+
+    orders = io.load_table(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"hh_dpp_{os.path.basename(os.path.abspath(sf_dir))}",
+    )
+    fact_dir = os.path.join(base, "orders_by_yr")
+    if not os.path.isdir(fact_dir):  # build the partitioned layout once
+        (
+            orders.select(
+                "o_orderkey",
+                "o_totalprice",
+                F.year(F.col("o_orderdate").cast("date")).cast("int").alias("yr"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("yr")
+            .parquet(fact_dir)
+        )
+    fact = spark.read.parquet(fact_dir)
+    dim = (
+        orders.select(
+            F.year(F.col("o_orderdate").cast("date")).cast("int").alias("yr")
+        )
+        .filter(F.col("yr") >= 1997)
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), "yr")
+        .groupBy("yr")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )

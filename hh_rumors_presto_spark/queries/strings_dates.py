@@ -276,3 +276,33 @@ def null_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").isNull().alias("price_missing"),
         F.ifnull(F.lit(None), F.col("o_orderpriority")).alias("prio"),
     )
+
+
+@query(
+    "str_extract_all",
+    oracle="""
+    SELECT p_partkey,
+           -- DuckDB surfaces no-match as NULL where Spark gives []
+           coalesce(array_to_string(regexp_extract_all(p_name, '[a-z]+a[a-z]*'), '|'), '')
+               AS a_words,
+           coalesce(len(regexp_extract_all(p_name, '[a-z]+a[a-z]*')), 0) AS n_hits,
+           regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_masked
+    FROM part
+    WHERE p_partkey % 10 = 0
+    """,
+)
+def str_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all (every match, not just the first) joined to a
+    scalar, plus global regexp_replace — the multi-match half of the
+    regexp surface (str_extract_date covers single-match extraction).
+    Array output is pipe-joined (driver canonicalizer rule)."""
+    part = io.load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
+    # idx=0 = whole match (Spark defaults to capture group 1, which this
+    # groupless pattern doesn't have; DuckDB's default is already 0)
+    hits = F.regexp_extract_all("p_name", F.lit("[a-z]+a[a-z]*"), 0)
+    return part.select(
+        "p_partkey",
+        F.array_join(hits, "|").alias("a_words"),
+        F.size(hits).alias("n_hits"),
+        F.regexp_replace("p_type", "[AEIOU]", "_").alias("type_masked"),
+    )

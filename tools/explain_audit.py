@@ -46,6 +46,9 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "scan_partition_pruned": [
         (r"PartitionFilters: \[[^\]]*o_orderstatus", "partition pruning"),
     ],
+    "scan_dpp": [
+        (r"dynamicpruning", "runtime partition pruning from the dim side"),
+    ],
     "flagship_pipeline": [
         (r"WindowGroupLimit", "partial dedup before shuffle"),
         (r"TakeOrderedAndProject", "offset+limit as partial top-k"),
