@@ -15,6 +15,7 @@ def load() -> None:
         aggregation,
         analytics_extra,
         analytics_round2,
+        breadth_round3,
         event_analytics,
         extensions_corpus,
         extensions_curation,

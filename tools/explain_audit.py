@@ -93,6 +93,19 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "agg_partial_merge": [
         (r"HashAggregate", "two-level hash aggregation"),
     ],
+    "global_row_number": [
+        (r"BroadcastHashJoin", "bucket offsets broadcast back (no data-scale sort)"),
+        (r"hashpartitioning\(bucket", "full-data window partitioned by bucket"),
+    ],
+    "inverted_index": [
+        (r"partial_count", "map-side partial aggregation of postings"),
+    ],
+    "table_checksum": [
+        (r"partial_sum|partial_count", "checksum partially aggregated map-side"),
+    ],
+    "emb_mean_pool": [
+        (r"HashAggregate", "grouped (label, pos) hash aggregation"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
