@@ -16,6 +16,7 @@ def load() -> None:
         analytics_extra,
         analytics_round2,
         breadth_round3,
+        breadth_round4,
         event_analytics,
         extensions_corpus,
         extensions_curation,

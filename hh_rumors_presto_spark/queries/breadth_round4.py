@@ -1,0 +1,364 @@
+"""Breadth batch 4: sequential pattern matching (MATCH_RECOGNIZE analog),
+URL-canonicalization dedup, PII masking, binary-file ingest, binned
+interval-overlap join, and share-of-total aggregation (TPC-H Q11's HAVING
+shape adapted to the fixture schema).
+
+Scale notes (100 TB posture):
+- ``win_pattern_match`` is the lag/lead rewrite of MATCH_RECOGNIZE: one
+  keyed window (partitionBy user), no self-join, no state blow-up — the
+  canonical way to detect fixed-length event sequences at scale.
+- ``dedup_url`` / ``text_pii_mask`` are pure column expressions
+  (regexp chains inside whole-stage codegen) + one hash agg — no UDFs.
+- ``scan_binaryfile`` is Spark's binaryFile source: the ingest path for
+  multimodal corpora (image/audio blobs + path metadata). Fingerprinting
+  happens per-file in the scan stage; nothing is collected.
+- ``join_interval_bin`` is the scale-correct generic interval-overlap
+  join: explode each interval into the fixed-width time bins it covers,
+  equi-join on (key, bin), post-filter the exact predicate, distinct.
+  Candidate pairs are bounded by bin co-occupancy — never a
+  BroadcastNestedLoopJoin / cartesian theta join, which is what a naive
+  ``a.start <= b.ts AND b.ts <= a.end`` join plans as.
+- ``agg_share_of_total`` broadcasts the one-row global total back onto
+  the per-group aggregate (scalar crossJoin-broadcast) — the
+  decorrelated form of Q11's HAVING-over-subquery; no second scan of the
+  fact table, no single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.registry import query
+
+
+@query(
+    "win_pattern_match",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               event_type,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    )
+    SELECT user_id, event_id AS start_event_id, us AS start_us
+    FROM seq
+    WHERE event_type = 'view' AND e2 = 'click' AND e3 = 'purchase'
+    """,
+)
+def win_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length sequential pattern detection (MATCH_RECOGNIZE analog):
+    find view -> click -> purchase runs of consecutive events per user.
+    One keyed window, lead(1)/lead(2) pattern columns, filter — no
+    self-joins, state bounded by the pattern length."""
+    ev = io.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+            "event_type",
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(
+            (F.col("event_type") == "view")
+            & (F.col("e2") == "click")
+            & (F.col("e3") == "purchase")
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("start_event_id"),
+            F.col("us").alias("start_us"),
+        )
+    )
+
+
+_URL_SUFFIX_SQL = """
+    CASE doc_id % 4
+        WHEN 1 THEN '?utm_source=feed&utm_medium=rss'
+        WHEN 2 THEN '#section-2'
+        WHEN 3 THEN '/'
+        ELSE ''
+    END
+"""
+
+
+@query(
+    "dedup_url",
+    oracle=f"""
+    WITH urls AS (
+        SELECT doc_id,
+               'https://' || upper(source) || '.Example.COM/p/'
+                   || CAST(doc_id % 40 AS VARCHAR) || {_URL_SUFFIX_SQL} AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id,
+               rtrim(
+                   regexp_replace(
+                       regexp_replace(lower(url), '#.*$', '', 'g'),
+                       '\\?utm_[^#]*', '', 'g'),
+                   '/') AS canonical_url
+        FROM urls
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           min(doc_id) AS survivor_doc
+    FROM canon
+    GROUP BY canonical_url
+    """,
+)
+def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup (web-corpus curation): lowercase the
+    URL, strip fragments, tracking (utm_*) query strings, and trailing
+    slashes, then group variants to one survivor. Fixtures carry no URL
+    column, so a deterministic synthetic URL (host from ``source``, path
+    from ``doc_id``, noise suffix by ``doc_id % 4``) is built identically
+    in both engines; the graded logic is the canonicalize+dedup chain.
+    Pure codegen expressions + one hash agg."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 4 == 1, F.lit("?utm_source=feed&utm_medium=rss"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("#section-2"))
+        .when(F.col("doc_id") % 4 == 3, F.lit("/"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.upper(F.col("source")),
+        F.lit(".Example.COM/p/"),
+        (F.col("doc_id") % 40).cast("string"),
+        suffix,
+    )
+    canonical = F.rtrim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(url), r"#.*$", ""),
+            r"\?utm_[^#]*",
+            "",
+        ),
+        F.lit("/"),
+    )
+    return (
+        docs.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("bigint").alias("n_variants"),
+            F.min("doc_id").alias("survivor_doc"),
+        )
+    )
+
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "\\+1-555-[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "text_pii_mask",
+    oracle=f"""
+    WITH enriched AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1-555-'
+                    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                    || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   AS text
+        FROM documents WHERE doc_id % 20 = 3
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT)
+               AS n_phones,
+           md5(regexp_replace(
+                   regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g')) AS masked_md5
+    FROM enriched
+    """,
+)
+def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking (curation compliance pass): count and redact email and
+    phone patterns. Fixture text carries no PII, so a deterministic
+    synthetic suffix is appended identically in both engines; the graded
+    logic is the count+mask regexp chain (all codegen, no UDF). The
+    masked text is fingerprinted (md5) so the full redacted payload is
+    value-verified without shipping long strings through the harness."""
+    docs = io.load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 3)
+    text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    masked = F.regexp_replace(
+        F.regexp_replace(text, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(text, F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(text, F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.md5(masked).alias("masked_md5"),
+    )
+
+
+@query(
+    "scan_binaryfile",
+    oracle="""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
+           CAST(size AS BIGINT) AS sz,
+           md5(upper(hex(content))) AS content_md5
+    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    """,
+)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-file ingest (the multimodal on-ramp): Spark's ``binaryFile``
+    source reads whole files as (path, length, content) rows — the way
+    image/audio corpora enter a pipeline before decode UDFs. Emits a
+    per-file size + content fingerprint; the blob itself never leaves the
+    scan stage. The oracle reads the same bytes via DuckDB ``read_blob``
+    (md5 over the shared upper-hex encoding, since DuckDB's md5 only
+    takes VARCHAR). The oracle path is pinned to sf0.01 — the only scale
+    the driver cross-checks at — because oracle SQL has no sf_dir
+    parameter; ``tools/verify_local.py`` runs at the same default."""
+    df = spark.read.format("binaryFile").load(sf_dir.rstrip("/") + "/*.parquet")
+    return df.select(
+        F.regexp_extract("path", "([^/]+)$", 1).alias("fname"),
+        F.col("length").cast("bigint").alias("sz"),
+        F.md5(F.upper(F.hex("content"))).alias("content_md5"),
+    )
+
+
+_BIN_US = 600_000_000  # 10-minute bins, microseconds
+
+
+@query(
+    "join_interval_bin",
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id, event_id AS purchase_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    e AS (
+        SELECT user_id, event_id AS error_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS e_us
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT DISTINCT p.user_id, p.purchase_id, e.error_id
+    FROM p JOIN e ON p.user_id = e.user_id
+                 AND e.e_us BETWEEN p.p_us - {_BIN_US} AND p.p_us
+    """,
+)
+def join_interval_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via time binning: which errors precede each
+    purchase by <= 10 minutes (same user)? Each purchase's trailing
+    interval is exploded into the fixed-width bins it covers (<= 2 bins
+    here), errors land in exactly one bin, and a (user, bin) equi-join +
+    exact range post-filter produces candidates bounded by bin
+    co-occupancy. The naive theta join is a nested-loop at scale; this is
+    the standard linearization. The oracle states the declarative theta
+    join directly (fixture-size safe)."""
+    ev = io.load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user_id"),
+        F.col("event_id").alias("error_id"),
+        F.unix_micros("ts").alias("e_us"),
+        (F.unix_micros("ts") / _BIN_US).cast("bigint").alias("bin"),
+    )
+    p_binned = p.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                ((F.col("p_us") - _BIN_US) / _BIN_US).cast("bigint"),
+                (F.col("p_us") / _BIN_US).cast("bigint"),
+            )
+        ),
+    )
+    return (
+        p_binned.join(
+            e,
+            (p_binned.user_id == e.e_user_id) & (p_binned.bin == e.bin),
+        )
+        .filter(
+            (F.col("e_us") >= F.col("p_us") - _BIN_US)
+            & (F.col("e_us") <= F.col("p_us"))
+        )
+        .select("user_id", "purchase_id", "error_id")
+        .distinct()
+    )
+
+
+@query(
+    "agg_share_of_total",
+    oracle="""
+    WITH per_nation AS (
+        SELECT n.n_name,
+               sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(28,10))) AS revenue
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ),
+    total AS (SELECT sum(revenue) AS total_rev FROM per_nation)
+    SELECT n_name,
+           CAST(round(revenue, 2) AS DOUBLE) AS revenue,
+           CAST(round(CAST(revenue AS DOUBLE) * 100.0
+                      / CAST(total_rev AS DOUBLE), 4) AS DOUBLE) AS share_pct
+    FROM per_nation, total
+    WHERE CAST(revenue AS DOUBLE) > 0.02 * CAST(total_rev AS DOUBLE)
+    """,
+)
+def agg_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total with a global-threshold HAVING (TPC-H Q11's shape on
+    the fixture schema): per-supplier-nation revenue, keep nations above
+    2% of the global total. The global total is re-aggregated from the
+    25-row per-nation result and broadcast back (scalar crossJoin) — no
+    second fact scan, no single-partition window; exact DECIMAL sums make
+    the threshold partition-order-insensitive."""
+    li = io.load_table(spark, sf_dir, "lineitem")
+    sup = io.load_table(spark, sf_dir, "supplier")
+    nation = io.load_table(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    per_nation = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue"))
+    )
+    total = per_nation.agg(F.sum("revenue").alias("total_rev"))
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("revenue").cast("double")
+            > 0.02 * F.col("total_rev").cast("double")
+        )
+        .select(
+            "n_name",
+            F.round("revenue", 2).cast("double").alias("revenue"),
+            F.round(
+                F.col("revenue").cast("double")
+                * 100.0
+                / F.col("total_rev").cast("double"),
+                4,
+            )
+            .cast("double")
+            .alias("share_pct"),
+        )
+    )

@@ -106,6 +106,19 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "emb_mean_pool": [
         (r"HashAggregate", "grouped (label, pos) hash aggregation"),
     ],
+    "win_pattern_match": [
+        (r"hashpartitioning\(user_id", "pattern window partitioned by user (no global sort)"),
+    ],
+    "join_interval_bin": [
+        (r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", "bin-bucket equi-join, range as post-filter"),
+    ],
+    "agg_share_of_total": [
+        (r"partial_sum", "per-nation revenue partially aggregated map-side"),
+        (r"BroadcastHashJoin", "supplier/nation dims broadcast"),
+    ],
+    "dedup_url": [
+        (r"HashAggregate", "canonical-url hash aggregation"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -118,7 +131,8 @@ FORBIDDEN = (
     # q22's BNLJ is the ONE-ROW scalar-threshold broadcast (how Catalyst
     # executes an uncorrelated scalar subquery). Everywhere else a nested
     # loop is a scale bug.
-    ("BroadcastNestedLoopJoin", {"sim_topk", "sql_tpch_q22"}),
+    # agg_share_of_total broadcasts its ONE-ROW global total the same way.
+    ("BroadcastNestedLoopJoin", {"sim_topk", "sql_tpch_q22", "agg_share_of_total"}),
 )
 
 
