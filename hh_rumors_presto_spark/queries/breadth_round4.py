@@ -303,6 +303,44 @@ def join_interval_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udf_arrow_batch",
+    oracle="""
+    SELECT event_id,
+           round(sqrt(abs(value)) * 3.0, 6) AS score
+    FROM events WHERE event_type = 'view'
+    """,
+)
+def udf_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` transform — the zero-copy Arrow batch API, the
+    lowest-overhead Python escape hatch (no pandas conversion at all).
+    Completes the UDF surface alongside pandas UDFs, applyInPandas,
+    UDTFs, mapInPandas, and applyInPandasWithState. The kernel is pure
+    pyarrow.compute (vectorized C++); round mode half_towards_infinity
+    matches Spark/DuckDB HALF_UP on the non-negative domain."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = (
+        io.load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select("event_id", "value")
+    )
+
+    def score_batches(batches):
+        for b in batches:
+            score = pc.round(
+                pc.multiply(pc.sqrt(pc.abs_checked(b.column("value"))), 3.0),
+                ndigits=6,
+                round_mode="half_towards_infinity",
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("event_id"), score], ["event_id", "score"]
+            )
+
+    return ev.mapInArrow(score_batches, "event_id long, score double")
+
+
+@query(
     "agg_share_of_total",
     oracle="""
     WITH per_nation AS (

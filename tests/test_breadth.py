@@ -1,0 +1,132 @@
+"""Semantic property tests for the breadth batches (rounds 3-4):
+cross-checks against brute-force recomputation on the small fixture, plus
+invariants the oracle comparison can't express (idempotency, permutation,
+bin-join == theta-join equivalence)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.queries import load
+
+load()
+from hh_rumors_presto_spark.registry import QUERIES  # noqa: E402
+
+
+def test_global_row_number_is_a_permutation_in_key_order(spark, sf_dir):
+    rows = QUERIES["global_row_number"](spark, sf_dir).collect()
+    by_key = sorted(rows, key=lambda r: r.o_orderkey)
+    assert [r.rn for r in by_key] == list(range(1, len(rows) + 1))
+
+
+def test_join_interval_bin_equals_theta_join(spark, sf_dir):
+    """The binned candidate join must produce exactly the pairs the naive
+    theta join defines."""
+    got = {
+        (r.user_id, r.purchase_id, r.error_id)
+        for r in QUERIES["join_interval_bin"](spark, sf_dir).collect()
+    }
+    ev = io.load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    purchases, errors = defaultdict(list), defaultdict(list)
+    for r in ev.collect():
+        if r.event_type == "purchase":
+            purchases[r.user_id].append((r.event_id, r.us))
+        elif r.event_type == "error":
+            errors[r.user_id].append((r.event_id, r.us))
+    expect = {
+        (u, pid, eid)
+        for u, ps in purchases.items()
+        for pid, pus in ps
+        for eid, eus in errors.get(u, [])
+        if pus - 600_000_000 <= eus <= pus
+    }
+    assert got == expect
+
+
+def test_win_pattern_match_against_bruteforce(spark, sf_dir):
+    got = {
+        (r.user_id, r.start_event_id)
+        for r in QUERIES["win_pattern_match"](spark, sf_dir).collect()
+    }
+    ev = io.load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    per_user = defaultdict(list)
+    for r in ev.collect():
+        per_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    expect = set()
+    for u, evs in per_user.items():
+        evs.sort()
+        for i in range(len(evs) - 2):
+            if [evs[i][2], evs[i + 1][2], evs[i + 2][2]] == [
+                "view",
+                "click",
+                "purchase",
+            ]:
+                expect.add((u, evs[i][1]))
+    assert got == expect
+
+
+def test_dedup_url_canonical_form_and_conservation(spark, sf_dir):
+    rows = QUERIES["dedup_url"](spark, sf_dir).collect()
+    n_docs = io.load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_variants for r in rows) == n_docs  # every doc lands once
+    for r in rows:
+        u = r.canonical_url
+        assert u == u.lower()
+        assert "#" not in u and "utm_" not in u and not u.endswith("/")
+
+
+def test_text_pii_mask_finds_exactly_the_injected_pii(spark, sf_dir):
+    rows = QUERIES["text_pii_mask"](spark, sf_dir).collect()
+    assert rows, "filter selected no docs"
+    for r in rows:
+        # fixture text is PII-free word salad; exactly one email and one
+        # phone are injected per doc
+        assert r.n_emails == 1, r
+        assert r.n_phones == 1, r
+
+
+def test_table_checksum_matches_row_counts(spark, sf_dir):
+    rows = {r.tbl: r for r in QUERIES["table_checksum"](spark, sf_dir).collect()}
+    assert rows["orders"].n == io.load_table(spark, sf_dir, "orders").count()
+    assert rows["lineitem"].n == io.load_table(spark, sf_dir, "lineitem").count()
+    assert rows["orders"].checksum != rows["lineitem"].checksum
+
+
+def test_udf_arrow_batch_matches_builtin_column_math(spark, sf_dir):
+    """The Arrow kernel must agree bit-for-bit with the JVM expression."""
+    got = {
+        r.event_id: r.score for r in QUERIES["udf_arrow_batch"](spark, sf_dir).collect()
+    }
+    ref = {
+        r.event_id: r.score
+        for r in io.load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select(
+            "event_id",
+            F.round(F.sqrt(F.abs(F.col("value"))) * 3.0, 6).alias("score"),
+        )
+        .collect()
+    }
+    assert got == ref
+
+
+def test_emb_mean_pool_bounds_and_counts(spark, sf_dir):
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    n_rows = emb.count()
+    dims = len(emb.select("embedding").first()[0])
+    rows = QUERIES["emb_mean_pool"](spark, sf_dir).collect()
+    assert sum(r.n for r in rows) == n_rows * dims
+    stats = emb.select(
+        F.min(F.array_min("embedding")).alias("lo"),
+        F.max(F.array_max("embedding")).alias("hi"),
+    ).first()
+    for r in rows:
+        assert stats.lo - 1e-6 <= r.mean_val <= stats.hi + 1e-6
