@@ -17,6 +17,7 @@ def load() -> None:
         analytics_round2,
         breadth_round3,
         breadth_round4,
+        engine_surface,
         event_analytics,
         extensions_corpus,
         extensions_curation,

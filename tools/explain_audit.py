@@ -119,6 +119,12 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "dedup_url": [
         (r"HashAggregate", "canonical-url hash aggregation"),
     ],
+    "cache_reuse": [
+        (r"InMemoryTableScan", "second branch reads the cached intermediate"),
+    ],
+    "hint_rebalance": [
+        (r"REBALANCE_PARTITION", "AQE output rebalance requested"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
