@@ -32,6 +32,7 @@ def load() -> None:
         joins,
         lakehouse,
         misc_ops,
+        multimodal_round2,
         observability,
         relational,
         render,
