@@ -15,12 +15,25 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+# The reference's clean() uses JS /\s/, which matches UNICODE whitespace
+# (NBSP, ideographic space U+3000, line/para separators, BOM). Java and
+# RE2 \s are ASCII-only, so both engines get an explicit class: ASCII \s
+# plus the JS extras as literal characters (portable across Java + RE2).
+JS_WS_CLASS = (
+    "[\\s   -     　﻿]"
+)
+
+
 def clean(c: Column) -> Column:
     """Whitespace-normalize: collapse runs of whitespace to one space, trim.
 
-    Null-safe (null -> ''), matching ``clean`` at fetchRumors.js:32.
+    Null-safe (null -> ''), matching ``clean`` at fetchRumors.js:32 —
+    including its JS Unicode-whitespace semantics (U+3000 etc. collapse).
+    DuckDB oracles keep plain ``\\s+``: fixture text is ASCII, where the
+    two classes are identical; the Unicode branch is pinned by unit tests
+    (tests/test_functions.py) instead of the cross-engine differ.
     """
-    return F.trim(F.regexp_replace(F.coalesce(c, F.lit("")), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.coalesce(c, F.lit("")), JS_WS_CLASS + "+", " "))
 
 
 @F.pandas_udf(T.StringType())
@@ -112,7 +125,7 @@ def body_already_has_source(snippet_html: Column, url: Column, source_name: Colu
     norm = lambda c: F.regexp_replace(c, "/+$", "")  # noqa: E731
     # the reference clean()s the label before comparing (fetchRumors.js:167),
     # which collapses interior whitespace runs — not just trim
-    ws = lambda c: F.trim(F.regexp_replace(c, r"\s+", " "))  # noqa: E731
+    ws = lambda c: F.trim(F.regexp_replace(c, JS_WS_CLASS + "+", " "))  # noqa: E731
     same_href = norm(href) == norm(F.coalesce(url, F.lit("")))
     same_text = F.lower(ws(text)) == F.lower(ws(F.coalesce(source_name, F.lit(""))))
     return (

@@ -34,6 +34,31 @@ def test_clean(spark):
     assert out == ["a b", "x", "", ""]
 
 
+def test_clean_unicode_whitespace_like_js(spark):
+    """JS /\\s/ matches Unicode whitespace; Java's is ASCII-only. clean()
+    must collapse NBSP, ideographic space (U+3000), narrow NBSP, and line
+    separator like the reference does."""
+    out = eval_fn(
+        spark,
+        clean,
+        "a b",          # NBSP
+        "汉　字",         # ideographic space between CJK
+        "x  y",    # narrow NBSP + math space run
+        "p q",          # JS line separator
+        "　lead and trail　",
+    )
+    assert out == ["a b", "汉 字", "x y", "p q", "lead and trail"]
+
+
+def test_slugify_cjk_and_diacritics(spark):
+    """Reference slug charset is [a-z0-9_]: CJK drops to '_', diacritics
+    fold to ASCII first (NFD strip), '&' becomes ' and '."""
+    out = eval_fn(spark, slugify, "汉字 Tag", "Dončić & Café", "naïve  café")
+    assert out == ["tag", "doncic_and_cafe", "naive_cafe"]
+    for s in out:
+        assert all(ch.islower() or ch.isdigit() or ch == "_" for ch in s)
+
+
 def test_slugify(spark):
     out = eval_fn(
         spark,
