@@ -37,6 +37,7 @@ def load() -> None:
         relational,
         render,
         scale_patterns,
+        scale_round2,
         scans,
         scans_extra,
         streaming,

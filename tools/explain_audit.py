@@ -125,6 +125,13 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "hint_rebalance": [
         (r"REBALANCE_PARTITION", "AQE output rebalance requested"),
     ],
+    "join_bloom_pruned": [
+        (r"bloom_filter_agg", "runtime bloom built from the selective side"),
+        (r"BloomFilterMightContain|might_contain", "probe-side scan filtered by the bloom"),
+    ],
+    "pipeline_rlhf_pairs": [
+        (r"max_by", "chosen/rejected via arg-extrema, no self-join"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -138,7 +145,8 @@ FORBIDDEN = (
     # executes an uncorrelated scalar subquery). Everywhere else a nested
     # loop is a scale bug.
     # agg_share_of_total broadcasts its ONE-ROW global total the same way.
-    ("BroadcastNestedLoopJoin", {"sim_topk", "sql_tpch_q22", "agg_share_of_total"}),
+    ("BroadcastNestedLoopJoin",
+     {"sim_topk", "sql_tpch_q22", "agg_share_of_total", "corpus_mix_weights"}),
 )
 
 
