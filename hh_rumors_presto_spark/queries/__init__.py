@@ -40,6 +40,7 @@ def load() -> None:
         scale_round2,
         scans,
         scans_extra,
+        sql_surface,
         streaming,
         streaming_joins,
         strings_dates,

@@ -1,0 +1,106 @@
+"""SQL-surface batch: LATERAL correlated subqueries and gaps-and-islands
+run compression — classic SQL shapes a reference user expects verbatim.
+
+Scale notes (100 TB posture):
+- ``sql_lateral_topk``: Catalyst decorrelates the per-row LATERAL
+  ORDER BY/LIMIT subquery into a keyed window top-k + equi-join (the plan
+  is gated on Window + no nested loop) — per-row re-execution never
+  happens, which is what makes LATERAL usable over a fact table.
+- ``win_gaps_islands``: the id - row_number() trick compresses
+  consecutive-id runs with one keyed window + one aggregation — the
+  standard O(n) shape for inventory/sequence hole detection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.registry import query
+
+
+@query(
+    "sql_lateral_topk",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber,
+           CAST(l.l_quantity AS DOUBLE) AS l_quantity
+    FROM (SELECT o_orderkey FROM orders WHERE o_orderkey % 50 = 0) o,
+    LATERAL (
+        SELECT l_linenumber, l_quantity FROM lineitem
+        WHERE l_orderkey = o.o_orderkey
+        ORDER BY l_quantity DESC, l_linenumber LIMIT 2
+    ) l
+    """,
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (top-2 lineitems per order): the SQL
+    text a warehouse user writes, decorrelated by Catalyst into a keyed
+    window + equi-join — no per-row subquery execution, no nested loop."""
+    io.load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "sql_surface_lineitem"
+    )
+    io.load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "sql_surface_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, l.l_linenumber,
+               CAST(l.l_quantity AS DOUBLE) AS l_quantity
+        FROM (SELECT o_orderkey FROM sql_surface_orders
+              WHERE o_orderkey % 50 = 0) o,
+        LATERAL (
+            SELECT l_linenumber, l_quantity FROM sql_surface_lineitem
+            WHERE l_orderkey = o.o_orderkey
+            ORDER BY l_quantity DESC, l_linenumber LIMIT 2
+        ) l
+        """
+    )
+
+
+@query(
+    "win_gaps_islands",
+    oracle="""
+    WITH present AS (
+        SELECT doc_id FROM documents WHERE n_chars % 7 <> 0
+    ),
+    grp AS (
+        SELECT doc_id,
+               doc_id - row_number() OVER (ORDER BY doc_id) AS island
+        FROM present
+    )
+    SELECT min(doc_id) AS start_id,
+           max(doc_id) AS end_id,
+           CAST(count(*) AS BIGINT) AS run_len
+    FROM grp
+    GROUP BY island
+    """,
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: compress consecutive doc_id runs (holes punched
+    by a deterministic predicate) into (start, end, length) intervals via
+    the id - row_number() constant-per-run key. The global-order window is
+    the textbook form; at 100 TB the same shape runs per partition key
+    (e.g., per shard/day) so no single-partition window exists — the
+    fixture key here is the whole table, matching the classic statement
+    of the problem."""
+    present = (
+        io.load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") % 7 != 0)
+        .select("doc_id")
+    )
+    grp = present.select(
+        "doc_id",
+        (F.col("doc_id") - F.row_number().over(Window.orderBy("doc_id"))).alias(
+            "island"
+        ),
+    )
+    return (
+        grp.groupBy("island")
+        .agg(
+            F.min("doc_id").alias("start_id"),
+            F.max("doc_id").alias("end_id"),
+            F.count("*").cast("bigint").alias("run_len"),
+        )
+        .drop("island")
+    )

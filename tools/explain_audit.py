@@ -132,6 +132,11 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "pipeline_rlhf_pairs": [
         (r"max_by", "chosen/rejected via arg-extrema, no self-join"),
     ],
+    "sql_lateral_topk": [
+        (r"Window", "LATERAL decorrelated to a keyed window top-k"),
+        (r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
+         "correlation as an equi-join, no per-row re-execution"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
