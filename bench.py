@@ -34,6 +34,8 @@ HEADLINE = [
     "dedup_clusters",     # iterative connected components (multi-job)
     "render_block",       # ordered group-all string fold (ref end product)
     "graph_pagerank",     # fixed-point PageRank, 3 Pregel-as-joins rounds
+    "win_pattern_match",  # MATCH_RECOGNIZE analog (keyed lead-chain window)
+    "inverted_index",     # tokenize -> explode -> capped posting-list agg
 ]
 
 
