@@ -49,20 +49,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load the events table with ``ts`` as a proper TimestampType.
 
-    The fixture stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]). The supported
-    path is ``spark.sql.legacy.parquet.nanosAsLong`` (public Spark conf,
-    SPARK-40819): read nanos as LONG, then integer-div to micros —
-    truncation, which is exactly what DuckDB's TIMESTAMP_NS -> TIMESTAMP
-    cast does, so oracle SQL can use ``CAST(ts AS TIMESTAMP)``.
+    The fixture generation has shipped ``ts`` two ways across rounds:
+
+    - parquet TIMESTAMP(NANOS), which Spark's parquet reader rejects
+      outright ([PARQUET_TYPE_ILLEGAL]). The supported path is
+      ``spark.sql.legacy.parquet.nanosAsLong`` (public Spark conf,
+      SPARK-40819): read nanos as LONG, then integer-div to micros —
+      truncation, exactly what DuckDB's TIMESTAMP_NS -> TIMESTAMP cast
+      does, so oracle SQL can use ``CAST(ts AS TIMESTAMP)``.
+    - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads
+      as TIMESTAMP_NTZ; normalize to TIMESTAMP (session tz is UTC) so
+      downstream ``unix_micros``/range frames see one type either way.
+
+    Branch on the loaded dtype so both fixture vintages work unchanged.
     """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

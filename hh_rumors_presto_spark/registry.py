@@ -9,9 +9,11 @@ driver's weaker rows-only check.
 
 Oracle-parity rules applied throughout (SURVEY.md §7.4):
 - float aggregates rounded in BOTH engines before comparison;
-- ``events.ts`` is nanosecond-precision parquet — Spark truncates to
-  microseconds on read, so oracles must ``CAST(ts AS TIMESTAMP)`` (DuckDB
-  TIMESTAMP_NS -> TIMESTAMP truncates to µs) before using it;
+- ``events.ts`` has shipped as nanosecond-precision parquet (older
+  fixtures) and as µs TIMESTAMP (newer) — Spark normalizes to µs on read
+  (io.load_events), so oracles must ``CAST(ts AS TIMESTAMP)`` (DuckDB
+  TIMESTAMP_NS -> TIMESTAMP truncates to µs; a no-op on µs fixtures)
+  before using it;
 - every computed column aliased identically in Spark and SQL;
 - deterministic total orders (unique-key tiebreakers) wherever the surviving
   or selected row matters.

@@ -15,16 +15,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see io.load_events)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Stream-source schema for the events fixture.
+
+    ``readStream`` needs an explicit schema; derive it from the batch
+    reader's footer inference so both fixture vintages work (``ts`` as
+    nanos-as-long in older fixtures, TIMESTAMP_NTZ micros in newer ones —
+    see io.load_events).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import os
+
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
 
 def read_events_stream(
@@ -32,16 +34,18 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream over the events fixture with ``ts`` normalized to
     a microsecond TimestampType (same truncation as io.load_events)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = _events_schema(spark, sf_dir)
     reader = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.load(sf_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(df.dtypes)["ts"] == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_stream_to_df(

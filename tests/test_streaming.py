@@ -76,10 +76,22 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     os.utime(c, (2_000_000_000, 2_000_000_000))
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    from hh_rumors_presto_spark.streaming.helpers import EVENTS_SCHEMA
+    from pyspark.sql import types as T
 
+    # This test writes its own nanos-as-int64 files above, so the stream
+    # schema is the legacy long-ts shape regardless of the fixture vintage.
+    ns_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(ns_schema)
         .format("parquet")
         .option("maxFilesPerTrigger", "1")
         .load(str(src))
