@@ -19,6 +19,7 @@ def load() -> None:
         breadth_round4,
         engine_surface,
         event_analytics,
+        curation_round4,
         extensions_corpus,
         extensions_curation,
         extensions_dedup,

@@ -1,0 +1,177 @@
+"""Round-4 curation/layout keys (LLM training-data mandate, SURVEY.md §2.B):
+
+- ``sample_weighted`` — Efraimidis–Spirakis weighted sampling without
+  replacement: the reproducible way to sample a corpus by quality weight
+  (vs .sample() whose RNG depends on partitioning).
+- ``layout_range_cluster`` — exact-quantile range-boundary computation +
+  per-range stats: the boundary-planning step behind repartitionByRange /
+  OPTIMIZE-style layout for min-max data skipping at 100 TB.
+- ``pipeline_sft_format`` — SFT chat-template formatting with token-span
+  loss-mask boundaries (prompt tokens excluded from loss).
+
+All three are pure column expressions over the ``documents`` / ``orders``
+fixtures with full DuckDB value-hash oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.registry import query
+
+# Efraimidis–Spirakis: draw u~U(0,1) per item, keep the k smallest
+# -ln(u)/w. Deterministic u from a key hash makes the selected set a pure
+# function of the data — reruns, repartitions, and engines all agree.
+_ES_PRIME = 1_000_000_007
+_ES_DENOM = 1_000_000_009.0
+_SAMPLE_K = 100
+
+
+@query(
+    "sample_weighted",
+    oracle=f"""
+    SELECT doc_id, lang,
+           round(-ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                      % {_ES_PRIME} + 1) / {_ES_DENOM})
+                 / ln(1 + n_chars), 6) AS es_key
+    FROM documents
+    ORDER BY -ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % {_ES_PRIME} + 1) / {_ES_DENOM}) / ln(1 + n_chars),
+             doc_id
+    LIMIT {_SAMPLE_K}
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis 2006):
+    keep the k smallest exponential keys -ln(u)/w, here with w = ln(1 +
+    n_chars) as the quality weight and u derived from md5(doc_id) so the
+    sample is reproducible. Scale shape: sort+limit compiles to
+    TakeOrderedAndProject — per-partition partial top-k then a k-row merge
+    on one reducer; the corpus is scanned once and never shuffled."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    u = (h % _ES_PRIME + 1) / F.lit(_ES_DENOM)
+    es_key = -F.log(u) / F.log(1 + F.col("n_chars"))
+    return (
+        docs.select(
+            "doc_id", "lang", es_key.alias("_k"),
+        )
+        .orderBy("_k", "doc_id")
+        .limit(_SAMPLE_K)
+        .select("doc_id", "lang", F.round("_k", 6).alias("es_key"))
+    )
+
+
+_QS = [i / 10 for i in range(1, 10)]
+
+
+@query(
+    "layout_range_cluster",
+    oracle=f"""
+    WITH b AS (
+        SELECT unnest(quantile_cont(o_totalprice, {_QS})) AS bd FROM orders
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM (
+        SELECT o_totalprice,
+               (SELECT CAST(count(*) AS INT) FROM b WHERE b.bd < o.o_totalprice) AS bucket
+        FROM orders o
+    )
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def layout_range_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustering boundary plan: exact decile boundaries of
+    ``o_totalprice`` and per-range (count, min, max) stats — disjoint
+    [lo, hi] spans are what make file-level min-max skipping effective.
+
+    This is the planning half of ``repartitionByRange(...).
+    sortWithinPartitions(...)``: at 100 TB you compute boundaries once
+    (Spark's RangePartitioner samples for the same purpose), tag rows by
+    range, and write range-clustered files. The 9-value boundary fetch is
+    a driver-side scalar action on an aggregated row — the same
+    driver-scale footprint as RangePartitioner's own sample collect."""
+    orders = io.load_table(spark, sf_dir, "orders")
+    qs_sql = ",".join(str(q) for q in _QS)
+    [row] = orders.select(
+        F.expr(f"percentile(o_totalprice, array({qs_sql}))").alias("bds")
+    ).collect()
+    bds = list(row["bds"])
+    bucket = sum(
+        (F.col("o_totalprice") > F.lit(bd)).cast("int") for bd in bds
+    )
+    return (
+        orders.select(
+            "o_totalprice", bucket.alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_PROMPT_TOKS = 12
+_MIN_TOKS = 24
+
+
+@query(
+    "pipeline_sft_format",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           '<|user|>' || chr(10) || array_to_string(toks[1 : {_PROMPT_TOKS}], ' ')
+               || chr(10) || '<|assistant|>' || chr(10)
+               || array_to_string(toks[{_PROMPT_TOKS + 1} : n], ' ') AS formatted,
+           CAST({_PROMPT_TOKS} AS INT) AS prompt_tok,
+           CAST(n - {_PROMPT_TOKS} AS INT) AS response_tok
+    FROM t
+    WHERE n >= {_MIN_TOKS}
+    """,
+)
+def pipeline_sft_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT formatting: split each document into a {_PROMPT_TOKS}-token
+    prompt and the remaining response, render the chat template, and emit
+    the token-span boundaries a trainer uses to mask prompt tokens out of
+    the loss. Pure whole-stage-codegen column expressions (split/slice/
+    concat) — no UDF, no shuffle; embarrassingly parallel at any scale."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    return (
+        docs.select("doc_id", toks.alias("_t"), n.alias("_n"))
+        .filter(F.col("_n") >= _MIN_TOKS)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("<|user|>\n"),
+                F.array_join(F.slice(F.col("_t"), 1, _PROMPT_TOKS), " "),
+                F.lit("\n<|assistant|>\n"),
+                F.array_join(
+                    F.slice(
+                        F.col("_t"),
+                        _PROMPT_TOKS + 1,
+                        F.greatest(F.col("_n") - _PROMPT_TOKS, F.lit(0)),
+                    ),
+                    " ",
+                ),
+            ).alias("formatted"),
+            F.lit(_PROMPT_TOKS).cast("int").alias("prompt_tok"),
+            (F.col("_n") - _PROMPT_TOKS).cast("int").alias("response_tok"),
+        )
+    )

@@ -130,3 +130,55 @@ def test_emb_mean_pool_bounds_and_counts(spark, sf_dir):
     ).first()
     for r in rows:
         assert stats.lo - 1e-6 <= r.mean_val <= stats.hi + 1e-6
+
+
+def test_sample_weighted_matches_bruteforce_es_keys(spark, sf_dir):
+    """The k selected docs must be exactly the k smallest -ln(u)/w keys
+    recomputed brute-force in Python from the same md5-derived u."""
+    import hashlib
+    import math
+
+    got = QUERIES["sample_weighted"](spark, sf_dir).collect()
+    docs = io.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    ).collect()
+    keys = {}
+    for r in docs:
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16)
+        u = (h % 1_000_000_007 + 1) / 1_000_000_009.0
+        keys[r.doc_id] = -math.log(u) / math.log(1 + r.n_chars)
+    expect = sorted(keys, key=lambda d: (keys[d], d))[: len(got)]
+    assert [r.doc_id for r in got] == expect
+    for r in got:
+        assert abs(r.es_key - keys[r.doc_id]) < 5e-7
+
+
+def test_layout_range_cluster_spans_are_disjoint_and_complete(spark, sf_dir):
+    """Range buckets must partition the table: counts sum to the row count
+    and [lo, hi] spans never overlap — the property min-max skipping needs."""
+    rows = sorted(
+        QUERIES["layout_range_cluster"](spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    n_orders = io.load_table(spark, sf_dir, "orders").count()
+    assert sum(r.n for r in rows) == n_orders
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo
+
+
+def test_pipeline_sft_format_token_spans(spark, sf_dir):
+    """prompt_tok + response_tok must equal the document token count, and
+    the rendered template must reassemble to the original text."""
+    out = {r.doc_id: r for r in QUERIES["pipeline_sft_format"](spark, sf_dir).collect()}
+    docs = io.load_table(spark, sf_dir, "documents").collect()
+    for d in docs:
+        toks = d.text.split(" ")
+        if len(toks) < 24:
+            assert d.doc_id not in out
+            continue
+        r = out[d.doc_id]
+        assert r.prompt_tok == 12 and r.response_tok == len(toks) - 12
+        body = r.formatted
+        assert body.startswith("<|user|>\n")
+        prompt, _, response = body[len("<|user|>\n"):].partition("\n<|assistant|>\n")
+        assert (prompt + " " + response) == d.text

@@ -137,10 +137,20 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
          "correlation as an equi-join, no per-row re-execution"),
     ],
+    "sample_weighted": [
+        (r"TakeOrderedAndProject", "k smallest ES keys as partial top-k, no global sort"),
+    ],
+    "layout_range_cluster": [
+        (r"HashAggregate", "per-range stats hash-aggregated"),
+        (r"partial_min", "range min/max partially aggregated map-side"),
+    ],
+    "pipeline_sft_format": [
+        (r"codegen id", "template assembly stays in whole-stage codegen (no UDF)"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
-NO_EXCHANGE_KEYS = ("join_bucketed",)
+NO_EXCHANGE_KEYS = ("join_bucketed", "pipeline_sft_format")
 
 FORBIDDEN = (
     ("CartesianProduct", {"join_cross"}),  # allowed only for the tiny demo
