@@ -15,6 +15,7 @@ def load() -> None:
         aggregation,
         analytics_extra,
         analytics_round2,
+        analytics_round3,
         breadth_round3,
         breadth_round4,
         engine_surface,

@@ -1,0 +1,170 @@
+"""Round-3 analytics batch:
+
+- ``win_ntile`` — keyed NTILE quantile buckets (train/val split assignment
+  inside each partition key; global NTILE would be a single-partition
+  sort, so the scalable form partitions by a key first).
+- ``sketch_countmin`` — deterministic count-min sketch matrix: d=4 md5
+  hash rows × w=64 buckets of user_id frequencies. Counters are built by
+  an ordinary groupBy, so map-side partial aggregation IS the sketch
+  merge — the mergeability that makes CMS the 100 TB heavy-hitter
+  primitive. Construction is exact and engine-neutral (only estimates
+  derived from the matrix are approximate), so it value-hash-verifies.
+- ``win_running_distinct`` — running COUNT(DISTINCT) per user over time.
+  The naive window (collect_set over unbounded preceding) holds the
+  whole distinct set per row in state; the scale-correct form marks each
+  (user, event_type)'s FIRST occurrence with row_number()=1, then running-
+  sums the 0/1 flag — constant state per row, two keyed windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.registry import query
+
+_NT = 4
+
+
+@query(
+    "win_ntile",
+    oracle=f"""
+    SELECT o_orderpriority,
+           q,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM (
+        SELECT o_orderpriority, o_totalprice,
+               ntile({_NT}) OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey
+               ) AS q
+        FROM orders
+    )
+    GROUP BY o_orderpriority, q
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quantile buckets within each priority key (deterministic via
+    the o_orderkey tiebreak), reduced to per-bucket stats. Partitioned by
+    a key — the shape that scales; a global NTILE is a single-partition
+    sort and is intentionally not offered."""
+    orders = io.load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(_NT).over(w).alias("q"),
+        )
+        .groupBy("o_orderpriority", "q")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+_CMS_D = 4
+_CMS_W = 64
+
+
+@query(
+    "sketch_countmin",
+    oracle=f"""
+    SELECT d,
+           CAST(('0x' || substring(md5(d || '|' || CAST(user_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % {_CMS_W} AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d)
+    GROUP BY 1, 2
+    """,
+)
+def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over user_id event frequencies: {_CMS_D} md5-family
+    hash rows x {_CMS_W} buckets. One explode to (d, bucket) then a plain
+    groupBy count — partial aggregation merges partial sketches map-side,
+    which is exactly how the sketch scales (add matrices, never rows)."""
+    ev = io.load_table(spark, sf_dir, "events")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(str(d) + "|"),
+                                    F.col("user_id").cast("string"),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % _CMS_W
+                ).alias("bucket"),
+            )
+            for d in range(_CMS_D)
+        ]
+    )
+    return (
+        ev.select(F.explode(rows).alias("r"))
+        .select(F.col("r.d").alias("d"), F.col("r.bucket").alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "win_running_distinct",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(sum(is_first) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS distinct_types_so_far
+    FROM (
+        SELECT event_id, user_id, ts,
+               CASE WHEN row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) = 1 THEN 1 ELSE 0 END AS is_first
+        FROM events
+    )
+    """,
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct event-type count per user: first-occurrence flag
+    (row_number()=1 over (user, type)) + running sum of the flag. Constant
+    per-row state and two keyed shuffles — vs the naive collect_set window
+    whose per-row state grows with the distinct count."""
+    ev = io.load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("is_first"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("is_first").over(w_run).alias("distinct_types_so_far"),
+        )
+    )

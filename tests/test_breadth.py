@@ -182,3 +182,63 @@ def test_pipeline_sft_format_token_spans(spark, sf_dir):
         assert body.startswith("<|user|>\n")
         prompt, _, response = body[len("<|user|>\n"):].partition("\n<|assistant|>\n")
         assert (prompt + " " + response) == d.text
+
+
+def test_win_ntile_bucket_sizes_balanced(spark, sf_dir):
+    """Within each priority, NTILE bucket sizes differ by at most 1 and
+    bucket value ranges are non-overlapping in bucket order."""
+    rows = QUERIES["win_ntile"](spark, sf_dir).collect()
+    by_prio = defaultdict(list)
+    for r in rows:
+        by_prio[r.o_orderpriority].append(r)
+    for prio, bs in by_prio.items():
+        bs.sort(key=lambda r: r.q)
+        sizes = [r.n for r in bs]
+        assert max(sizes) - min(sizes) <= 1, (prio, sizes)
+        for a, b in zip(bs, bs[1:]):
+            assert a.hi <= b.lo
+
+
+def test_sketch_countmin_row_mass_and_point_estimates(spark, sf_dir):
+    """Each of the d sketch rows holds the full event mass, and the CMS
+    point estimate (min over rows) upper-bounds every true user count."""
+    import hashlib
+
+    rows = QUERIES["sketch_countmin"](spark, sf_dir).collect()
+    ev = io.load_table(spark, sf_dir, "events").select("user_id").collect()
+    total = len(ev)
+    mass = defaultdict(int)
+    matrix = {}
+    for r in rows:
+        mass[r.d] += r.n
+        matrix[(r.d, r.bucket)] = r.n
+    assert set(mass) == {0, 1, 2, 3}
+    assert all(m == total for m in mass.values())
+    true = defaultdict(int)
+    for r in ev:
+        true[r.user_id] += 1
+    for uid, cnt in list(true.items())[:50]:
+        est = min(
+            matrix.get(
+                (d, int(hashlib.md5(f"{d}|{uid}".encode()).hexdigest()[:15], 16) % 64),
+                0,
+            )
+            for d in range(4)
+        )
+        assert est >= cnt
+
+
+def test_win_running_distinct_final_equals_true_distinct(spark, sf_dir):
+    """The max running value per user equals that user's true distinct
+    event_type count, and running values never decrease along event order."""
+    rows = QUERIES["win_running_distinct"](spark, sf_dir).collect()
+    ev = io.load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type"
+    ).collect()
+    true = defaultdict(set)
+    for r in ev:
+        true[r.user_id].add(r.event_type)
+    got_max = defaultdict(int)
+    for r in rows:
+        got_max[r.user_id] = max(got_max[r.user_id], r.distinct_types_so_far)
+    assert got_max == {u: len(s) for u, s in true.items()}

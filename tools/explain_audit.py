@@ -147,6 +147,16 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "pipeline_sft_format": [
         (r"codegen id", "template assembly stays in whole-stage codegen (no UDF)"),
     ],
+    "win_ntile": [
+        (r"hashpartitioning\(o_orderpriority", "ntile window partitioned by key (no global sort)"),
+        (r"partial_min|partial_count", "bucket stats partially aggregated map-side"),
+    ],
+    "sketch_countmin": [
+        (r"partial_count", "partial sketches merged map-side"),
+    ],
+    "win_running_distinct": [
+        (r"hashpartitioning\(user_id", "both windows keyed by user (no single-partition window)"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
