@@ -266,3 +266,64 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionAll(nxt).localCheckpoint()
         frontier = nxt.select("node")
     return visited
+
+
+def _triangles_oracle() -> str:
+    from hh_rumors_presto_spark.queries.extensions_dedup import _jaccard_pairs_sql
+
+    return (
+        _jaccard_pairs_sql()
+        + """
+    , e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+    tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM e e1
+        JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri
+    FROM (
+        SELECT a AS doc_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    GROUP BY doc_id
+    """
+    )
+
+
+@query("graph_triangles", oracle=_triangles_oracle())
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the near-dup pair graph — the
+    clustering-coefficient numerator used to tell tight duplicate cliques
+    from chain-like false-positive runs.
+
+    Scale shape: edges are kept in canonical a<b orientation, so each
+    triangle is enumerated exactly once via two forward-edge equi-joins
+    (wedge a->b->c closed by a->c) — the standard degree-bounded triangle
+    join, never an all-pairs product. The pair list is localCheckpointed
+    once and reused by all three join legs."""
+    from hh_rumors_presto_spark.queries.extensions_dedup import dedup_ngram_jaccard
+
+    e = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint()
+    )
+    e1 = e.alias("e1")
+    e2 = e.select(F.col("a").alias("b2a"), F.col("b").alias("c")).alias("e2")
+    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3")).alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.b2a"))
+        .join(
+            e3,
+            (F.col("e1.a") == F.col("e3.a3")) & (F.col("e2.c") == F.col("e3.c3")),
+        )
+        .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.c").alias("c"))
+    )
+    nodes = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    return nodes.groupBy("doc_id").agg(F.count("*").alias("n_tri"))

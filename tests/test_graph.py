@@ -42,3 +42,28 @@ def test_bfs_levels_partition_nodes(spark, sf_dir):
     assert all(n % 2 == 1 for n in by_level.get(1, []))
     assert all(n % 2 == 0 for n in by_level.get(2, []))
     assert all(n % 2 == 1 for n in by_level.get(3, []))
+
+
+def test_triangles_match_bruteforce(spark, sf_dir):
+    """Per-node triangle counts equal a brute-force enumeration over the
+    collected pair list (each canonical triple a<b<c counted once)."""
+    from hh_rumors_presto_spark.queries.extensions_dedup import dedup_ngram_jaccard
+    from hh_rumors_presto_spark.queries.graph import graph_triangles
+
+    edges = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {}
+    for a, b in edges:
+        common = adj[a] & adj[b]
+        for c in common:
+            if a < b < c:
+                for n in (a, b, c):
+                    expect[n] = expect.get(n, 0) + 1
+    got = {r.doc_id: r.n_tri for r in graph_triangles(spark, sf_dir).collect()}
+    assert got == expect
