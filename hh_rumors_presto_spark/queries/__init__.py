@@ -18,6 +18,7 @@ def load() -> None:
         analytics_round3,
         breadth_round3,
         breadth_round4,
+        breadth_round5,
         engine_surface,
         event_analytics,
         curation_round4,

@@ -242,3 +242,46 @@ def test_win_running_distinct_final_equals_true_distinct(spark, sf_dir):
     for r in rows:
         got_max[r.user_id] = max(got_max[r.user_id], r.distinct_types_so_far)
     assert got_max == {u: len(s) for u, s in true.items()}
+
+
+def test_try_fns_null_semantics(spark, sf_dir):
+    """Zero divisor, unparseable cast, and out-of-bounds index must be
+    NULL; valid divisions must equal plain division."""
+    rows = QUERIES["try_fns"](spark, sf_dir).collect()
+    ev = {r.event_id: r for r in io.load_table(spark, sf_dir, "events").collect()}
+    for r in rows:
+        e = ev[r.event_id]
+        if e.user_id % 5 == 0:
+            assert r.safe_ratio is None
+        else:
+            assert abs(r.safe_ratio - e.value / (e.user_id % 5)) < 1e-9
+        assert r.bad_int is None  # event_type never parses as int
+        parts = e.event_type.split("_")
+        assert r.third_part == (parts[2] if len(parts) >= 3 else None)
+
+
+def test_win_rolling_median_bruteforce(spark, sf_dir):
+    """Trailing-10 median matches a brute-force recomputation for a few
+    users (exact interpolated median over the ordered trailing window)."""
+    import statistics
+
+    got = QUERIES["win_rolling_median"](spark, sf_dir).collect()
+    ev = io.load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    ).collect()
+    users = sorted({r.user_id for r in ev})[:5]
+    series = {u: [] for u in users}
+    for r in sorted(ev, key=lambda r: (r.ts, r.event_id)):
+        if r.user_id in series:
+            series[r.user_id].append((r.event_id, r.value))
+    expect = {}
+    for u, seq in series.items():
+        for i, (eid, _) in enumerate(seq):
+            window = [v for _, v in seq[max(0, i - 9): i + 1]]
+            expect[eid] = round(statistics.median(window), 6)
+    checked = 0
+    for r in got:
+        if r.event_id in expect:
+            assert abs(r.med10 - expect[r.event_id]) < 1e-6, r.event_id
+            checked += 1
+    assert checked == sum(len(s) for s in series.values())

@@ -157,10 +157,19 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "win_running_distinct": [
         (r"hashpartitioning\(user_id", "both windows keyed by user (no single-partition window)"),
     ],
+    "win_rolling_median": [
+        (r"hashpartitioning\(user_id", "rolling median keyed by user (no single-partition window)"),
+    ],
+    "json_variant": [
+        (r"codegen id", "variant parse+access stays in codegen (no UDF)"),
+    ],
+    "try_fns": [
+        (r"codegen id", "try_* scalars stay in codegen"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
-NO_EXCHANGE_KEYS = ("join_bucketed", "pipeline_sft_format")
+NO_EXCHANGE_KEYS = ("join_bucketed", "pipeline_sft_format", "json_variant", "try_fns")
 
 FORBIDDEN = (
     ("CartesianProduct", {"join_cross"}),  # allowed only for the tiny demo
