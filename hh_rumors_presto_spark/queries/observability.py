@@ -75,3 +75,129 @@ def observed_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     the action with no extra jobs. Exercised in tests/test_operators.py."""
     merged, deduped, returning = _stages(spark, sf_dir)
     return returning.observe("returning_stage", F.count(F.lit(1)).alias("n"))
+
+
+from hh_rumors_presto_spark import io  # noqa: E402
+
+
+@query(
+    "dq_drift_psi",
+    oracle="""
+    WITH params AS (
+        SELECT quantile_cont(epoch_us(CAST(ts AS TIMESTAMP)), 0.5) AS split_us,
+               min(value) AS vmin, max(value) AS vmax
+        FROM events
+    ),
+    binned AS (
+        SELECT least(9, CAST(floor((value - p.vmin) / (p.vmax - p.vmin) * 10) AS INT)) AS bin,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) < p.split_us THEN 'a' ELSE 'b' END AS period
+        FROM events, params p
+    ),
+    counts AS (
+        SELECT bin,
+               count(*) FILTER (period = 'a') AS ca,
+               count(*) FILTER (period = 'b') AS cb
+        FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM counts)
+    SELECT bin,
+           round((ca + 1.0) / (na + 10.0), 6) AS pa,
+           round((cb + 1.0) / (nb + 10.0), 6) AS pb,
+           round(((ca + 1.0) / (na + 10.0) - (cb + 1.0) / (nb + 10.0))
+                 * ln(((ca + 1.0) / (na + 10.0)) / ((cb + 1.0) / (nb + 10.0))), 6) AS psi_contrib
+    FROM counts, tot
+    """,
+)
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of the
+    event stream (split at the median timestamp): 10 equal-width value
+    bins, +1 Laplace smoothing, per-bin (p_a - p_b) * ln(p_a / p_b)
+    contributions — sum >= 0.2 is the classic retrain/investigate alarm.
+
+    Scale shape: the three boundary scalars (median ts, min/max value)
+    come from one aggregate row collected driver-side (same footprint as
+    RangePartitioner's sampling); the PSI itself is a single groupBy over
+    literal-bucketed rows with map-side partial aggregation."""
+    ev = io.load_table(spark, sf_dir, "events")
+    [p] = ev.agg(
+        F.expr("percentile(unix_micros(ts), 0.5)").alias("split_us"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    ).collect()
+    bin_col = F.least(
+        F.lit(9),
+        F.floor((F.col("value") - p.vmin) / (p.vmax - p.vmin) * 10).cast("int"),
+    )
+    period = F.when(F.unix_micros("ts") < int(p.split_us), "a").otherwise("b")
+    counts = (
+        ev.select(bin_col.alias("bin"), period.alias("period"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("period") == "a", 1)).alias("ca"),
+            F.count(F.when(F.col("period") == "b", 1)).alias("cb"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    pa = (F.col("ca") + 1.0) / (F.col("na") + 10.0)
+    pb = (F.col("cb") + 1.0) / (F.col("nb") + 10.0)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.round(pa, 6).alias("pa"),
+            F.round(pb, 6).alias("pb"),
+            F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_contrib"),
+        )
+    )
+
+
+@query(
+    "dq_impute",
+    oracle="""
+    WITH tagged AS (
+        SELECT event_id, user_id, value,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        FROM events
+    ),
+    user_mean AS (
+        SELECT user_id, avg(v) AS u_mean FROM tagged GROUP BY user_id
+    ),
+    global_mean AS (SELECT avg(v) AS g_mean FROM tagged)
+    SELECT t.event_id,
+           round(coalesce(t.v, u.u_mean, g.g_mean), 6) AS value_imputed,
+           t.v IS NULL AS was_imputed
+    FROM tagged t
+    LEFT JOIN user_mean u ON t.user_id = u.user_id
+    CROSS JOIN global_mean g
+    """,
+)
+def dq_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean imputation with global fallback: 'error' events'
+    values are treated as missing, filled from the per-user mean of
+    observed values, falling back to the global mean for users with no
+    observations. Shape: one keyed aggregate joined back (user means are
+    ~|users| rows) + a one-row global broadcast — no window, no second
+    scan of the fact table per fallback level."""
+    ev = io.load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    user_mean = tagged.groupBy("user_id").agg(F.avg("v").alias("u_mean"))
+    global_mean = tagged.agg(F.avg("v").alias("g_mean"))
+    return (
+        tagged.join(user_mean, "user_id", "left")
+        .crossJoin(F.broadcast(global_mean))
+        .select(
+            "event_id",
+            F.round(
+                F.coalesce(F.col("v"), F.col("u_mean"), F.col("g_mean")), 6
+            ).alias("value_imputed"),
+            F.col("v").isNull().alias("was_imputed"),
+        )
+    )

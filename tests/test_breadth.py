@@ -285,3 +285,44 @@ def test_win_rolling_median_bruteforce(spark, sf_dir):
             assert abs(r.med10 - expect[r.event_id]) < 1e-6, r.event_id
             checked += 1
     assert checked == sum(len(s) for s in series.values())
+
+
+def test_dq_drift_psi_probabilities_sum_to_one(spark, sf_dir):
+    """Smoothed per-period probabilities sum to ~1 (up to the missing-bin
+    smoothing mass) and PSI contributions are consistent with pa/pb."""
+    import math
+
+    rows = QUERIES["dq_drift_psi"](spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 10
+    for r in rows:
+        assert r.pa > 0 and r.pb > 0
+        assert abs(r.psi_contrib - (r.pa - r.pb) * math.log(r.pa / r.pb)) < 2e-5
+    # smoothing adds 1/(n+10) per *possible* bin; observed bins' mass is
+    # within 10 * 1/(na+10) of 1
+    assert abs(sum(r.pa for r in rows) - 1) < 0.01
+    assert abs(sum(r.pb for r in rows) - 1) < 0.01
+
+
+def test_dq_impute_fills_only_error_rows_with_user_mean(spark, sf_dir):
+    rows = {r.event_id: r for r in QUERIES["dq_impute"](spark, sf_dir).collect()}
+    ev = io.load_table(spark, sf_dir, "events").collect()
+    observed = defaultdict(list)
+    for e in ev:
+        if e.event_type != "error":
+            observed[e.user_id].append(e.value)
+    g_mean = sum(v for vs in observed.values() for v in vs) / sum(
+        len(vs) for vs in observed.values()
+    )
+    for e in ev:
+        r = rows[e.event_id]
+        if e.event_type == "error":
+            assert r.was_imputed
+            exp = (
+                sum(observed[e.user_id]) / len(observed[e.user_id])
+                if observed.get(e.user_id)
+                else g_mean
+            )
+            assert abs(r.value_imputed - exp) < 1e-6
+        else:
+            assert not r.was_imputed
+            assert abs(r.value_imputed - e.value) < 1e-6

@@ -166,6 +166,13 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "try_fns": [
         (r"codegen id", "try_* scalars stay in codegen"),
     ],
+    "dq_drift_psi": [
+        (r"partial_count", "per-bin period counts partially aggregated map-side"),
+    ],
+    "dq_impute": [
+        (r"HashAggregate", "user means via hash aggregate (no window over the fact table)"),
+        (r"BroadcastNestedLoopJoin|BroadcastHashJoin", "one-row global mean broadcast"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -179,8 +186,10 @@ FORBIDDEN = (
     # executes an uncorrelated scalar subquery). Everywhere else a nested
     # loop is a scale bug.
     # agg_share_of_total broadcasts its ONE-ROW global total the same way.
+    # dq_impute and dq_drift_psi broadcast ONE-ROW global aggregates too.
     ("BroadcastNestedLoopJoin",
-     {"sim_topk", "sql_tpch_q22", "agg_share_of_total", "corpus_mix_weights"}),
+     {"sim_topk", "sql_tpch_q22", "agg_share_of_total", "corpus_mix_weights",
+      "dq_impute", "dq_drift_psi"}),
 )
 
 
