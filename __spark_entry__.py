@@ -34,6 +34,20 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # offset+limit), str_clean (flagship + unit tests) — rotate them into a
 # later round's window along with profile_table, unpivot_stack,
 # stream_join and the never-tested round-2+ keys.
+#
+# ROUND-3 ROTATION PLAN (swap FRONT_KEYS to this once r2 rows land green):
+#   strings/dates remainder (str_clean str_escape str_extract_date str_like
+#   str_misc null_fns date_arith math_basic str_slugify_fast
+#   str_sanitize_html str_codec str_extract_all), scans/sinks remainder
+#   (scan_paged_dsv2 scan_paged_pushdown scan_partition_pruned
+#   scan_schema_merge scan_dpp scan_binaryfile sink_json
+#   sink_parquet_roundtrip sink_orc_roundtrip sink_partitioned
+#   sink_compact), sql_tpch_q4..q22, streaming remainder (stream_sliding
+#   stream_dedup stream_stateful stream_join stream_foreach_batch
+#   stream_ohlc), lakehouse remainder (unpivot_stack cdc_compact
+#   snapshot_diff agg_partial_merge), profile_table, limit_offset,
+#   set_intersect_all, set_except_all, join_cross. Round 4+: the round-2+
+#   additions (graph/curation/breadth batches) still without rows.
 FRONT_KEYS = [
     # canonicalizer-type fixes (r1 hash-fail/err -> prove green)
     "agg_basic", "agg_rollup", "agg_cube", "agg_conditional", "agg_pivot",
