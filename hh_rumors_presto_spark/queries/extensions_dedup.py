@@ -138,7 +138,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 5 == 0
     )
     toks = F.split("text", " ")
-    sh = docs.select("doc_id", "lang", bigram_shingles(toks).alias("shingles"))
+    # Materialize the shingle stage once: it feeds FOUR plan legs (counts
+    # x2 broadcast sides + both self-join sides), and without this the
+    # text split + shingle build re-runs per leg (8 parquet scans, no
+    # ReusedExchange). ~1 row per admitted doc with one array column —
+    # at cluster scale this is the classic persist() of a shared
+    # intermediate; localCheckpoint also truncates lineage for the
+    # iterative consumer (dedup_clusters).
+    sh = docs.select(
+        "doc_id", "lang", bigram_shingles(toks).alias("shingles")
+    ).localCheckpoint()
     counts = sh.select("doc_id", F.size("shingles").alias("n"))
     inv = sh.select(
         "doc_id", "lang", F.explode("shingles").alias("shingle")
