@@ -55,16 +55,21 @@ def _affine_hash(s: int, base: Column) -> Column:
 
 
 def bigram_shingles(toks: Column) -> Column:
-    """Distinct token-bigram shingles. Guarded for single-token documents:
-    F.sequence(1, size-1) would count DOWN to 0 when size=1 and element_at
-    would throw under ANSI — return an empty array instead (matching the
-    oracle's empty generate_series(1, 0))."""
+    """Distinct token-bigram shingles via zip_with over two shifted slices
+    (pairs each token with its successor). Guarded for single-token
+    documents: slice lengths go to 0, return an empty array (matching the
+    oracle's empty generate_series(1, 0)).
+
+    IMPORTANT perf contract: pass a BOUND array column (project
+    ``split(...)`` into a named column first), not the inline split
+    expression — with an inline expression the split re-evaluates inside
+    the lambda (no cross-lambda subexpression elimination) and the shingle
+    stage measured 4.6x slower at sf0.1 (2.5s vs 0.55s)."""
     raw = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda x, y: F.concat_ws(" ", x, y),
         )
     )
     return F.when(F.size(toks) >= 2, raw).otherwise(
@@ -145,9 +150,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at cluster scale this is the classic persist() of a shared
     # intermediate; localCheckpoint also truncates lineage for the
     # iterative consumer (dedup_clusters).
-    sh = docs.select(
-        "doc_id", "lang", bigram_shingles(toks).alias("shingles")
-    ).localCheckpoint()
+    sh = (
+        docs.select("doc_id", "lang", toks.alias("toks"))
+        .select("doc_id", "lang", bigram_shingles(F.col("toks")).alias("shingles"))
+        .localCheckpoint()
+    )
     counts = sh.select("doc_id", F.size("shingles").alias("n"))
     inv = sh.select(
         "doc_id", "lang", F.explode("shingles").alias("shingle")
@@ -230,7 +237,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = io.load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    tok = docs.select("doc_id", F.explode(bigram_shingles(toks)).alias("tok"))
+    tok = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id", F.explode(bigram_shingles(F.col("toks"))).alias("tok")
+    )
     base = _hex15_to_long(F.md5(F.col("tok")))
     sig = tok.select("doc_id", base.alias("base")).groupBy("doc_id").agg(
         *[
