@@ -105,16 +105,19 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc — raw occurrence counts), hash agg with map-side partials, then a
     single top-k — TakeOrderedAndProject, no global sort."""
     docs = io.load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-        ),
+    # bind the split array before the lambda references it (see
+    # bigram_shingles: an inline split re-evaluates per element)
+    toksed = docs.select(F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    toks = F.col("toks")
+    grams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
     )
     counts = (
-        docs.filter(F.size(toks) >= 2)
-        .select(F.explode(grams).alias("shingle"))
+        toksed.select(F.explode(grams).alias("shingle"))
         .groupBy("shingle")
         .agg(F.count("*").alias("n"))
     )
@@ -329,7 +332,9 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     training side streams through it without shuffling the corpus — the
     standard n-gram-overlap decontamination pass of a pretraining build."""
     docs = io.load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # bind the split array before the lambda slices it (inline split would
+    # re-evaluate once per gram position — see bigram_shingles)
+    toks = F.col("toks")
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (DECON_N - 1)),
@@ -339,7 +344,8 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def gram_rows(df):
         return (
-            df.filter(F.size(toks) >= DECON_N)
+            df.select("doc_id", F.split("text", " ").alias("toks"))
+            .filter(F.size(toks) >= DECON_N)
             .select("doc_id", F.explode(grams).alias("gram"))
         )
 

@@ -38,13 +38,14 @@ _BIGRAMS_SQL = (
 
 
 def _bigrams(toks: F.Column) -> F.Column:
-    """Adjacent-pair shingles; empty (not descending-sequence garbage) for
-    single-token docs — Spark's sequence(1, 0) counts DOWN, so guard it."""
-    pair = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-        ),
+    """Adjacent-pair shingles via zip_with over shifted slices; empty for
+    single-token docs (slice length 0). Pass a BOUND array column, not an
+    inline split — an inline expression re-evaluates inside the lambda
+    (see queries/extensions_dedup.bigram_shingles)."""
+    pair = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
     )
     return F.when(F.size(toks) >= 2, pair).otherwise(
         F.array().cast("array<string>")
@@ -162,9 +163,8 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     a deterministic (cnt desc, bigram asc) mode via min_by) — no window,
     no per-doc collect; shuffle keys are (doc_id, bigram) then doc_id."""
     docs = io.load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    exploded = docs.select(
-        "doc_id", F.explode(_bigrams(toks)).alias("bigram")
+    exploded = docs.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id", F.explode(_bigrams(F.col("toks"))).alias("bigram")
     )
     counts = exploded.groupBy("doc_id", "bigram").agg(
         F.count("*").alias("cnt")
@@ -475,13 +475,15 @@ def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical shape to dedup_exact but at sub-document granularity; the
     per-doc re-agg is a second keyed shuffle. No global window."""
     docs = io.load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # bind toks before the lambda slices it (inline split re-evaluates per
+    # segment — see extensions_dedup.bigram_shingles)
+    toks = F.col("toks")
     nseg = F.floor((F.size(toks) + _SEG - 1) / _SEG).cast("int")
     seglist = F.transform(
         F.sequence(F.lit(0), nseg - 1),
         lambda i: F.concat_ws(" ", F.slice(toks, i * _SEG + 1, _SEG)),
     )
-    segs = docs.select(
+    segs = docs.select("doc_id", F.split("text", " ").alias("toks")).select(
         "doc_id", F.posexplode(seglist).alias("seg_idx", "seg")
     )
     w = Window.partitionBy(F.md5("seg")).orderBy("doc_id", "seg_idx")
