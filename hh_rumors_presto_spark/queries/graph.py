@@ -127,7 +127,23 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One join + one agg per round (Pregel-as-joins); ranks/degrees never
     leave the cluster; the driver holds only the node-count scalar."""
-    edges = _edges(spark, sf_dir).localCheckpoint()
+    # Pre-partition the (big, loop-invariant) edge list by dst ONCE: every
+    # round's fan-in groupBy(dst) then needs no exchange. The per-round
+    # node-level tables (shares, contribs — one row per node, vs one per
+    # edge) are explicitly broadcast, so each iteration moves only
+    # node-sized data: zero edge-sized shuffles after the setup.
+    # Regime note for 100 TB: this is the "rank vector fits in an
+    # executor" shape (true into the hundreds of millions of nodes at
+    # ~16 B/row); past that, drop the broadcasts and co-partition edges by
+    # src instead — the classic Pregel shuffle returns but stays 1/round.
+    # persist (NOT localCheckpoint) the dst-partitioned edges:
+    # localCheckpoint rewrites the plan as an ExistingRDD with
+    # UnknownPartitioning, so every round's groupBy(dst) would re-shuffle;
+    # persist keeps the hashpartitioning(dst) metadata and the agg plans
+    # exchange-free. Edges are loop-invariant, so no lineage growth.
+    edges = _edges(spark, sf_dir).repartition(32, "dst").persist()
+    # no explicit materialize: the deg aggregation below is the first
+    # action and populates the cache as a side effect (one pass, not two)
     deg = (
         edges.groupBy("src")
         .agg(F.count("*").alias("outdeg"))
@@ -151,12 +167,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
         contribs = (
-            edges.join(shares, edges.src == shares.node)
+            edges.join(F.broadcast(shares), edges.src == shares.node)
             .groupBy("dst")
             .agg(F.sum("share").cast("long").alias("contrib"))
         )
         ranks = (
-            deg.join(contribs, deg.node == contribs.dst, "left")
+            deg.join(F.broadcast(contribs), deg.node == contribs.dst, "left")
             .select(
                 "node",
                 "outdeg",
@@ -166,6 +182,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
+    # final ranks are localCheckpointed (materialized) — the cached edges
+    # are no longer needed; release them so repeated invocations don't
+    # accumulate cache entries
+    edges.unpersist()
     return (
         ranks.select(
             "node",
