@@ -126,12 +126,56 @@ def _hyperplanes(dim: int = 64) -> list[list[float]]:
     return rng.standard_normal((N_PLANES, dim)).round(6).tolist()
 
 
-@query("sim_ann_lsh")  # rows-only: approximate recall set is the contract
+def _ann_lsh_oracle() -> str:
+    """Full value-hash oracle for the LSH recall set: the hyperplanes are
+    deterministic literals and both engines' sequential double folds are
+    bit-identical (same parity machinery as sim_topk), so even though the
+    RESULT is approximate w.r.t. true nearest neighbors, it is exactly
+    reproducible — and therefore value-verified, not rows-only."""
+    planes = _hyperplanes()
+    sign_bits = ", ".join(
+        "CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(repr(x) for x in plane)
+        + "]) >= 0 THEN '1' ELSE '0' END"
+        for plane in planes
+    )
+    cos = (
+        "list_inner_product(CAST(q.q_emb AS DOUBLE[]), CAST(s.embedding AS DOUBLE[]))"
+        " / nullif(sqrt(list_inner_product(CAST(q.q_emb AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])))"
+        " * sqrt(list_inner_product(CAST(s.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[]))), 0.0)"
+    )
+    return f"""
+    WITH sig AS (
+        SELECT vec_id, embedding, concat({sign_bits}) AS bucket
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, bucket
+        FROM sig WHERE vec_id < {N_QUERIES}
+    ),
+    cand AS (
+        SELECT q.query_id, s.vec_id AS neighbor_id, {cos} AS cos_sim
+        FROM sig s JOIN q ON s.bucket = q.bucket AND s.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+        ) AS rn
+        FROM cand
+    )
+    WHERE rn <= {TOP_K}
+    """
+
+
+@query("sim_ann_lsh", oracle=_ann_lsh_oracle())
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH: signature = sign bits of 8 projections
     -> equi-join on (signature) buckets -> exact cosine re-rank inside the
-    bucket, top-k per query. Approximate by design (recall < 1), so the
-    driver applies the rows-only check; sim_topk is the exact baseline.
+    bucket, top-k per query. Approximate w.r.t. true nearest neighbors
+    (recall < 1; sim_topk is the exact baseline) but exactly reproducible:
+    deterministic hyperplane literals + bit-identical double folds give it
+    a full value-hash oracle.
 
     At 100 TB: signatures are one cheap projection pass; candidate
     generation is a bucket equi-join (shuffle on 8-bit keys), and only
