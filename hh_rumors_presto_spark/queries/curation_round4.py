@@ -8,6 +8,9 @@
   OPTIMIZE-style layout for min-max data skipping at 100 TB.
 - ``pipeline_sft_format`` — SFT chat-template formatting with token-span
   loss-mask boundaries (prompt tokens excluded from loss).
+- ``layout_zorder`` — Morton bit-interleaved 2-D clustering cells: the
+  multi-column data-skipping layout (OPTIMIZE ZORDER BY) complementing
+  single-column range clustering.
 
 All three are pure column expressions over the ``documents`` / ``orders``
 fixtures with full DuckDB value-hash oracles.
@@ -173,5 +176,99 @@ def pipeline_sft_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("formatted"),
             F.lit(_PROMPT_TOKS).cast("int").alias("prompt_tok"),
             (F.col("_n") - _PROMPT_TOKS).cast("int").alias("response_tok"),
+        )
+    )
+
+
+_ZBITS = 4  # 16 bins per dimension -> 8-bit Morton codes
+
+
+def _spread4_sql(v: str) -> str:
+    """Interleave-ready bit spread of a 4-bit value (SQL text)."""
+    return (
+        f"(({v} & 1) | (({v} & 2) << 1) | (({v} & 4) << 2) | (({v} & 8) << 3))"
+    )
+
+
+@query(
+    "layout_zorder",
+    oracle=f"""
+    WITH params AS (
+        SELECT min(o_totalprice) AS pmin, max(o_totalprice) AS pmax,
+               min(epoch_us(o_orderdate)) AS dmin, max(epoch_us(o_orderdate)) AS dmax
+        FROM orders
+    ),
+    binned AS (
+        SELECT least(15, CAST(floor((o_totalprice - pmin) / (pmax - pmin) * 16) AS INT)) AS xb,
+               least(15, CAST(floor((epoch_us(o_orderdate) - dmin) / (dmax - dmin) * 16.0) AS INT)) AS yb,
+               o_totalprice, epoch_us(o_orderdate) AS d_us
+        FROM orders, params
+    ),
+    coded AS (
+        SELECT ({_spread4_sql('xb')} | ({_spread4_sql('yb')} << 1)) AS z,
+               o_totalprice, d_us
+        FROM binned
+    )
+    SELECT CAST(z // 4 AS INT) AS z_cell,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS price_lo,
+           round(max(o_totalprice), 2) AS price_hi,
+           CAST(min(d_us) AS BIGINT) AS date_lo_us,
+           CAST(max(d_us) AS BIGINT) AS date_hi_us
+    FROM coded
+    GROUP BY 1
+    """,
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering plan over (price, order date): 16 bins
+    per dimension, bits interleaved into an 8-bit curve position, stats per
+    curve cell. Sorting files by z makes BOTH dimensions' file-level
+    min/max spans tight — the multi-column data-skipping layout
+    (OPTIMIZE ZORDER BY) that single-column range clustering
+    (layout_range_cluster) cannot give. Bit spread is pure integer
+    arithmetic (& | <<) identical in both engines; range scalars come from
+    one collected aggregate row, same as RangePartitioner sampling."""
+    orders = io.load_table(spark, sf_dir, "orders")
+    [p] = orders.agg(
+        F.min("o_totalprice").alias("pmin"),
+        F.max("o_totalprice").alias("pmax"),
+        F.min(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("dmin"),
+        F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("dmax"),
+    ).collect()
+
+    def spread4(v):
+        return (
+            (v.bitwiseAND(1))
+            .bitwiseOR(F.shiftleft(v.bitwiseAND(2), 1))
+            .bitwiseOR(F.shiftleft(v.bitwiseAND(4), 2))
+            .bitwiseOR(F.shiftleft(v.bitwiseAND(8), 3))
+        )
+
+    xb = F.least(
+        F.lit(15),
+        F.floor((F.col("o_totalprice") - p.pmin) / (p.pmax - p.pmin) * 16).cast("int"),
+    )
+    yb = F.least(
+        F.lit(15),
+        F.floor(
+            (F.unix_micros(F.col("o_orderdate").cast("timestamp")) - F.lit(p.dmin))
+            / F.lit(float(p.dmax - p.dmin))
+            * 16.0
+        ).cast("int"),
+    )
+    z = spread4(xb).bitwiseOR(F.shiftleft(spread4(yb), 1))
+    return (
+        orders.select(
+            "o_totalprice",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("d_us"),
+            z.alias("z"),
+        )
+        .groupBy((F.col("z") / 4).cast("int").alias("z_cell"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("price_lo"),
+            F.round(F.max("o_totalprice"), 2).alias("price_hi"),
+            F.min("d_us").alias("date_lo_us"),
+            F.max("d_us").alias("date_hi_us"),
         )
     )

@@ -326,3 +326,19 @@ def test_dq_impute_fills_only_error_rows_with_user_mean(spark, sf_dir):
         else:
             assert not r.was_imputed
             assert abs(r.value_imputed - e.value) < 1e-6
+
+
+def test_layout_zorder_cells_partition_and_tighten(spark, sf_dir):
+    """Z-cells partition the table, and the z-layout tightens per-file
+    spans on BOTH dimensions vs a single global file (mean cell span is
+    strictly smaller than the full range on each dimension)."""
+    rows = QUERIES["layout_zorder"](spark, sf_dir).collect()
+    orders = io.load_table(spark, sf_dir, "orders")
+    n_orders = orders.count()
+    assert sum(r.n for r in rows) == n_orders
+    p_span = max(r.price_hi for r in rows) - min(r.price_lo for r in rows)
+    d_span = max(r.date_hi_us for r in rows) - min(r.date_lo_us for r in rows)
+    mean_p = sum(r.price_hi - r.price_lo for r in rows) / len(rows)
+    mean_d = sum(r.date_hi_us - r.date_lo_us for r in rows) / len(rows)
+    assert mean_p < 0.8 * p_span
+    assert mean_d < 0.8 * d_span

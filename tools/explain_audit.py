@@ -173,6 +173,9 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"HashAggregate", "user means via hash aggregate (no window over the fact table)"),
         (r"BroadcastNestedLoopJoin|BroadcastHashJoin", "one-row global mean broadcast"),
     ],
+    "layout_zorder": [
+        (r"partial_min|partial_count", "per-cell stats partially aggregated map-side"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
