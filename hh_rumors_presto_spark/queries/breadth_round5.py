@@ -98,3 +98,130 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", F.round(med, 6).alias("med10")
     )
+
+
+_KNN_K = 3
+
+
+@query(
+    "emb_knn_graph",
+    oracle=f"""
+    SELECT vec_a, vec_b, cos_sim
+    FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+               / nullif(sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                        * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 0.0) AS cos_sim,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                            / nullif(sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                                     * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 0.0) DESC,
+                            b.vec_id
+               ) AS rn
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+    )
+    WHERE rn <= {_KNN_K}
+    """,
+)
+def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph construction (k={_KNN_K}) over embeddings, blocked by
+    label (the IVF-bucket stand-in): candidate pairs form only within a
+    block, per-node top-k by cosine via a keyed window. The edge list this
+    emits is the input to graph-based near-dup clustering and kNN-graph
+    ANN indexes (NN-descent seeds). Cost is sum(block^2), never n^2; the
+    window partitions by vec_id — no global sort."""
+    from hh_rumors_presto_spark.functions import cosine_similarity
+    from pyspark.sql import Window
+
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+    )
+    scored = (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") != F.col("vec_b")))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine_similarity(F.col("ea"), F.col("eb")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.col("cos_sim").desc(), "vec_b")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_K)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+_ZWIN = 20
+
+
+@query(
+    "win_anomaly_zscore",
+    oracle=f"""
+    SELECT event_id, user_id, round(z, 4) AS z, is_anomaly
+    FROM (
+        SELECT event_id, user_id,
+               CASE WHEN n >= 5 AND sd > 0 THEN (value - mu) / sd ELSE NULL END AS z,
+               coalesce(n >= 5 AND sd > 0 AND abs((value - mu) / sd) > 3.0, false) AS is_anomaly
+        FROM (
+            SELECT event_id, user_id, value,
+                   count(*) OVER w AS n,
+                   sum(value) OVER w / count(*) OVER w AS mu,
+                   sqrt(greatest(
+                       (sum(value * value) OVER w
+                        - (sum(value) OVER w) * (sum(value) OVER w) / count(*) OVER w)
+                       / nullif(count(*) OVER w - 1, 0), 0.0)) AS sd
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id
+                ORDER BY CAST(ts AS TIMESTAMP), event_id
+                ROWS BETWEEN {_ZWIN - 1} PRECEDING AND CURRENT ROW
+            )
+        )
+    )
+    """,
+)
+def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection per user: trailing-{_ZWIN} mean
+    and sample std from windowed sums (sum, sum-of-squares, count — the
+    same three accumulators a streaming monitor keeps), flag |z| > 3.
+    Warmup rows (n < 5) and zero-variance windows emit NULL z / false.
+    Identical sum-based formulation in both engines -> exact parity after
+    4dp rounding; keyed window, constant state, one shuffle."""
+    from pyspark.sql import Window
+
+    ev = io.load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-(_ZWIN - 1), Window.currentRow)
+    )
+    n = F.count("*").over(w)
+    s1 = F.sum("value").over(w)
+    s2 = F.sum(F.col("value") * F.col("value")).over(w)
+    mu = s1 / n
+    sd = F.sqrt(
+        F.greatest(
+            (s2 - s1 * s1 / n) / F.nullif(n - 1, F.lit(0)), F.lit(0.0)
+        )
+    )
+    z = F.when((n >= 5) & (sd > 0), (F.col("value") - mu) / sd)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(z, 4).alias("z"),
+        F.coalesce(
+            (n >= 5) & (sd > 0) & (F.abs((F.col("value") - mu) / sd) > 3.0),
+            F.lit(False),
+        ).alias("is_anomaly"),
+    )

@@ -342,3 +342,60 @@ def test_layout_zorder_cells_partition_and_tighten(spark, sf_dir):
     mean_d = sum(r.date_hi_us - r.date_lo_us for r in rows) / len(rows)
     assert mean_p < 0.8 * p_span
     assert mean_d < 0.8 * d_span
+
+
+def test_emb_knn_graph_bruteforce(spark, sf_dir):
+    """k-NN edges match brute-force blocked cosine top-3 per vector."""
+    import math
+
+    got = defaultdict(list)
+    for r in QUERIES["emb_knn_graph"](spark, sf_dir).collect():
+        got[r.vec_a].append(r.vec_b)
+    emb = io.load_table(spark, sf_dir, "embeddings").collect()
+    by_label = defaultdict(list)
+    for r in emb:
+        by_label[r.label].append((r.vec_id, [float(x) for x in r.embedding]))
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)); nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na * nb else None
+    checked = 0
+    for label, vs in by_label.items():
+        for vid, v in vs:
+            scores = sorted(
+                ((-(cos(v, u) or -9), uid) for uid, u in vs if uid != vid)
+            )[:3]
+            assert got.get(vid, []) == [uid for _, uid in scores], vid
+            checked += 1
+    assert checked == len(emb)
+
+
+def test_win_anomaly_zscore_bruteforce(spark, sf_dir):
+    """z-scores match brute-force rolling mean/std for a few users, and
+    anomalies are exactly the |z|>3 rows."""
+    import statistics
+
+    rows = {r.event_id: r for r in QUERIES["win_anomaly_zscore"](spark, sf_dir).collect()}
+    ev = io.load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    ).collect()
+    users = sorted({r.user_id for r in ev})[:4]
+    series = {u: [] for u in users}
+    for r in sorted(ev, key=lambda r: (r.ts, r.event_id)):
+        if r.user_id in series:
+            series[r.user_id].append((r.event_id, r.value))
+    checked = 0
+    for u, seq in series.items():
+        for i, (eid, v) in enumerate(seq):
+            window = [x for _, x in seq[max(0, i - 19): i + 1]]
+            r = rows[eid]
+            if len(window) >= 5 and len(set(window)) > 1:
+                mu = sum(window) / len(window)
+                sd = statistics.stdev(window)
+                z = (v - mu) / sd
+                assert abs(r.z - z) < 1e-3, (eid, r.z, z)
+                assert r.is_anomaly == (abs(z) > 3.0)
+            else:
+                assert r.z is None and not r.is_anomaly
+            checked += 1
+    assert checked == sum(len(s) for s in series.values())

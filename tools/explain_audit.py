@@ -176,6 +176,13 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "layout_zorder": [
         (r"partial_min|partial_count", "per-cell stats partially aggregated map-side"),
     ],
+    "emb_knn_graph": [
+        (r"hashpartitioning\(vec_a", "per-node top-k window keyed by vec_a"),
+        (r"WindowGroupLimit", "rank<=k rewritten to per-partition group limit"),
+    ],
+    "win_anomaly_zscore": [
+        (r"hashpartitioning\(user_id", "rolling stats keyed by user (no single-partition window)"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
