@@ -225,3 +225,99 @@ def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("is_anomaly"),
     )
+
+
+@query(
+    "agg_regression",
+    oracle="""
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)) * sx) / n, 6)
+               AS intercept
+    FROM (
+        SELECT event_type,
+               CAST(count(*) AS DOUBLE) AS n,
+               sum(CAST(user_id % 100 AS DOUBLE)) AS sx,
+               sum(value) AS sy,
+               sum(CAST(user_id % 100 AS DOUBLE) * CAST(user_id % 100 AS DOUBLE)) AS sxx,
+               sum(CAST(user_id % 100 AS DOUBLE) * value) AS sxy
+        FROM events
+        GROUP BY event_type
+    )
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS per group (y = value on x = user_id%100 cohort):
+    slope/intercept from the five streaming sums (n, Σx, Σy, Σx², Σxy) —
+    the map-side-mergeable formulation (regr_slope's internals) rather
+    than the builtin, so both engines compute the identical IEEE
+    expression and the result value-hash-verifies. One hash aggregate,
+    partial-merged; no second pass."""
+    ev = io.load_table(spark, sf_dir, "events")
+    x = (F.col("user_id") % 100).cast("double")
+    sums = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum("value").alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * F.col("value")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+    )
+    return sums.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+@query(
+    "text_entropy",
+    oracle="""
+    SELECT doc_id,
+           round(-sum(p * ln(p)), 6) AS token_entropy,
+           CAST(count(*) AS BIGINT) AS n_distinct
+    FROM (
+        SELECT doc_id, CAST(cnt AS DOUBLE) / n AS p
+        FROM (
+            SELECT doc_id, tok, count(*) AS cnt,
+                   sum(count(*)) OVER (PARTITION BY doc_id) AS n
+            FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            )
+            GROUP BY doc_id, tok
+        )
+    )
+    GROUP BY doc_id
+    """,
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document — low entropy flags
+    repetitive/boilerplate text the way text_repetition does, but as a
+    single scalar signal usable in quality-rank mixes. Shape: explode ->
+    (doc, token) counts -> per-doc window for totals -> entropy fold; two
+    keyed shuffles, map-side partials on the first."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    n = F.sum("cnt").over(Window.partitionBy("doc_id"))
+    p = F.col("cnt").cast("double") / n
+    return (
+        counts.select("doc_id", p.alias("p"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("token_entropy"),
+            F.count("*").alias("n_distinct"),
+        )
+    )

@@ -399,3 +399,41 @@ def test_win_anomaly_zscore_bruteforce(spark, sf_dir):
                 assert r.z is None and not r.is_anomaly
             checked += 1
     assert checked == sum(len(s) for s in series.values())
+
+
+def test_agg_regression_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    rows = {r.event_type: r for r in QUERIES["agg_regression"](spark, sf_dir).collect()}
+    ev = io.load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    ).collect()
+    groups = defaultdict(lambda: ([], []))
+    for e in ev:
+        xs, ys = groups[e.event_type]
+        xs.append(e.user_id % 100); ys.append(e.value)
+    for et, (xs, ys) in groups.items():
+        slope, intercept = np.polyfit(np.array(xs, float), np.array(ys, float), 1)
+        r = rows[et]
+        assert abs(r.slope - slope) < 1e-4, et
+        assert abs(r.intercept - intercept) < 1e-3, et
+        assert r.n == len(xs)
+
+
+def test_text_entropy_bounds_and_bruteforce(spark, sf_dir):
+    """Entropy in [0, ln(n_distinct)] and matches a brute-force
+    recomputation for the first 20 docs."""
+    import math
+
+    rows = {r.doc_id: r for r in QUERIES["text_entropy"](spark, sf_dir).collect()}
+    docs = io.load_table(spark, sf_dir, "documents").collect()
+    for d in docs[:20]:
+        toks = d.text.split(" ")
+        counts = defaultdict(int)
+        for t in toks:
+            counts[t] += 1
+        h = -sum((c / len(toks)) * math.log(c / len(toks)) for c in counts.values())
+        r = rows[d.doc_id]
+        assert r.n_distinct == len(counts)
+        assert abs(r.token_entropy - h) < 1e-5
+        assert -1e-9 <= r.token_entropy <= math.log(max(2, len(counts))) + 1e-9

@@ -183,6 +183,13 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "win_anomaly_zscore": [
         (r"hashpartitioning\(user_id", "rolling stats keyed by user (no single-partition window)"),
     ],
+    "agg_regression": [
+        (r"partial_sum", "five OLS sums partially aggregated map-side"),
+    ],
+    "text_entropy": [
+        (r"partial_count", "token counts partially aggregated map-side"),
+        (r"hashpartitioning\(doc_id", "entropy fold keyed by doc"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
