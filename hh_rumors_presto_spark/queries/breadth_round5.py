@@ -321,3 +321,115 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_distinct"),
         )
     )
+
+
+_LM_FLOOR = 1e-6  # OOV probability floor
+
+
+@query(
+    "text_lm_score",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (
+        SELECT tok, CAST(count(*) AS DOUBLE) AS cnt FROM tok GROUP BY tok
+    ),
+    total AS (SELECT sum(cnt) AS n FROM vocab)
+    SELECT t.doc_id,
+           round(avg(ln(coalesce(v.cnt, 0.0) / tot.n + {_LM_FLOOR})), 6)
+               AS avg_logp,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM tok t
+    LEFT JOIN vocab v ON t.tok = v.tok
+    CROSS JOIN total tot
+    GROUP BY t.doc_id
+    """,
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: corpus unigram probabilities +
+    per-document average token log-prob (the KenLM-perplexity proxy used
+    as a pretraining quality filter — low avg_logp = rare-token gibberish).
+    Shape: one vocab aggregate (map-side partials), probabilities joined
+    back to the token stream (vocab is |V|-sized -> broadcast at this
+    scale; co-partitioned join at web scale), per-doc fold. The corpus
+    total is a one-row broadcast."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").cast("double").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    logp = F.log(
+        F.coalesce(F.col("cnt"), F.lit(0.0)) / F.col("n") + _LM_FLOOR
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(logp), 6).alias("avg_logp"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    SELECT event_type,
+           min(value) FILTER (cum >= half) AS weighted_median,
+           CAST(max(total) AS BIGINT) AS total_weight
+    FROM (
+        SELECT event_type, value,
+               sum(w) OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum,
+               sum(w) OVER (PARTITION BY event_type) AS total,
+               CAST(sum(w) OVER (PARTITION BY event_type) AS DOUBLE) / 2 AS half
+        FROM (
+            SELECT event_id, event_type, value,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS w
+            FROM events
+        )
+    )
+    GROUP BY event_type
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per group (weight = the props.k payload): order by
+    value with a cumulative-weight window, take the first value whose
+    cumulative weight reaches half the total. Integer weights keep the
+    cumulative sums exact; ties broken by event_id so the survivor is
+    deterministic. Keyed windows only — no global sort, no collect."""
+    from pyspark.sql import Window
+
+    ev = io.load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("bigint").alias("w"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("value", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = F.sum("w").over(w_cum)
+    total = F.sum("w").over(w_all)
+    return (
+        ev.select(
+            "event_type",
+            "value",
+            cum.alias("cum"),
+            total.alias("total"),
+            (total.cast("double") / 2).alias("half"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("cum") >= F.col("half"), F.col("value"))).alias(
+                "weighted_median"
+            ),
+            F.max("total").cast("long").alias("total_weight"),
+        )
+    )

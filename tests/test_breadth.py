@@ -437,3 +437,42 @@ def test_text_entropy_bounds_and_bruteforce(spark, sf_dir):
         assert r.n_distinct == len(counts)
         assert abs(r.token_entropy - h) < 1e-5
         assert -1e-9 <= r.token_entropy <= math.log(max(2, len(counts))) + 1e-9
+
+
+def test_text_lm_score_bruteforce(spark, sf_dir):
+    import math
+
+    rows = {r.doc_id: r for r in QUERIES["text_lm_score"](spark, sf_dir).collect()}
+    docs = io.load_table(spark, sf_dir, "documents").collect()
+    vocab = defaultdict(int)
+    for d in docs:
+        for t in d.text.split(" "):
+            vocab[t] += 1
+    n = sum(vocab.values())
+    for d in docs[:20]:
+        toks = d.text.split(" ")
+        avg = sum(math.log(vocab[t] / n + 1e-6) for t in toks) / len(toks)
+        r = rows[d.doc_id]
+        assert r.n_tokens == len(toks)
+        assert abs(r.avg_logp - avg) < 1e-5
+
+
+def test_agg_weighted_median_bruteforce(spark, sf_dir):
+    import json
+
+    rows = {r.event_type: r for r in QUERIES["agg_weighted_median"](spark, sf_dir).collect()}
+    ev = io.load_table(spark, sf_dir, "events").collect()
+    groups = defaultdict(list)
+    for e in ev:
+        groups[e.event_type].append((e.value, e.event_id, json.loads(e.props)["k"]))
+    for et, items in groups.items():
+        items.sort()
+        total = sum(w for _, _, w in items)
+        cum = 0
+        for v, _, w in items:
+            cum += w
+            if cum >= total / 2:
+                break
+        r = rows[et]
+        assert r.total_weight == total
+        assert abs(r.weighted_median - v) < 1e-12, et

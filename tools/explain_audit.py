@@ -190,6 +190,13 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"partial_count", "token counts partially aggregated map-side"),
         (r"hashpartitioning\(doc_id", "entropy fold keyed by doc"),
     ],
+    "text_lm_score": [
+        (r"BroadcastHashJoin", "vocab probabilities broadcast onto the token stream"),
+        (r"partial_count", "vocab counts partially aggregated map-side"),
+    ],
+    "agg_weighted_median": [
+        (r"hashpartitioning\(event_type", "cumulative-weight windows keyed by group"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -203,10 +210,11 @@ FORBIDDEN = (
     # executes an uncorrelated scalar subquery). Everywhere else a nested
     # loop is a scale bug.
     # agg_share_of_total broadcasts its ONE-ROW global total the same way.
-    # dq_impute and dq_drift_psi broadcast ONE-ROW global aggregates too.
+    # dq_impute, dq_drift_psi, and text_lm_score broadcast ONE-ROW global
+    # aggregates too.
     ("BroadcastNestedLoopJoin",
      {"sim_topk", "sql_tpch_q22", "agg_share_of_total", "corpus_mix_weights",
-      "dq_impute", "dq_drift_psi"}),
+      "dq_impute", "dq_drift_psi", "text_lm_score"}),
 )
 
 
