@@ -36,6 +36,9 @@ HEADLINE = [
     "graph_pagerank",     # fixed-point PageRank, 3 Pregel-as-joins rounds
     "win_pattern_match",  # MATCH_RECOGNIZE analog (keyed lead-chain window)
     "inverted_index",     # tokenize -> explode -> capped posting-list agg
+    "text_lm_score",      # unigram-LM quality scoring (broadcast vocab)
+    "emb_knn_graph",      # label-blocked k-NN edge construction
+    "layout_zorder",      # Morton 2-D clustering cells (layout planning)
 ]
 
 

