@@ -618,3 +618,87 @@ def dedup_best_of(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_copies", "n_chars")
     )
+
+
+_SUB_W = 16  # window tokens
+_SUB_STRIDE = 4
+
+
+@query(
+    "dedup_substring",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id,
+               CAST((start - 1) // {_SUB_STRIDE} AS INT) AS win_idx,
+               md5(array_to_string(toks[start : start + {_SUB_W} - 1], ' ')) AS h
+        FROM (
+            SELECT doc_id, toks, n,
+                   unnest(generate_series(1, n - {_SUB_W} + 1, {_SUB_STRIDE})) AS start
+            FROM t WHERE n >= {_SUB_W}
+        )
+    ),
+    ranked AS (
+        SELECT doc_id, h,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, win_idx) AS rn
+        FROM wins
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(count(*) FILTER (rn > 1) AS BIGINT) AS n_dup_windows,
+           round(CAST(count(*) FILTER (rn > 1) AS DOUBLE) / count(*), 6)
+               AS dup_fraction
+    FROM ranked
+    GROUP BY doc_id
+    """,
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window duplicated-span detection (the exact-substring dedup
+    shape of Lee et al.'s 'Deduplicating Training Data Makes Language
+    Models Better', bounded by stride): {_SUB_W}-token windows every
+    {_SUB_STRIDE} tokens, hashed; a window is a duplicate if an identical
+    span occurred earlier corpus-wide ((doc_id, win_idx) order). Unlike
+    fixed segments (text_segment_dedup), overlapping windows catch
+    duplicated spans at ANY alignment. One shuffle on the window hash,
+    then a per-doc re-agg; window volume is n/stride rows per doc."""
+    from pyspark.sql import Window
+
+    docs = io.load_table(spark, sf_dir, "documents")
+    toks = F.col("toks")
+    wins = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size(toks) >= _SUB_W)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.size(toks) - _SUB_W + 1, F.lit(_SUB_STRIDE)
+                )
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            (((F.col("start") - 1) / _SUB_STRIDE).cast("int")).alias("win_idx"),
+            F.md5(
+                F.concat_ws(" ", F.slice(toks, F.col("start"), _SUB_W))
+            ).alias("h"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("h").orderBy("doc_id", "win_idx")
+    )
+    dup = F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+    return (
+        wins.select("doc_id", rn.alias("rn"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            dup.cast("long").alias("n_dup_windows"),
+            F.round(dup.cast("double") / F.count("*"), 6).alias("dup_fraction"),
+        )
+    )

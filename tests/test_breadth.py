@@ -476,3 +476,29 @@ def test_agg_weighted_median_bruteforce(spark, sf_dir):
         r = rows[et]
         assert r.total_weight == total
         assert abs(r.weighted_median - v) < 1e-12, et
+
+
+def test_dedup_substring_bruteforce(spark, sf_dir):
+    """Per-doc duplicated-window counts match brute-force sliding-window
+    first-wins over the collected corpus."""
+    rows = {r.doc_id: r for r in QUERIES["dedup_substring"](spark, sf_dir).collect()}
+    docs = io.load_table(spark, sf_dir, "documents").collect()
+    wins = []  # (doc_id, win_idx, text)
+    for d in sorted(docs, key=lambda d: d.doc_id):
+        toks = d.text.split(" ")
+        if len(toks) < 16:
+            assert d.doc_id not in rows
+            continue
+        for wi, start in enumerate(range(0, len(toks) - 16 + 1, 4)):
+            wins.append((d.doc_id, wi, " ".join(toks[start:start + 16])))
+    seen = set()
+    expect = defaultdict(lambda: [0, 0])
+    for doc_id, wi, w in sorted(wins):
+        expect[doc_id][0] += 1
+        if w in seen:
+            expect[doc_id][1] += 1
+        else:
+            seen.add(w)
+    for doc_id, (n, dup) in expect.items():
+        r = rows[doc_id]
+        assert (r.n_windows, r.n_dup_windows) == (n, dup), doc_id

@@ -197,6 +197,10 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "agg_weighted_median": [
         (r"hashpartitioning\(event_type", "cumulative-weight windows keyed by group"),
     ],
+    "dedup_substring": [
+        (r"hashpartitioning\(h", "first-wins ranking shuffles on the window hash"),
+        (r"hashpartitioning\(doc_id", "per-doc re-agg keyed by doc"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
