@@ -445,3 +445,42 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("total").cast("long").alias("total_weight"),
         )
     )
+
+
+_WALK_SQL = """
+    WITH RECURSIVE pairs AS (
+        SELECT DISTINCT o.o_custkey * 2 AS c_node, l.l_suppkey * 2 + 1 AS s_node
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+        SELECT c_node AS src, s_node AS dst FROM pairs
+        UNION ALL
+        SELECT s_node, c_node FROM pairs
+    ),
+    walk(node, lvl) AS (
+        SELECT src, 0 FROM (SELECT DISTINCT src FROM edges) s
+        WHERE src % 2 = 0 AND src <= 10
+        UNION ALL
+        SELECT e.dst, w.lvl + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.lvl < 2
+    )
+    SELECT lvl,
+           CAST(count(*) AS BIGINT) AS n_paths,
+           CAST(count(DISTINCT node) AS BIGINT) AS n_nodes
+    FROM walk
+    GROUP BY lvl
+"""
+
+
+@query("sql_recursive_paths", oracle=_WALK_SQL)
+def sql_recursive_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 recursive CTE (WITH RECURSIVE ... UNION ALL): level-bounded
+    walk over the bipartite order graph from the seed customers, counting
+    paths and distinct reachable nodes per level. The recursion is
+    depth-guarded (lvl < 2), so UNION ALL terminates — Spark does not yet
+    support UNION (distinct) in the recursive branch, which is why the
+    unbounded transitive closure lives in dedup_clusters' driver loop
+    instead. Identical SQL text runs on both engines."""
+    io.register_views(spark, sf_dir)
+    return spark.sql(_WALK_SQL)
