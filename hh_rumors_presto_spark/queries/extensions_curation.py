@@ -702,3 +702,69 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dup.cast("double") / F.count("*"), 6).alias("dup_fraction"),
         )
     )
+
+
+_TOKEN_BUDGET = 30_000
+
+
+@query(
+    "corpus_token_budget",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, n_chars, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tok,
+               sum(n_tok) OVER (
+                   ORDER BY n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM t
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(cum AS BIGINT) AS cum_tokens
+    FROM c WHERE cum <= {_TOKEN_BUDGET}
+    """,
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget fill: take documents in quality order (n_chars desc,
+    doc_id tiebreak) until the cumulative token count reaches
+    {_TOKEN_BUDGET} — the 'best docs until the budget is full' selection
+    every sized pretraining mix runs.
+
+    The global cumulative sum is computed WITHOUT a single-partition
+    window (same two-phase shape as global_row_number): deterministic
+    contiguous quality-range buckets, per-bucket token totals -> prefix-sum
+    offsets (tiny, broadcast), then a keyed running sum within each
+    bucket. Every full-data operation is partitioned by bucket."""
+    docs = io.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    # floor(-n_chars/64): descending n_chars -> ascending bucket, each
+    # bucket a contiguous 64-char quality range (arithmetic, no sampling)
+    bucketed = docs.withColumn(
+        "bucket", F.floor(-F.col("n_chars") / F.lit(64)).cast("bigint")
+    )
+    totals = bucketed.groupBy("bucket").agg(F.sum("n_tok").alias("tok"))
+    offsets = totals.select(
+        "bucket",
+        F.sum("tok")
+        .over(Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1))
+        .alias("offset"),
+    ).fillna({"offset": 0})
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.col("offset") + F.sum("n_tok").over(w)
+    return (
+        bucketed.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            cum.cast("long").alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= _TOKEN_BUDGET)
+    )

@@ -502,3 +502,20 @@ def test_dedup_substring_bruteforce(spark, sf_dir):
     for doc_id, (n, dup) in expect.items():
         r = rows[doc_id]
         assert (r.n_windows, r.n_dup_windows) == (n, dup), doc_id
+
+
+def test_corpus_token_budget_bruteforce(spark, sf_dir):
+    """Selected set equals the greedy quality-ordered prefix under the
+    budget, with correct cumulative sums."""
+    rows = {r.doc_id: r for r in QUERIES["corpus_token_budget"](spark, sf_dir).collect()}
+    docs = io.load_table(spark, sf_dir, "documents").collect()
+    ordered = sorted(docs, key=lambda d: (-d.n_chars, d.doc_id))
+    cum = 0
+    expect = {}
+    for d in ordered:
+        n_tok = len(d.text.split(" "))
+        cum += n_tok
+        if cum > 30_000:
+            break
+        expect[d.doc_id] = (n_tok, cum)
+    assert {k: (r.n_tok, r.cum_tokens) for k, r in rows.items()} == expect

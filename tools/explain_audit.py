@@ -201,6 +201,10 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"hashpartitioning\(h", "first-wins ranking shuffles on the window hash"),
         (r"hashpartitioning\(doc_id", "per-doc re-agg keyed by doc"),
     ],
+    "corpus_token_budget": [
+        (r"hashpartitioning\(bucket", "running sum keyed by quality bucket (no global-order window)"),
+        (r"BroadcastHashJoin", "bucket offsets broadcast back"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
