@@ -194,3 +194,54 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "frame_no", "n_frames")
     )
+
+
+@query(
+    "udaf_arrow_grouped",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def udaf_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped UDAF via GroupedData.applyInArrow (Spark 4): the zero-copy
+    sibling of applyInPandas — each group arrives as a pyarrow.Table, no
+    pandas materialization. Integer cent arithmetic keeps the sum exact
+    and reduction-order-insensitive. Same one-shuffle cost shape as a
+    built-in hash agg."""
+    import pyarrow as pa
+
+    def per_user(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(tbl.column("value"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "user_id": [tbl.column("user_id")[0].as_py()],
+                "n": [tbl.num_rows],
+                "total_cents": [pc.sum(cents).as_py()],
+            },
+            schema=pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("n", pa.int64()),
+                    ("total_cents", pa.int64()),
+                ]
+            ),
+        )
+
+    ev = io.load_table(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInArrow(
+            per_user, schema="user_id bigint, n bigint, total_cents bigint"
+        )
+    )

@@ -169,3 +169,35 @@ def scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total"),
         )
     )
+
+
+@query(
+    "sink_text_roundtrip",
+    oracle="""
+    SELECT r_regionkey || '|' || r_name AS value
+    FROM region
+    """,
+)
+def sink_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text sink + source (spark.read/write.text): the
+    lowest-common-denominator format every log/corpus pipeline starts
+    from. Write one delimited line per region row, read the lines back as
+    a single `value` string column — parsing from there is the
+    split/from_csv path covered by the scalar keys."""
+    import os
+    import tempfile
+
+    region = io.load_table(spark, sf_dir, "region")
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"hh_sink_text_{os.path.basename(sf_dir)}"
+    )
+    (
+        region.select(
+            F.concat_ws(
+                "|", F.col("r_regionkey").cast("string"), F.col("r_name")
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(out_dir)
+    )
+    return spark.read.text(out_dir)
