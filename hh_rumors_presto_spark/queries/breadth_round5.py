@@ -484,3 +484,92 @@ def sql_recursive_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead. Identical SQL text runs on both engines."""
     io.register_views(spark, sf_dir)
     return spark.sql(_WALK_SQL)
+
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+               AS gid,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING flags: gid disambiguates a real 'ALL' value
+    from a rollup subtotal row — the standard way BI layers consume
+    multi-level aggregates without string sentinels colliding with data.
+    grouping_id() is computed engine-side from the grouping-set bitmask;
+    both engines define it identically (left column = high bit)."""
+    orders = io.load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n",
+        )
+    )
+
+
+@query(
+    "sql_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_open,
+           CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_filled,
+           CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_partial
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL PIVOT clause (vs agg_pivot's DataFrame .pivot()): explicit
+    IN-list means Catalyst knows the output schema statically — no
+    distinct-values pre-scan, one aggregation pass. The oracle states the
+    same thing as conditional aggregation (what PIVOT desugars to)."""
+    io.register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderpriority, n_open, n_filled, n_partial
+        FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
+        PIVOT (
+            count(*) FOR o_orderstatus IN ('O' AS n_open, 'F' AS n_filled, 'P' AS n_partial)
+        )
+    """)
+
+
+@query(
+    "sql_unpivot",
+    oracle="""
+    SELECT c_custkey, metric, val
+    FROM (
+        SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val
+        FROM customer WHERE c_custkey % 100 = 0
+        UNION ALL
+        SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE)
+        FROM customer WHERE c_custkey % 100 = 0
+    )
+    """,
+)
+def sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL UNPIVOT clause (vs unpivot_stack's DataFrame melt): wide
+    columns to (metric, value) rows in one pass, no join, no explode —
+    what UNPIVOT desugars to is exactly the oracle's UNION ALL."""
+    io.register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT c_custkey, metric, val
+        FROM (
+            SELECT c_custkey, c_acctbal AS acctbal,
+                   CAST(c_nationkey AS DOUBLE) AS nationkey
+            FROM customer WHERE c_custkey % 100 = 0
+        )
+        UNPIVOT (val FOR metric IN (acctbal, nationkey))
+    """)
