@@ -168,3 +168,104 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_first").over(w_run).alias("distinct_types_so_far"),
         )
     )
+
+
+@query(
+    "win_drawdown",
+    oracle="""
+    SELECT event_id, user_id,
+           round(peak, 6) AS peak,
+           round((peak - value) / nullif(peak, 0.0), 6) AS drawdown
+    FROM (
+        SELECT event_id, user_id, value,
+               max(value) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS peak
+        FROM events
+    )
+    """,
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-maximum drawdown per user: the running-extrema window
+    pattern (peak-so-far, then relative drop from peak) behind alerting
+    and financial drawdown metrics. Keyed cumulative window — constant
+    state (one max), one shuffle."""
+    ev = io.load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peak = F.max("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(peak, 6).alias("peak"),
+        F.round((peak - F.col("value")) / F.nullif(peak, F.lit(0.0)), 6).alias(
+            "drawdown"
+        ),
+    )
+
+
+@query(
+    "ts_cross_correlation",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type,
+               sum(value) AS v
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1, 2
+    ),
+    joined AS (
+        SELECT a.v AS x, b.v AS y
+        FROM hourly a JOIN hourly b
+          ON b.h = a.h + INTERVAL 1 HOUR
+         AND a.event_type = 'click' AND b.event_type = 'purchase'
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / nullif(sqrt(count(*) * sum(x * x) - sum(x) * sum(x))
+                          * sqrt(count(*) * sum(y * y) - sum(y) * sum(y)), 0.0), 6)
+               AS lag1_corr
+    FROM joined
+    """,
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between two event streams: does click
+    volume in hour h predict purchase volume in hour h+1? Hourly rollup,
+    self-equi-join at the shifted hour, Pearson r from the five mergeable
+    sums (the agg_regression formulation — identical IEEE expression both
+    engines). Two tiny shuffles on (hour, type) then one scalar out."""
+    ev = io.load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+        )
+        .agg(F.sum("value").alias("v"))
+    )
+    a = hourly.filter(F.col("event_type") == "click").select(
+        F.col("h").alias("ha"), F.col("v").alias("x")
+    )
+    b = hourly.filter(F.col("event_type") == "purchase").select(
+        F.col("h").alias("hb"), F.col("v").alias("y")
+    )
+    joined = a.join(
+        b, F.col("hb") == F.col("ha") + F.expr("INTERVAL 1 HOUR")
+    )
+    n = F.count("*")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx, syy, sxy = (
+        F.sum(F.col("x") * F.col("x")),
+        F.sum(F.col("y") * F.col("y")),
+        F.sum(F.col("x") * F.col("y")),
+    )
+    corr = (n * sxy - sx * sy) / F.nullif(
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy), F.lit(0.0)
+    )
+    return joined.agg(
+        n.cast("long").alias("n"), F.round(corr, 6).alias("lag1_corr")
+    )
