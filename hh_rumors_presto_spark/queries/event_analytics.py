@@ -167,3 +167,58 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count("*").alias("active_users"))
     )
+
+
+@query(
+    "agg_session_window",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL {GAP_MIN} MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT *, sum(is_new) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL {GAP_MIN} MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def agg_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE batch session_window operator (vs ts_sessionize's
+    gaps-and-islands formulation): one groupBy, engine-managed session
+    merging — the same operator Structured Streaming uses for
+    stream_session, here on a static frame.
+
+    Boundary semantics differ from the islands form and the oracle
+    mirrors them: a new session starts when the gap is >= {GAP_MIN} min
+    (islands: strictly >), and session_end = last event + gap. The
+    struct-typed window is projected to scalar start/end columns (the
+    driver canonicalizer rejects struct cells)."""
+    ev = io.load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{GAP_MIN} minutes").alias("sw"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
