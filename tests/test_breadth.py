@@ -519,3 +519,40 @@ def test_corpus_token_budget_bruteforce(spark, sf_dir):
             break
         expect[d.doc_id] = (n_tok, cum)
     assert {k: (r.n_tok, r.cum_tokens) for k, r in rows.items()} == expect
+
+
+def test_session_window_consistent_with_islands(spark, sf_dir):
+    """Native session_window and the gaps-and-islands form agree on
+    session counts per user when no gap sits exactly on the 30-min
+    boundary (where their >= / > semantics intentionally differ)."""
+    native = QUERIES["agg_session_window"](spark, sf_dir).collect()
+    islands = QUERIES["ts_sessionize"](spark, sf_dir).collect()
+    n_native = defaultdict(int)
+    for r in native:
+        n_native[r.user_id] += 1
+    n_islands = defaultdict(int)
+    for r in islands:
+        n_islands[r.user_id] += 1
+    # exact-boundary gaps would make native split one more session
+    assert all(n_native[u] >= n_islands[u] for u in n_islands)
+    diff = sum(n_native[u] - n_islands[u] for u in n_islands)
+    assert diff == 0, f"{diff} exact-30min boundary gaps in fixture"
+    # native session_end must be last event + 30 min > session_start
+    for r in native:
+        assert r.session_end > r.session_start
+
+
+def test_agg_grouping_id_bitmask(spark, sf_dir):
+    """gid encodes which columns are rolled up: 0 = detail rows, 1 =
+    priority subtotals, 3 = grand total; counts reconcile across levels."""
+    rows = QUERIES["agg_grouping_id"](spark, sf_dir).collect()
+    by_gid = defaultdict(list)
+    for r in rows:
+        by_gid[r.gid].append(r)
+    assert set(by_gid) == {0, 1, 3}
+    total = sum(r.n for r in by_gid[0])
+    assert sum(r.n for r in by_gid[1]) == total
+    [grand] = by_gid[3]
+    assert grand.n == total and grand.status == "ALL" and grand.priority == "ALL"
+    for r in by_gid[1]:
+        assert r.priority == "ALL" and r.status != "ALL"
