@@ -269,3 +269,97 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.agg(
         n.cast("long").alias("n"), F.round(corr, 6).alias("lag1_corr")
     )
+
+
+@query(
+    "ts_cusum",
+    oracle="""
+    WITH params AS (SELECT avg(value) AS mu FROM events),
+    c AS (
+        SELECT event_id, user_id,
+               sum(value - p.mu) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cusum
+        FROM events, params p
+    )
+    SELECT user_id,
+           round(max_abs, 6) AS max_abs_cusum,
+           event_id AS peak_event
+    FROM (
+        SELECT user_id, event_id,
+               max(abs(cusum)) OVER (PARTITION BY user_id) AS max_abs,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY round(abs(cusum), 9) DESC, event_id
+               ) AS rn
+        FROM c
+    )
+    WHERE rn = 1
+    """,
+)
+def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per user: running sum of deviations
+    from the global mean; the |cusum| peak marks the most likely level
+    shift. Global mean is a one-row scalar (collected like a boundary
+    plan); the cumulative window is keyed by user. Peak event chosen with
+    a deterministic (deviation desc, event_id) tiebreak, deviations
+    rounded to 9dp before comparison so float noise cannot flip the
+    argmax between engines."""
+    ev = io.load_table(spark, sf_dir, "events")
+    [p] = ev.agg(F.avg("value").alias("mu")).collect()
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = F.sum(F.col("value") - F.lit(p.mu)).over(w)
+    tie = F.struct(
+        (-F.round(F.abs(F.col("cusum")), 9)).alias("neg"), F.col("event_id")
+    )
+    return (
+        ev.select("event_id", "user_id", "ts", "value")
+        .select("event_id", "user_id", cusum.alias("cusum"))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.max(F.abs("cusum")), 6).alias("max_abs_cusum"),
+            F.min_by("event_id", tie).alias("peak_event"),
+        )
+    )
+
+
+@query(
+    "agg_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS m
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           round(max(m.m), 6) AS median_value,
+           round(quantile_cont(abs(e.value - m.m), 0.5), 6) AS mad
+    FROM events e JOIN med m ON e.event_type = m.event_type
+    GROUP BY e.event_type
+    """,
+)
+def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust spread metric
+    (unlike stddev, one wild outlier cannot move it). Two-pass: exact
+    interpolated group medians (tiny result, broadcast back), then the
+    median of absolute deviations. Both engines use the same linear
+    interpolation (parity established by agg_percentile_exact)."""
+    ev = io.load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("m")
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("m"), 6).alias("median_value"),
+            F.round(
+                F.expr("percentile(abs(value - m), 0.5)"), 6
+            ).alias("mad"),
+        )
+    )
