@@ -356,3 +356,89 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "cos_sim")
     )
+
+
+_OUTLIER_K = 5
+
+
+@query(
+    "emb_outlier",
+    oracle=f"""
+    WITH flat AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding) AS val
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, pos,
+               CAST(round(CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)
+                          / count(*), 6) AS DOUBLE) AS c
+        FROM flat GROUP BY label, pos
+    ),
+    carr AS (SELECT label, list(c ORDER BY pos) AS cvec FROM cent GROUP BY label),
+    scored AS (
+        SELECT e.vec_id, e.label,
+               list_inner_product(CAST(e.embedding AS DOUBLE[]), ca.cvec)
+               / nullif(sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_inner_product(ca.cvec, ca.cvec)), 0.0) AS cos
+        FROM embeddings e JOIN carr ca ON e.label = ca.label
+    )
+    SELECT vec_id, label, round(cos, 6) AS cos_centroid,
+           rn <= {_OUTLIER_K} AS is_outlier
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY label ORDER BY cos, vec_id
+        ) AS rn
+        FROM scored
+    )
+    """,
+)
+def emb_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-distance outlier mining: cosine of each vector to its
+    label centroid; the {_OUTLIER_K} least-similar per label are flagged —
+    the standard mislabeled/garbage-embedding sweep before training.
+
+    Centroids come from exact DECIMAL per-dimension sums (order-
+    insensitive under any partitioning — emb_mean_pool's construction),
+    rounded to 6dp on BOTH engines, then shipped as a k-row broadcast
+    (same driver-scale footprint as the k-means centroid set). Per-vector
+    cosine uses the sequential-fold dot — bit-identical to DuckDB's
+    list_inner_product."""
+    centroids = (
+        io.load_table(spark, sf_dir, "embeddings")
+        .select("label", F.posexplode("embedding").alias("pos", "val"))
+        .withColumn("dval", F.col("val").cast("decimal(18,9)"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.sum("dval").cast("double") / F.count("*"), 6)
+            .cast("double")
+            .alias("c")
+        )
+        .collect()
+    )
+    by_label: dict = {}
+    for r in centroids:
+        by_label.setdefault(r.label, {})[r.pos] = r.c
+    cent_rows = [
+        (label, [vals[i] for i in range(len(vals))])
+        for label, vals in sorted(by_label.items())
+    ]
+    cent_df = spark.createDataFrame(cent_rows, "label int, cvec array<double>")
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    cos = dot(F.col("embedding"), F.col("cvec")) / F.nullif(
+        l2_norm(F.col("embedding")) * l2_norm(F.col("cvec")), F.lit(0.0)
+    )
+    w = Window.partitionBy("label").orderBy("cos", "vec_id")
+    return (
+        emb.join(F.broadcast(cent_df), "label")
+        .select("vec_id", "label", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "vec_id",
+            "label",
+            F.round("cos", 6).alias("cos_centroid"),
+            (F.col("rn") <= _OUTLIER_K).alias("is_outlier"),
+        )
+    )
