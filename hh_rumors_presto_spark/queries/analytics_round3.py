@@ -363,3 +363,127 @@ def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mad"),
         )
     )
+
+
+@query(
+    "agg_gini",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, source, CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok
+        FROM documents
+    ),
+    per_source AS (
+        SELECT lang, source, sum(n_tok) AS x FROM tok GROUP BY lang, source
+    ),
+    ranked AS (
+        SELECT lang, x,
+               row_number() OVER (PARTITION BY lang ORDER BY x, source) AS i,
+               count(*) OVER (PARTITION BY lang) AS n,
+               sum(x) OVER (PARTITION BY lang) AS tot
+        FROM per_source
+    )
+    SELECT lang,
+           CAST(max(n) AS BIGINT) AS n_sources,
+           round(2.0 * sum(i * x) / (max(n) * max(tot)) - (max(n) + 1.0) / max(n), 6)
+               AS gini
+    FROM ranked
+    GROUP BY lang
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass Gini coefficient per language over sources — the
+    corpus-concentration audit (gini -> 1 means a few domains dominate
+    the training mix; the signal behind domain-cap decisions). Computed
+    from the sorted-rank formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n
+    with a deterministic (mass, source) rank tiebreak; keyed windows over
+    the per-source aggregate (|sources| rows, not corpus-scale)."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    per_source = (
+        docs.select(
+            "lang",
+            "source",
+            F.size(F.split("text", " ")).cast("double").alias("n_tok"),
+        )
+        .groupBy("lang", "source")
+        .agg(F.sum("n_tok").alias("x"))
+    )
+    w_rank = Window.partitionBy("lang").orderBy("x", "source")
+    w_all = Window.partitionBy("lang")
+    ranked = per_source.select(
+        "lang",
+        "x",
+        F.row_number().over(w_rank).alias("i"),
+        F.count("*").over(w_all).alias("n"),
+        F.sum("x").over(w_all).alias("tot"),
+    )
+    return ranked.groupBy("lang").agg(
+        F.max("n").cast("long").alias("n_sources"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (F.max("n") * F.max("tot"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+_SLOPE_WIN = 20
+
+
+@query(
+    "win_rolling_slope",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CASE WHEN n >= 5 AND n * sxx - sx * sx <> 0
+                THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+           END AS slope
+    FROM (
+        SELECT event_id, user_id,
+               count(*) OVER w AS n,
+               sum(x) OVER w AS sx, sum(value) OVER w AS sy,
+               sum(x * x) OVER w AS sxx, sum(x * value) OVER w AS sxy
+        FROM (
+            SELECT event_id, user_id, value, ts,
+                   CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ) AS DOUBLE) AS x
+            FROM events
+        )
+        WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP), event_id
+            ROWS BETWEEN {_SLOPE_WIN - 1} PRECEDING AND CURRENT ROW
+        )
+    )
+    """,
+)
+def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS trend slope per user over the trailing {_SLOPE_WIN}
+    events (x = event rank, y = value): the windowed form of
+    agg_regression's five-sums formulation — the trend detector behind
+    'is this metric drifting up' alerts. Warmup (<5 points) and
+    degenerate-variance windows emit NULL. Keyed windows only."""
+    ev = io.load_table(spark, sf_dir, "events")
+    w_rank = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    based = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.row_number().over(w_rank).cast("double").alias("x"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_SLOPE_WIN - 1), Window.currentRow)
+    )
+    n = F.count("*").over(w)
+    sx = F.sum("x").over(w)
+    sy = F.sum("value").over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    sxy = F.sum(F.col("x") * F.col("value")).over(w)
+    denom = n * sxx - sx * sx
+    slope = F.when(
+        (n >= 5) & (denom != 0),
+        F.round((n * sxy - sx * sy) / denom, 6),
+    )
+    return based.select("event_id", "user_id", slope.alias("slope"))
