@@ -459,3 +459,42 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ):
             break
     return labels
+
+
+@query(
+    "dedup_incremental",
+    oracle="""
+    WITH corpus AS (
+        SELECT md5(text) AS fp FROM documents WHERE doc_id % 10 <> 0
+    ),
+    batch AS (
+        SELECT doc_id, lang, md5(text) AS fp FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT b.doc_id, b.lang,
+           b.fp IN (SELECT fp FROM corpus) AS already_present
+    FROM batch b
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: an incoming batch (doc_id % 10 = 0 as the
+    stand-in) checked against the existing corpus by content fingerprint —
+    the daily-ingest admission step, vs dedup_exact's within-corpus sweep.
+    Shape: the corpus side reduces to distinct fingerprints before the
+    join (one groupBy), then a fingerprint equi-join marks presence; at
+    100 TB the fingerprint set is the thing you maintain incrementally
+    (a bloom/bucketed fp table), never the raw corpus."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    corpus_fp = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+        .withColumn("present", F.lit(True))
+    )
+    batch = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", "lang", F.md5("text").alias("fp")
+    )
+    return batch.join(corpus_fp, "fp", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce("present", F.lit(False)).alias("already_present"),
+    )

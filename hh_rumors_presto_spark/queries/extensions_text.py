@@ -302,3 +302,52 @@ def text_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.posexplode(stemmed).alias("pos", "stem"))
         .select("doc_id", (F.col("pos") + 1).alias("pos"), "stem")
     )
+
+
+@query(
+    "text_readability",
+    oracle="""
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sents AS BIGINT) AS n_sents,
+           CAST(n_syll AS BIGINT) AS n_syll,
+           round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                         - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 4)
+               AS flesch
+    FROM (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sents,
+               greatest(len(string_split(text, ' ')),
+                        len(regexp_extract_all(lower(text), '[aeiouy]+')))
+                   AS n_syll
+        FROM documents
+    )
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease from deterministic proxies: sentences =
+    terminal-punctuation runs (min 1), syllables = vowel-group runs
+    (floored at one per word) — the classic readability gate in corpus
+    quality mixes, kept exactly reproducible (regexp counts, no
+    dictionary). Pure codegen column expressions, zero shuffle."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    n_sents = F.greatest(
+        F.lit(1), F.regexp_count("text", F.lit(r"[.!?]+"))
+    )
+    n_syll = F.greatest(
+        n_words, F.regexp_count(F.lower("text"), F.lit(r"[aeiouy]+"))
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sents.cast("long").alias("n_sents"),
+        n_syll.cast("long").alias("n_syll"),
+        F.round(
+            F.lit(206.835)
+            - 1.015 * (n_words.cast("double") / n_sents)
+            - 84.6 * (n_syll.cast("double") / n_words),
+            4,
+        ).alias("flesch"),
+    )
