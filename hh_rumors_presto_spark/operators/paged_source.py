@@ -33,12 +33,16 @@ def read_paged(
     per_page_limit: int = 80,
     total_limit: int = 150,
     schema=None,
+    start_page: int = 1,
 ) -> DataFrame:
-    """Enumerate pages 1..max_pages, honoring the reference's caps:
-    per-page emit cap, total cap with early stop, stop-on-error."""
+    """Enumerate pages start_page..max_pages, honoring the reference's
+    caps: per-page emit cap, total cap with early stop, stop-on-error.
+    ``start_page`` is the resume cursor for incremental crawls: a caller
+    that persisted its last completed page restarts from the next one
+    instead of refetching the prefix."""
     frames: list[pd.DataFrame] = []
     total = 0
-    for page in range(1, max_pages + 1):
+    for page in range(start_page, max_pages + 1):
         try:
             pdf = fetch_page(page)
         except Exception:

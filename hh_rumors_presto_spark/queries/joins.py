@@ -347,3 +347,68 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a["k"].eqNullSafe(b["k"])).select(
         "o_orderkey", "n_nationkey", a["k"].alias("k")
     )
+
+
+_NEAR_BAND = 500.0
+
+
+@query(
+    "join_nearest",
+    oracle=f"""
+    SELECT s_suppkey, nearest_cust, round(dist, 2) AS dist
+    FROM (
+        SELECT s.s_suppkey, c.c_custkey AS nearest_cust,
+               abs(s.s_acctbal - c.c_acctbal) AS dist,
+               row_number() OVER (
+                   PARTITION BY s.s_suppkey
+                   ORDER BY abs(s.s_acctbal - c.c_acctbal), c.c_custkey
+               ) AS rn
+        FROM supplier s JOIN customer c
+          ON abs(s.s_acctbal - c.c_acctbal) <= {_NEAR_BAND}
+    )
+    WHERE rn = 1
+    """,
+)
+def join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded nearest-value join (record linkage's closest-match step):
+    for each supplier, the customer with the closest account balance
+    within +/-{_NEAR_BAND} — bidirectional nearest, unlike join_asof's
+    one-sided latest-before.
+
+    Scale shape: suppliers probe 3 balance bins (bin width = the band, so
+    +/-1 bin covers every candidate within it) and equi-join on the bin —
+    candidate pairs are bounded by bin co-occupancy, never a theta nested
+    loop; the exact |diff| <= band predicate is a post-filter, and the
+    winner is a deterministic (distance, custkey) min_by. The oracle
+    states the same thing as the brute-force theta join."""
+    sup = io.load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_acctbal"
+    )
+    cust = io.load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal",
+        F.floor(F.col("c_acctbal") / _NEAR_BAND).cast("long").alias("bin"),
+    )
+    probe = sup.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.explode(
+            F.array(
+                *[
+                    (F.floor(F.col("s_acctbal") / _NEAR_BAND) + d).cast("long")
+                    for d in (-1, 0, 1)
+                ]
+            )
+        ).alias("bin"),
+    )
+    dist = F.abs(F.col("s_acctbal") - F.col("c_acctbal"))
+    tie = F.struct(F.col("dist").alias("d"), F.col("c_custkey"))
+    return (
+        probe.join(cust, "bin")
+        .select("s_suppkey", "c_custkey", dist.alias("dist"))
+        .filter(F.col("dist") <= _NEAR_BAND)
+        .groupBy("s_suppkey")
+        .agg(
+            F.min_by("c_custkey", tie).alias("nearest_cust"),
+            F.round(F.min("dist"), 2).alias("dist"),
+        )
+    )

@@ -218,3 +218,48 @@ def scan_paged_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .filter(F.col("page") <= 2)
     )
+
+
+RESUME_FROM = 3
+
+
+@query(
+    "scan_paged_resume",
+    oracle=f"""
+    SELECT doc_id, source, CAST((rn // {PAGE_SIZE}) + 1 AS INT) AS page
+    FROM (
+        SELECT doc_id, source,
+               row_number() OVER (ORDER BY doc_id) - 1 AS rn
+        FROM documents
+    )
+    WHERE rn >= {(RESUME_FROM - 1) * PAGE_SIZE}
+      AND rn < {MAX_PAGES * PAGE_SIZE}
+      AND rn % {PAGE_SIZE} < {PER_PAGE_CAP}
+    """,
+)
+def scan_paged_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cursor-resume incremental crawl: restart the paginated scan from
+    page {RESUME_FROM} (the persisted cursor after a prior partial run)
+    instead of refetching pages 1..{RESUME_FROM - 1} — the reference's
+    break-on-error partial-scan contract (fetchRumors.js:133-138) turned
+    into an explicit resume point. Same caps and oracle shape as
+    scan_paged, offset by the cursor."""
+    path = io.table_path(sf_dir, "documents")
+    pf = pq.ParquetFile(path)
+
+    def fetch_page(page: int):
+        table = pf.read(columns=["doc_id", "source"])
+        pdf = table.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        start = (page - 1) * PAGE_SIZE
+        return pdf.iloc[start : start + PAGE_SIZE]
+
+    df = read_paged(
+        spark,
+        fetch_page,
+        max_pages=MAX_PAGES,
+        per_page_limit=PER_PAGE_CAP,
+        total_limit=MAX_PAGES * PER_PAGE_CAP,
+        schema="doc_id long, source string, page int",
+        start_page=RESUME_FROM,
+    )
+    return df.select("doc_id", "source", "page")

@@ -556,3 +556,22 @@ def test_agg_grouping_id_bitmask(spark, sf_dir):
     assert grand.n == total and grand.status == "ALL" and grand.priority == "ALL"
     for r in by_gid[1]:
         assert r.priority == "ALL" and r.status != "ALL"
+
+
+def test_join_nearest_matches_bruteforce(spark, sf_dir):
+    """Banded nearest matches the brute-force theta scan."""
+    got = {r.s_suppkey: (r.nearest_cust, r.dist)
+           for r in QUERIES["join_nearest"](spark, sf_dir).collect()}
+    sup = io.load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal").collect()
+    cust = io.load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal").collect()
+    for s in sup:
+        best = None
+        for c in cust:
+            d = abs(s.s_acctbal - c.c_acctbal)
+            if d <= 500.0 and (best is None or (d, c.c_custkey) < best):
+                best = (d, c.c_custkey)
+        if best is None:
+            assert s.s_suppkey not in got
+        else:
+            nc, dd = got[s.s_suppkey]
+            assert nc == best[1] and abs(dd - round(best[0], 2)) < 1e-9

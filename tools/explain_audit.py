@@ -205,6 +205,10 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"hashpartitioning\(bucket", "running sum keyed by quality bucket (no global-order window)"),
         (r"BroadcastHashJoin", "bucket offsets broadcast back"),
     ],
+    "join_nearest": [
+        (r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
+         "bin-bucket equi-join, band as post-filter (no theta nested loop)"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
