@@ -351,3 +351,35 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("flesch"),
     )
+
+
+@query(
+    "text_code_detect",
+    oracle="""
+    SELECT doc_id,
+           CAST(n_sym AS BIGINT) AS n_code_symbols,
+           round(CAST(n_sym AS DOUBLE) / n_chars, 6) AS code_symbol_ratio,
+           CAST(n_sym AS DOUBLE) / n_chars > 0.02 AS looks_like_code
+    FROM (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[{}();=\\[\\]<>]')) AS n_sym,
+               greatest(1, length(text)) AS n_chars
+        FROM documents
+    )
+    """,
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing signal: density of code-punctuation
+    characters ({};()=[]<>) per character — the cheap first-stage router
+    that sends code to a code pipeline (different dedup/quality rules)
+    and prose to the text one. Pure codegen regexp count, zero shuffle."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    n_sym = F.regexp_count("text", F.lit(r"[{}();=\[\]<>]"))
+    n_chars = F.greatest(F.lit(1), F.length("text"))
+    ratio = n_sym.cast("double") / n_chars
+    return docs.select(
+        "doc_id",
+        n_sym.cast("long").alias("n_code_symbols"),
+        F.round(ratio, 6).alias("code_symbol_ratio"),
+        (ratio > 0.02).alias("looks_like_code"),
+    )

@@ -201,3 +201,59 @@ def dq_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").isNull().alias("was_imputed"),
         )
     )
+
+
+@query(
+    "dq_benford",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substring(regexp_extract(
+                   CAST(CAST(round(o_totalprice, 2) * 100 AS BIGINT) AS VARCHAR),
+                   '[1-9]'), 1, 1) AS INT) AS d
+        FROM orders WHERE o_totalprice > 0
+    ),
+    counts AS (SELECT d, count(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT sum(n) AS total FROM counts)
+    SELECT d,
+           CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) / total, 6) AS observed_p,
+           round(ln(1.0 + 1.0 / d) / ln(10.0), 6) AS benford_p,
+           round(CAST(n AS DOUBLE) / total - ln(1.0 + 1.0 / d) / ln(10.0), 6)
+               AS deviation
+    FROM counts, tot
+    """,
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals: observed leading-digit
+    frequencies vs log10(1 + 1/d) — the classic fabricated/synthetic-data
+    smell test. The leading digit is taken from the INTEGER cent string
+    (cast double->string formats differently per engine; integer strings
+    are identical), so extraction is engine-neutral. One tiny aggregate +
+    a one-row total broadcast."""
+    orders = io.load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0
+    )
+    cents_str = F.round(F.col("o_totalprice"), 2) * 100
+    digit = F.substring(
+        F.regexp_extract(
+            cents_str.cast("bigint").cast("string"), r"[1-9]", 0
+        ),
+        1,
+        1,
+    ).cast("int")
+    counts = orders.select(digit.alias("d")).groupBy("d").agg(
+        F.count("*").alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    benford = F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0))
+    p = F.col("n").cast("double") / F.col("total")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            F.col("n").cast("long").alias("n"),
+            F.round(p, 6).alias("observed_p"),
+            F.round(benford, 6).alias("benford_p"),
+            F.round(p - benford, 6).alias("deviation"),
+        )
+    )

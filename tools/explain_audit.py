@@ -222,11 +222,11 @@ FORBIDDEN = (
     # executes an uncorrelated scalar subquery). Everywhere else a nested
     # loop is a scale bug.
     # agg_share_of_total broadcasts its ONE-ROW global total the same way.
-    # dq_impute, dq_drift_psi, and text_lm_score broadcast ONE-ROW global
-    # aggregates too.
+    # dq_impute, dq_drift_psi, text_lm_score, and dq_benford broadcast
+    # ONE-ROW global aggregates too.
     ("BroadcastNestedLoopJoin",
      {"sim_topk", "sql_tpch_q22", "agg_share_of_total", "corpus_mix_weights",
-      "dq_impute", "dq_drift_psi", "text_lm_score"}),
+      "dq_impute", "dq_drift_psi", "text_lm_score", "dq_benford"}),
 )
 
 
