@@ -383,3 +383,54 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 6).alias("code_symbol_ratio"),
         (ratio > 0.02).alias("looks_like_code"),
     )
+
+
+@query(
+    "text_bpe_merges",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, regexp_extract_all(lower(substring(text, 1, 80)), '[a-z]') AS cs
+        FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, len(cs) - 1),
+                   i -> cs[i] || cs[i + 1]
+               )) AS pair
+        FROM chars WHERE len(cs) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 10
+    """,
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, iteration one: the most frequent adjacent
+    character pairs over the corpus — the merge-table construction step
+    (rank 1 = the first merge a BPE trainer would learn). Letters-only
+    over an 80-char prefix keeps the demo bounded; the full trainer is
+    this aggregation iterated with the winning pair substituted. Shape:
+    regexp char split (bound column) -> zip_with pair stream -> hash agg
+    with map-side partials -> top-10 via TakeOrderedAndProject."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    cs = F.col("cs")
+    pairs = F.zip_with(
+        F.slice(cs, 1, F.size(cs) - 1),
+        F.slice(cs, 2, F.size(cs) - 1),
+        lambda x, y: F.concat(x, y),
+    )
+    return (
+        docs.select(
+            F.regexp_extract_all(
+                F.lower(F.substring("text", 1, 80)), F.lit("[a-z]"), 0
+            ).alias("cs")
+        )
+        .filter(F.size(cs) >= 2)
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(10)
+    )

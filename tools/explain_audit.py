@@ -209,6 +209,10 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
          "bin-bucket equi-join, band as post-filter (no theta nested loop)"),
     ],
+    "text_bpe_merges": [
+        (r"partial_count", "pair counts partially aggregated map-side"),
+        (r"TakeOrderedAndProject", "top-10 merges as partial top-k"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
