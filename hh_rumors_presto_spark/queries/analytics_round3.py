@@ -306,20 +306,25 @@ def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan); the cumulative window is keyed by user. Peak event chosen with
     a deterministic (deviation desc, event_id) tiebreak, deviations
     rounded to 9dp before comparison so float noise cannot flip the
-    argmax between engines."""
+    argmax between engines.
+
+    The global mean is carried in-plan as a broadcast one-row aggregate
+    (crossJoin(broadcast(agg)), the dq_drift_psi pattern) rather than a
+    driver-side collect — one job, no driver round-trip."""
     ev = io.load_table(spark, sf_dir, "events")
-    [p] = ev.agg(F.avg("value").alias("mu")).collect()
+    mu = ev.agg(F.avg("value").alias("mu"))
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cusum = F.sum(F.col("value") - F.lit(p.mu)).over(w)
+    cusum = F.sum(F.col("value") - F.col("mu")).over(w)
     tie = F.struct(
         (-F.round(F.abs(F.col("cusum")), 9)).alias("neg"), F.col("event_id")
     )
     return (
         ev.select("event_id", "user_id", "ts", "value")
+        .crossJoin(F.broadcast(mu))
         .select("event_id", "user_id", cusum.alias("cusum"))
         .groupBy("user_id")
         .agg(

@@ -40,6 +40,7 @@ _SAMPLE_K = 100
                       % {_ES_PRIME} + 1) / {_ES_DENOM})
                  / ln(1 + n_chars), 6) AS es_key
     FROM documents
+    WHERE n_chars > 0
     ORDER BY -ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
                   % {_ES_PRIME} + 1) / {_ES_DENOM}) / ln(1 + n_chars),
              doc_id
@@ -53,7 +54,12 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample is reproducible. Scale shape: sort+limit compiles to
     TakeOrderedAndProject — per-partition partial top-k then a k-row merge
     on one reducer; the corpus is scanned once and never shuffled."""
-    docs = io.load_table(spark, sf_dir, "documents")
+    # n_chars = 0 would make the weight 0 and es_key NULL in Spark
+    # (NULLS FIRST under asc) but +inf/NULLS LAST in DuckDB — exclude
+    # zero-length docs identically on both sides.
+    docs = io.load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
     h = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
     ).cast("long")

@@ -176,7 +176,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
     ),
     marked AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w >= INTERVAL {GAP_MIN} MINUTE
                     THEN 1 ELSE 0 END AS is_new
@@ -184,8 +184,11 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     numbered AS (
+        -- event_id tiebreak must match the `marked` window: without it a
+        -- row sharing a timestamp with a session-boundary row can
+        -- nondeterministically receive the pre-boundary session_no.
         SELECT *, sum(is_new) OVER (
-            PARTITION BY user_id ORDER BY ts
+            PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
         FROM marked
     )

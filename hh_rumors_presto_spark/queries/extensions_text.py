@@ -217,21 +217,27 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf top-3 terms per doc (rational idf (N+1)/(df+1): exact
     cross-engine floats). df is a tiny aggregate -> broadcast back; the only
-    big shuffle is the (doc, term) tf aggregation."""
+    big shuffle is the (doc, term) tf aggregation. The corpus size N rides
+    in-plan as a broadcast one-row aggregate (dq_drift_psi pattern) instead
+    of a driver-side .count() — the whole query is one job."""
     docs = io.load_table(spark, sf_dir, "documents")
     tokens = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
     tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = docs.count()
-    scored = tf.join(F.broadcast(df), "term").select(
-        "doc_id",
-        "term",
-        (
-            F.col("tf")
-            * (F.lit(float(n_docs + 1)) / (F.col("df") + 1))
-        ).alias("score"),
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * ((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1))
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
     return (

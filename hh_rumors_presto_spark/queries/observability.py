@@ -128,7 +128,14 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(9),
         F.floor((F.col("value") - p.vmin) / (p.vmax - p.vmin) * 10).cast("int"),
     )
-    period = F.when(F.unix_micros("ts") < int(p.split_us), "a").otherwise("b")
+    # Compare against the unmodified fractional median (the oracle's
+    # percentile() is a DOUBLE): truncating with int() would shift events at
+    # exactly floor(median) µs into the wrong period when the two middle
+    # timestamps are 1µs apart.
+    period = (
+        F.when(F.unix_micros("ts") < F.lit(float(p.split_us)), "a")
+        .otherwise("b")
+    )
     counts = (
         ev.select(bin_col.alias("bin"), period.alias("period"))
         .groupBy("bin")
@@ -208,7 +215,7 @@ def dq_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH digits AS (
         SELECT CAST(substring(regexp_extract(
-                   CAST(CAST(round(o_totalprice, 2) * 100 AS BIGINT) AS VARCHAR),
+                   CAST(CAST(floor(round(o_totalprice, 2) * 100 + 0.5) AS BIGINT) AS VARCHAR),
                    '[1-9]'), 1, 1) AS INT) AS d
         FROM orders WHERE o_totalprice > 0
     ),
@@ -233,10 +240,13 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = io.load_table(spark, sf_dir, "orders").filter(
         F.col("o_totalprice") > 0
     )
-    cents_str = F.round(F.col("o_totalprice"), 2) * 100
+    # floor(x + 0.5) before the integer cast: CAST(double AS BIGINT) rounds
+    # to nearest in DuckDB but truncates toward zero in Spark, so the
+    # half-up rounding must be explicit and identical on both sides.
+    cents = F.floor(F.round(F.col("o_totalprice"), 2) * 100 + 0.5)
     digit = F.substring(
         F.regexp_extract(
-            cents_str.cast("bigint").cast("string"), r"[1-9]", 0
+            cents.cast("bigint").cast("string"), r"[1-9]", 0
         ),
         1,
         1,

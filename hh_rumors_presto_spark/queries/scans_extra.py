@@ -188,8 +188,12 @@ def sink_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     region = io.load_table(spark, sf_dir, "region")
+    # applicationId keys the path per session: two concurrent runs against
+    # same-named fixture dirs must not race on overwrite-then-read.
     out_dir = os.path.join(
-        tempfile.gettempdir(), f"hh_sink_text_{os.path.basename(sf_dir)}"
+        tempfile.gettempdir(),
+        f"hh_sink_text_{os.path.basename(sf_dir)}"
+        f"_{spark.sparkContext.applicationId}",
     )
     (
         region.select(
