@@ -37,6 +37,7 @@ def load() -> None:
         misc_ops,
         multimodal_round2,
         observability,
+        page_pipeline,
         relational,
         render,
         scale_patterns,

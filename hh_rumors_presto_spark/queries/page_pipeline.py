@@ -1,0 +1,256 @@
+"""Composed tag-page extraction (SURVEY.md §2.A row 6 — the reference's
+``parseTagPage``, fetchRumors.js:75-124).
+
+``extract_page_items`` closes the one partially-covered reference row: the
+raw-HTML-page -> item-rows extractor, composed of the container fallback
+chain, the date forward-fill element walk, the admission filter, the
+last-anchor projection, and the paragraphHTML sanitize — all previously
+present only as separate pieces.
+
+Test construction: deterministic synthetic tag pages are built in-plan
+from the ``documents`` fixture (10 docs per page) with every structural
+edge the reference handles:
+
+- container varies per page (main / #content / .content / .container /
+  bare body) with an out-of-container decoy block that must never produce
+  rows (container-selection proof);
+- date headings are emitted only when the item date changes (and, on
+  every 6th page starting at 2, NOT before the first item — whose rows
+  must then be rejected for lacking a current date): forward-fill proof;
+- items rotate through <p> vs <ul><li>, bold-wrapped lead words
+  (sanitizer flatten proof), no/single/double anchors (last-anchor and
+  HoopsHype-default proof), and sub-15-char texts (length gate proof).
+
+Because the construction is a pure column expression over ``documents``,
+the DuckDB oracle can predict the extractor's exact output rows without
+parsing any HTML — a full value-hash check over the composed operator.
+
+Scale shape: page parsing is an Arrow-batched pandas UDF over independent
+page rows — no cross-page state, so the stage is embarrassingly parallel
+at any corpus size; the generation groupBy is test scaffolding (real
+pages arrive as source rows).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.functions.page_extract import parse_tag_page
+from hh_rumors_presto_spark.registry import query
+
+_MONTHS = (
+    "January February March April May June July August September "
+    "October November December"
+).split()
+
+_ITEM_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("title", T.StringType()),
+            T.StructField("snippet_html", T.StringType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("source_name", T.StringType()),
+            T.StructField("date_iso", T.StringType()),
+            T.StructField("last_anchor_text", T.StringType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_ITEM_TYPE)
+def _parse_pages_udf(html: pd.Series) -> pd.Series:
+    return html.map(parse_tag_page)
+
+
+def build_synthetic_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(page_id BIGINT, html STRING) — deterministic tag pages from the
+    documents fixture; see module docstring for the embedded edge cases."""
+    docs = io.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sl = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.substring(F.coalesce("text", F.lit("")), 1, 40),
+                "[^A-Za-z0-9 ]",
+                "",
+            ),
+            " +",
+            " ",
+        )
+    )
+    rest = F.concat(
+        F.lit(" item "),
+        F.col("doc_id").cast("string"),
+        F.lit(" reports"),
+        F.when(sl == "", "").otherwise(F.concat(F.lit(" "), sl)),
+    )
+    label = F.concat(F.lit("Source "), (F.col("doc_id") % 10).cast("string"))
+    url0 = F.concat(F.lit("https://ex.com/"), F.col("doc_id").cast("string"))
+    a_src = F.concat(F.lit('<a href="'), url0, F.lit('">'), label, F.lit("</a>"))
+    a_extra = F.concat(
+        F.lit('<a href="https://ex.com/a/'),
+        F.col("doc_id").cast("string"),
+        F.lit('">Extra</a>'),
+    )
+    anchors = (
+        F.when(F.col("doc_id") % 5 == 0, "")
+        .when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" "), a_extra, F.lit(" "), a_src),
+        )
+        .otherwise(F.concat(F.lit(" "), a_src))
+    )
+    lead = F.when(F.col("doc_id") % 2 == 0, "<b>Rumor</b>").otherwise("Rumor")
+    inner = F.concat(lead, rest, anchors)
+    item_html = F.when(F.col("doc_id") % 7 == 0, "<p>tiny</p>").otherwise(
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("<ul><li>"), inner, F.lit("</li></ul>")),
+        ).otherwise(F.concat(F.lit("<p>"), inner, F.lit("</p>")))
+    )
+
+    grp = F.expr("(doc_id div 3) % 60")
+    d = F.date_add(F.lit("2024-01-01").cast("date"), grp.cast("int"))
+    heading = F.concat(
+        F.lit("<h2>"),
+        F.element_at(F.array(*[F.lit(m) for m in _MONTHS]), F.month(d)),
+        F.lit(" "),
+        F.dayofmonth(d).cast("string"),
+        F.lit(", "),
+        F.year(d).cast("string"),
+        F.lit("</h2>"),
+    )
+    staged = docs.select(
+        F.expr("doc_id div 10").alias("page_id"),
+        (F.col("doc_id") % 10).alias("pos"),
+        grp.alias("grp"),
+        heading.alias("heading"),
+        item_html.alias("item_html"),
+    )
+    w = Window.partitionBy("page_id").orderBy("pos")
+    prev = F.lag("grp").over(w)
+    emit = (prev.isNull() & (F.col("page_id") % 6 != 2)) | (
+        prev.isNotNull() & (prev != F.col("grp"))
+    )
+    frag = F.concat(
+        F.when(emit, F.col("heading")).otherwise(""), F.col("item_html")
+    )
+    copen = (
+        F.when(F.col("page_id") % 5 == 0, "<main>")
+        .when(F.col("page_id") % 5 == 1, '<div id="content">')
+        .when(F.col("page_id") % 5 == 2, '<div class="content">')
+        .when(F.col("page_id") % 5 == 3, '<div class="container">')
+        .otherwise("")
+    )
+    cclose = (
+        F.when(F.col("page_id") % 5 == 0, "</main>")
+        .when(F.col("page_id") % 5 == 4, "")
+        .otherwise("</div>")
+    )
+    decoy = F.when(
+        F.col("page_id") % 5 == 4, ""
+    ).otherwise(
+        '<div class="extra"><h2>December 31, 1999</h2>'
+        "<p>This decoy paragraph must never be parsed into output rows</p>"
+        "</div>"
+    )
+    return (
+        staged.select("page_id", frag.alias("frag"), F.col("pos"))
+        .groupBy("page_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(pos, frag)))"
+                ", x -> x.frag), '')"
+            ).alias("body_inner")
+        )
+        .select(
+            "page_id",
+            F.concat(
+                F.lit(
+                    "<html><head><title>Page</title></head><body>"
+                    "<nav><p>menu</p></nav>"
+                ),
+                copen,
+                F.col("body_inner"),
+                cclose,
+                decoy,
+                F.lit("<footer><p>cr</p></footer></body></html>"),
+            ).alias("html"),
+        )
+    )
+
+
+@query(
+    "extract_page_items",
+    oracle="""
+    WITH d0 AS (
+        SELECT doc_id,
+               doc_id // 10 AS page_id,
+               DATE '2024-01-01' + CAST((doc_id // 3) % 60 AS INT) AS d,
+               trim(regexp_replace(regexp_replace(
+                   substring(coalesce(text, ''), 1, 40),
+                   '[^A-Za-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS sl
+        FROM documents
+    ),
+    core AS (
+        SELECT *,
+               'Rumor item ' || doc_id || ' reports'
+                   || CASE WHEN sl = '' THEN '' ELSE ' ' || sl END AS body,
+               'Source ' || (doc_id % 10) AS label,
+               'https://ex.com/' || doc_id AS url0
+        FROM d0
+    ),
+    admitted AS (
+        -- %7: sub-15-char text gate; first doc of every 6k+2 page: no
+        -- date heading has been seen yet, so the item is rejected
+        SELECT * FROM core
+        WHERE doc_id % 7 <> 0
+          AND NOT (page_id % 6 = 2 AND (doc_id // 3) = ((page_id * 10) // 3))
+    )
+    SELECT page_id,
+           CAST(row_number() OVER (PARTITION BY page_id ORDER BY doc_id) - 1
+                AS INT) AS item_pos,
+           body || CASE WHEN doc_id % 5 = 0 THEN ''
+                        WHEN doc_id % 3 = 0 THEN ' Extra ' || label
+                        ELSE ' ' || label END AS title,
+           body || CASE WHEN doc_id % 5 = 0 THEN ''
+                        WHEN doc_id % 3 = 0 THEN
+                            ' <a href="https://ex.com/a/' || doc_id
+                            || '" target="_blank">Extra</a> <a href="'
+                            || url0 || '" target="_blank">' || label || '</a>'
+                        ELSE ' <a href="' || url0 || '" target="_blank">'
+                            || label || '</a>' END AS snippet_html,
+           CASE WHEN doc_id % 5 = 0 THEN '' ELSE url0 END AS url,
+           CASE WHEN doc_id % 5 = 0 THEN 'HoopsHype' ELSE label END
+               AS source_name,
+           strftime(d, '%Y-%m-%d') AS date_iso,
+           CASE WHEN doc_id % 5 = 0 THEN '' ELSE label END
+               AS last_anchor_text
+    FROM admitted
+    """,
+)
+def extract_page_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the composed parseTagPage extractor over synthetic tag pages
+    and return one row per admitted item in page-document order.
+
+    The oracle reconstructs the expected rows arithmetically from the
+    same fixture columns the pages were generated from — so container
+    selection, date forward-fill, admission, sanitization, and
+    last-anchor attribution are all value-hash-checked end to end."""
+    pages = build_synthetic_pages(spark, sf_dir)
+    return pages.select(
+        "page_id",
+        F.posexplode(_parse_pages_udf("html")).alias("item_pos", "it"),
+    ).select(
+        "page_id",
+        "item_pos",
+        F.col("it.title").alias("title"),
+        F.col("it.snippet_html").alias("snippet_html"),
+        F.col("it.url").alias("url"),
+        F.col("it.source_name").alias("source_name"),
+        F.col("it.date_iso").alias("date_iso"),
+        F.col("it.last_anchor_text").alias("last_anchor_text"),
+    )
