@@ -254,3 +254,114 @@ def extract_page_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("it.date_iso").alias("date_iso"),
         F.col("it.last_anchor_text").alias("last_anchor_text"),
     )
+
+
+_CRAWL_ORIGIN = "http://fixture.test"
+_CRAWL_SLUG = "synthetic_tag"
+_CRAWL_ERROR_PAGE = 9  # 500 here: the crawl must keep pages 1..8
+_CRAWL_REDIRECT_PAGE = 3  # 302 hop here: redirect-follow proof
+
+
+@query(
+    "scan_http_crawl",
+    oracle="""
+    WITH d0 AS (
+        SELECT doc_id,
+               doc_id // 10 AS page_id,
+               DATE '2024-01-01' + CAST((doc_id // 3) % 60 AS INT) AS d,
+               trim(regexp_replace(regexp_replace(
+                   substring(coalesce(text, ''), 1, 40),
+                   '[^A-Za-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS sl
+        FROM documents
+    ),
+    core AS (
+        SELECT *,
+               'Rumor item ' || doc_id || ' reports'
+                   || CASE WHEN sl = '' THEN '' ELSE ' ' || sl END AS body,
+               'Source ' || (doc_id % 10) AS label,
+               'https://ex.com/' || doc_id AS url0
+        FROM d0
+    ),
+    admitted AS (
+        SELECT * FROM core
+        WHERE doc_id % 7 <> 0
+          AND NOT (page_id % 6 = 2 AND (doc_id // 3) = ((page_id * 10) // 3))
+          -- the 500 at crawl page 9 stops the scan: only pages 1..8
+          -- (page_id 0..7) are ever fetched, partial results kept
+          AND page_id < 8
+    )
+    SELECT page_id,
+           CAST(row_number() OVER (PARTITION BY page_id ORDER BY doc_id) - 1
+                AS INT) AS item_pos,
+           body || CASE WHEN doc_id % 5 = 0 THEN ''
+                        WHEN doc_id % 3 = 0 THEN ' Extra ' || label
+                        ELSE ' ' || label END AS title,
+           CASE WHEN doc_id % 5 = 0 THEN '' ELSE url0 END AS url,
+           CASE WHEN doc_id % 5 = 0 THEN 'HoopsHype' ELSE label END
+               AS source_name,
+           strftime(d, '%Y-%m-%d') AS date_iso
+    FROM admitted
+    """,
+)
+def scan_http_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full fetch contract against an in-process fixture
+    transport: Basic-Auth header config (the fixture 401s without it),
+    spoofed UA, redirect-follow (crawl page 3 is served via a 302 hop),
+    non-2xx throw -> stop-scan-keep-partial (page 9 returns 500, so
+    pages 1..8 survive), per-item dedup and caps
+    (fetchRumors.js:14-56,126-151).
+
+    The fixture pages are the same deterministic synthetic tag pages as
+    extract_page_items, so the oracle predicts the exact surviving rows.
+    The driver-side page dict is fixture-SERVER setup (12 small HTML
+    strings), not a data-path collect; in deployment the transport is a
+    real GET and pages land as source rows."""
+    from hh_rumors_presto_spark.sources.http_transport import (
+        crawl_tag,
+        dict_transport,
+        page_url,
+    )
+
+    served = {
+        int(r["page_id"]): r["html"]
+        for r in build_synthetic_pages(spark, sf_dir)
+        .filter(F.col("page_id") < 12)
+        .collect()
+    }
+    pages: dict[str, tuple[int, dict[str, str], str]] = {}
+    for page_id, html in served.items():
+        page = page_id + 1
+        url = page_url(_CRAWL_ORIGIN, _CRAWL_SLUG, page)
+        if page == _CRAWL_ERROR_PAGE:
+            pages[url] = (500, {}, "server error")
+        elif page == _CRAWL_REDIRECT_PAGE:
+            moved = f"{_CRAWL_ORIGIN}/moved/{page}/"
+            pages[url] = (302, {"location": moved}, "")
+            pages[moved] = (200, {}, html)
+        else:
+            pages[url] = (200, {}, html)
+
+    items, _debug = crawl_tag(
+        dict_transport(pages), _CRAWL_ORIGIN, _CRAWL_SLUG, max_pages=10
+    )
+    rows = []
+    pos_by_page: dict[int, int] = {}
+    for it in items:
+        page_id = it["page"] - 1
+        pos = pos_by_page.get(page_id, 0)
+        pos_by_page[page_id] = pos + 1
+        rows.append(
+            (
+                page_id,
+                pos,
+                it["title"],
+                it["url"],
+                it["source_name"],
+                it["date_iso"],
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        schema="page_id long, item_pos int, title string, url string, "
+        "source_name string, date_iso string",
+    )
