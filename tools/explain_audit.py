@@ -213,6 +213,35 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"partial_count", "pair counts partially aggregated map-side"),
         (r"TakeOrderedAndProject", "top-10 merges as partial top-k"),
     ],
+    "ts_cusum": [
+        (r"BroadcastNestedLoopJoin|BroadcastHashJoin",
+         "one-row global mean carried in-plan (no driver collect)"),
+        (r"hashpartitioning\(user_id", "cusum window keyed by user"),
+    ],
+    "text_tfidf": [
+        (r"BroadcastNestedLoopJoin|BroadcastHashJoin",
+         "one-row corpus count carried in-plan (no driver count)"),
+        (r"partial_count", "tf/df counts partially aggregated map-side"),
+    ],
+    "graph_triangles": [
+        (r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
+         "wedge closure via equi-joins (degree-bounded, no all-pairs)"),
+        (r"partial_count", "per-node triangle counts partially aggregated"),
+    ],
+    # round-3 additions
+    "extract_page_items": [
+        (r"ArrowEvalPython|EvalPython", "page parse is Arrow-batched (one UDF pass over pages)"),
+        (r"HashAggregate", "page assembly is a keyed hash aggregate"),
+    ],
+    "sim_ann_multitable": [
+        (r"BroadcastHashJoin", "bucket probe against broadcast query side"),
+        (r"hashpartitioning\(query_id", "cross-table dedup + top-k keyed by query"),
+        (r"WindowGroupLimit", "rank<=k rewritten to per-partition group limit"),
+    ],
+    "sim_ann_recall": [
+        (r"BroadcastHashJoin", "per-method candidate sets broadcast-joined"),
+        (r"partial_count", "recall counts partially aggregated map-side"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -228,9 +257,12 @@ FORBIDDEN = (
     # agg_share_of_total broadcasts its ONE-ROW global total the same way.
     # dq_impute, dq_drift_psi, text_lm_score, and dq_benford broadcast
     # ONE-ROW global aggregates too.
+    # sim_ann_recall crossJoins its TWO-ROW method list (and embeds
+    # sim_topk's broadcast query side).
     ("BroadcastNestedLoopJoin",
      {"sim_topk", "sql_tpch_q22", "agg_share_of_total", "corpus_mix_weights",
-      "dq_impute", "dq_drift_psi", "text_lm_score", "dq_benford"}),
+      "dq_impute", "dq_drift_psi", "text_lm_score", "dq_benford",
+      "sim_ann_recall", "ts_cusum", "text_tfidf"}),
 )
 
 
