@@ -58,8 +58,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FRONT_KEYS = [
     # round-3 additions (composed page extractor, HTTP crawl contract,
     # multi-table ANN + measured recall) + the resume-cursor scan
-    "extract_page_items", "scan_http_crawl", "sim_ann_multitable",
-    "sim_ann_recall", "scan_paged_resume",
+    "extract_page_items", "scan_http_crawl", "flagship_from_html",
+    "sim_ann_multitable", "sim_ann_recall", "scan_paged_resume",
     # §2.B keys named directly by VERDICT r2 task 1
     "str_clean", "str_extract_date", "str_escape", "date_arith",
     "math_basic", "json_extract", "limit_offset", "join_cross",
@@ -74,8 +74,10 @@ FRONT_KEYS = [
     "dedup_levenshtein", "agg_mode", "text_gopher_rules", "text_repetition",
     "corpus_domain_cap", "pipeline_pack", "emb_kmeans_assign",
     "agg_heavy_hitters", "sink_orc_roundtrip", "text_segment_dedup",
-    "curation_quality_rank", "corpus_length_histogram",
+    "curation_quality_rank",
 ]
+# corpus_length_histogram yielded its r3 slot to flagship_from_html;
+# it rotates into the round-4 window.
 
 
 # Keys with a driver CORRECTNESS row from rounds 1-2 (green, or the

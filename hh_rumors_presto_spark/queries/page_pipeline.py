@@ -365,3 +365,160 @@ def scan_http_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="page_id long, item_pos int, title string, url string, "
         "source_name string, date_iso string",
     )
+
+
+_BETA_SHIFT = 6  # beta's page 1 serves page_id 6: overlaps alpha on 6..7
+
+
+@query(
+    "flagship_from_html",
+    oracle="""
+    WITH d0 AS (
+        SELECT doc_id,
+               doc_id // 10 AS page_id,
+               DATE '2024-01-01' + CAST((doc_id // 3) % 60 AS INT) AS d,
+               trim(regexp_replace(regexp_replace(
+                   substring(coalesce(text, ''), 1, 40),
+                   '[^A-Za-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS sl
+        FROM documents
+    ),
+    core AS (
+        SELECT *,
+               'Rumor item ' || doc_id || ' reports'
+                   || CASE WHEN sl = '' THEN '' ELSE ' ' || sl END AS body,
+               'Source ' || (doc_id % 10) AS label,
+               'https://ex.com/' || doc_id AS url0
+        FROM d0
+    ),
+    admitted AS (
+        -- alpha crawls page_id 0..7 (500 at its page 9), beta crawls
+        -- page_id 6..15; the global date::title::url dedup collapses the
+        -- 6..7 overlap, so the merged set is page_id 0..15 once each
+        SELECT * FROM core
+        WHERE doc_id % 7 <> 0
+          AND NOT (page_id % 6 = 2 AND (doc_id // 3) = ((page_id * 10) // 3))
+          AND page_id <= 15
+    ),
+    payload AS (
+        SELECT strftime(d, '%Y-%m-%d') AS date_iso,
+               list_extract(['Jan.','Feb.','Mar.','Apr.','May','Jun.',
+                             'Jul.','Aug.','Sep.','Oct.','Nov.','Dec.'],
+                            month(d))
+                   || ' ' || day(d) || ', ' || year(d) AS date_pretty,
+               body || CASE WHEN doc_id % 5 = 0 THEN ''
+                            WHEN doc_id % 3 = 0 THEN
+                                ' <a href="https://ex.com/a/' || doc_id
+                                || '" target="_blank">Extra</a> <a href="'
+                                || url0 || '" target="_blank">' || label
+                                || '</a>'
+                            ELSE ' <a href="' || url0
+                                || '" target="_blank">' || label || '</a>'
+                       END AS snippet_html,
+               CASE WHEN doc_id % 5 = 0 THEN 'HoopsHype' ELSE label END
+                   AS source_name,
+               CASE WHEN doc_id % 5 = 0 THEN '' ELSE url0 END AS source_url,
+               doc_id % 5 <> 0 AS suppress_source,
+               body || CASE WHEN doc_id % 5 = 0 THEN ''
+                            WHEN doc_id % 3 = 0 THEN ' Extra ' || label
+                            ELSE ' ' || label END AS title
+        FROM admitted
+    )
+    SELECT date_iso, date_pretty, snippet_html, source_name, source_url,
+           suppress_source
+    FROM payload
+    ORDER BY date_iso DESC, title ASC
+    LIMIT 8 OFFSET 1
+    """,
+)
+def flagship_from_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE reference handler replayed from raw HTML
+    (fetchRumors.js:174-218): two tag crawls over the fixture transport
+    (alpha = pages 1..10 of page_id 0.., 500 at page 9; beta = the same
+    corpus shifted so its pages overlap alpha on two page_ids), each page
+    parsed by the composed extractor, then merge -> global
+    date::title::url dedup (the overlap collapses) -> date-desc sort with
+    a deterministic title tiebreak (the reference's JS comparator never
+    returns 0, so equal-date order is implementation-defined there; a
+    total order is required for a value-hash) -> skip the newest -> take
+    8 -> final payload with fmtMonthAbbrev date_pretty and
+    bodyAlreadyHasSource suppress_source — both the real column
+    implementations, not re-derivations.
+
+    This is the switch-over proof for a reference user: URL in, the
+    reference's eight-item JSON payload out, every stage Spark-side
+    except the driver-sequenced page fetch."""
+    from hh_rumors_presto_spark.functions.dates import fmt_month_abbrev
+    from hh_rumors_presto_spark.functions.strings import (
+        body_already_has_source,
+    )
+    from hh_rumors_presto_spark.sources.http_transport import (
+        crawl_tag,
+        dict_transport,
+        page_url,
+    )
+
+    served = {
+        int(r["page_id"]): r["html"]
+        for r in build_synthetic_pages(spark, sf_dir)
+        .filter(F.col("page_id") < 16)
+        .collect()
+    }
+    pages: dict[str, tuple[int, dict[str, str], str]] = {}
+    for pid, html in served.items():
+        # alpha: page n -> page_id n-1, with the 500 at page 9
+        page_a = pid + 1
+        url_a = page_url(_CRAWL_ORIGIN, "alpha", page_a)
+        pages[url_a] = (
+            (500, {}, "server error")
+            if page_a == _CRAWL_ERROR_PAGE
+            else (200, {}, html)
+        )
+        # beta: page n -> page_id n+5 (overlap with alpha on 6..7)
+        page_b = pid + 1 - _BETA_SHIFT
+        if 1 <= page_b <= 10:
+            pages[page_url(_CRAWL_ORIGIN, "beta", page_b)] = (200, {}, html)
+
+    transport = dict_transport(pages)
+    rows = []
+    for slug_idx, slug in enumerate(("alpha", "beta")):
+        items, _dbg = crawl_tag(transport, _CRAWL_ORIGIN, slug, max_pages=10)
+        for it in items:
+            rows.append(
+                (
+                    slug_idx,
+                    it["page"],
+                    it["title"],
+                    it["snippet_html"],
+                    it["url"],
+                    it["source_name"],
+                    it["date_iso"],
+                )
+            )
+    merged = spark.createDataFrame(
+        rows,
+        schema="slug_idx int, page int, title string, snippet_html string, "
+        "url string, source_name string, date_iso string",
+    )
+    key = ["date_iso", "title", "url"]
+    w = Window.partitionBy(
+        F.col("date_iso"),
+        F.substring("title", 1, 120),
+        F.col("url"),
+    ).orderBy("slug_idx", "page")
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .orderBy(F.col("date_iso").desc(), F.col("title").asc())
+        .offset(1)
+        .limit(8)
+        .select(
+            "date_iso",
+            fmt_month_abbrev(F.col("date_iso")).alias("date_pretty"),
+            "snippet_html",
+            "source_name",
+            F.col("url").alias("source_url"),
+            body_already_has_source(
+                F.col("snippet_html"), F.col("url"), F.col("source_name")
+            ).alias("suppress_source"),
+        )
+    )
