@@ -50,6 +50,7 @@ def load() -> None:
         strings_dates,
         tpch_full,
         tpch_more,
+        tpch_partsupp,
         udtf_native,
         windows,
     )

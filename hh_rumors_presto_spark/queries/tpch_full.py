@@ -1,11 +1,12 @@
 """TPC-H shapes, round 2 batch: q5, q8, q13, q15, q17, q19, q21.
 
 Together with agg_basic (q1), sql_tpch_q3/q4/q7/q10/q12/q14/q18/q22 and
-agg_filtered_q6, this completes every TPC-H query expressible on the
-fixture schema. q2/q11/q16/q20 need the ``partsupp`` table, which the
-driver fixtures do not generate (TESTDATA.md), so they are out of scope;
-q9's profit term also needs ps_supplycost and is folded into q8's
-market-share shape instead.
+agg_filtered_q6, this covers every TPC-H query expressible directly on
+the fixture schema. q2/q9/q16/q20 (and q11's partsupp form — its
+global-threshold HAVING shape is agg_share_of_total) need ``partsupp``,
+which the driver fixtures do not generate (TESTDATA.md); those four are
+closed in tpch_partsupp.py on a deterministic synthesized partsupp —
+TPC-H is 22/22.
 
 Fixture adaptations (the fixtures are TPC-H-ish, not TPC-H: no
 l_commitdate/l_receiptdate/l_shipmode/p_container/o_comment):
