@@ -1,4 +1,4 @@
-"""TPC-H closure batch: q2, q9, q16, q20 on a SYNTHESIZED ``partsupp``.
+"""TPC-H closure batch: q2, q9, q11, q16, q20 on a SYNTHESIZED ``partsupp``.
 
 The driver fixtures have no partsupp table (TESTDATA.md), which had left
 q2/q9/q16/q20 out of scope. This module closes them with a deterministic
@@ -220,6 +220,75 @@ def sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("profit")
         )
+    )
+
+
+@query(
+    "sql_tpch_q11",
+    oracle=f"""
+    WITH {_PS_SQL},
+    natps AS (
+        SELECT ps.ps_partkey,
+               CAST(ps.ps_supplycost * ps.ps_availqty AS DECIMAL(28,10))
+                   AS v
+        FROM ps
+        JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_3'
+    ),
+    per_part AS (
+        SELECT ps_partkey, sum(v) AS value_dec FROM natps GROUP BY ps_partkey
+    ),
+    total AS (SELECT sum(value_dec) AS total_dec FROM per_part)
+    SELECT p.ps_partkey,
+           CAST(round(p.value_dec, 2) AS DOUBLE) AS value
+    FROM per_part p, total t
+    WHERE p.value_dec * 1000 > t.total_dec
+    ORDER BY value DESC, p.ps_partkey
+    """,
+)
+def sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 (important stock identification, adapted): per-part inventory
+    value held by NATION_3 suppliers, keeping parts above 1/1000 of the
+    national total (spec fraction 0.0001 rescaled to the fixture's part
+    count). The correlated HAVING-threshold subquery decorrelates to a
+    one-row global sum broadcast back over the per-part aggregate — the
+    same shape ``agg_share_of_total`` pins, here in its canonical TPC-H
+    form on partsupp.
+
+    Shape: partsupp distinct is the one big shuffle; supplier/nation
+    broadcast; the threshold compares exact DECIMAL(28,10) sums scaled by
+    an integer (no double rounding on the comparison), so the surviving
+    row set is bit-deterministic in both engines; doubles appear only in
+    the final projection."""
+    ps = partsupp(spark, sf_dir)
+    supp = io.load_table(spark, sf_dir, "supplier")
+    nat = io.load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    natsupp = supp.join(
+        F.broadcast(nat), supp.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey")
+    per_part = (
+        ps.join(F.broadcast(natsupp), ps.ps_suppkey == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                (F.col("ps_supplycost") * F.col("ps_availqty")).cast(
+                    "decimal(28,10)"
+                )
+            ).alias("value_dec")
+        )
+    )
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec") * 1000 > F.col("total_dec"))
+        .select(
+            "ps_partkey",
+            F.round("value_dec", 2).cast("double").alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "ps_partkey")
     )
 
 
