@@ -16,6 +16,7 @@ def load() -> None:
         analytics_extra,
         analytics_round2,
         analytics_round3,
+        analytics_round4,
         breadth_round3,
         breadth_round4,
         breadth_round5,

@@ -242,10 +242,28 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"BroadcastHashJoin", "per-method candidate sets broadcast-joined"),
         (r"partial_count", "recall counts partially aggregated map-side"),
     ],
+    # round-4 additions
+    "ts_ewma": [
+        (r"hashpartitioning\(user_id", "one keyed shuffle for the lag window"),
+        (r"lag\(value", "EWMA unrolled to constant-state lags (no unbounded frame)"),
+    ],
+    "join_spatial_grid": [
+        (r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
+         "3x3 neighborhood as a cell equi-join (no distance cross product)"),
+    ],
+    "mm_phash_dedup": [
+        (r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
+         "candidates only via band-bucket equi-join"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
-NO_EXCHANGE_KEYS = ("join_bucketed", "pipeline_sft_format", "json_variant", "try_fns")
+NO_EXCHANGE_KEYS = (
+    "join_bucketed", "pipeline_sft_format", "json_variant", "try_fns",
+    # PQ-encode is a pure narrow map: quantize + higher-order-function
+    # distances + packed argmin, all inside codegen
+    "sim_pq_assign",
+)
 
 FORBIDDEN = (
     ("CartesianProduct", {"join_cross"}),  # allowed only for the tiny demo
