@@ -265,9 +265,36 @@ _PQ_CODEBOOK = 4  # centroids per subspace
 _PQ_SUBDIM = 16
 
 
-def _pq_cen_sql(s: int, c: int) -> str:
-    """Centroid value formula (scaled x1000 integer domain), jj 0-based."""
-    return f"((({s} * 131 + {c} * 37 + jj * 17) % 1000) - 500)"
+def _quantized(emb: DataFrame) -> DataFrame:
+    """(vec_id, q) with q = floor(embedding * 1000) as array<long> — the
+    shared integer domain every PQ/IVF key computes in (exact cross-engine:
+    float32 -> double is lossless and floor is identical)."""
+    qarr = F.transform(
+        "embedding",
+        lambda v: F.floor(v.cast("double") * F.lit(1000.0)).cast("long"),
+    )
+    return emb.select("vec_id", qarr.alias("q"))
+
+
+def _pq_subspace_key(s: int):
+    """Packed argmin key min_c(d(s,c)*4 + c) over the 4 codebook centroids
+    of subspace s, as a pure higher-order-function expression on column q."""
+
+    def dist(c: int):
+        sl = F.slice("q", _PQ_SUBDIM * s + 1, _PQ_SUBDIM)
+        diffs = F.transform(
+            sl,
+            lambda x, i: (
+                x - ((F.lit(s * 131 + c * 37) + i * 17) % 1000 - 500)
+            ),
+        )
+        return F.aggregate(
+            F.transform(diffs, lambda d: d * d),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    return F.least(*[dist(c) * 4 + F.lit(c) for c in range(_PQ_CODEBOOK)])
 
 
 @query(
@@ -313,37 +340,11 @@ def sim_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the corpus (the oracle's explode+regroup form is the same math,
     written for DuckDB's benefit). PQ-encode is the corpus-side build
     stage of an IVF-PQ ANN index: 256 bytes of float32 become 1 byte."""
-    emb = io.load_table(spark, sf_dir, "embeddings")
-    qarr = F.transform(
-        "embedding",
-        lambda v: F.floor(v.cast("double") * F.lit(1000.0)).cast("long"),
+    vecs = _quantized(io.load_table(spark, sf_dir, "embeddings"))
+    with_keys = vecs.select(
+        "vec_id",
+        *[_pq_subspace_key(s).alias(f"k{s}") for s in range(_PQ_SUBSPACES)],
     )
-    vecs = emb.select("vec_id", qarr.alias("q"))
-
-    def subspace_dist(s: int, c: int):
-        sl = F.slice("q", _PQ_SUBDIM * s + 1, _PQ_SUBDIM)
-        diffs = F.transform(
-            sl,
-            lambda x, i: (
-                x
-                - (
-                    (F.lit(s * 131 + c * 37) + i * 17) % 1000 - 500
-                )
-            ),
-        )
-        return F.aggregate(
-            F.transform(diffs, lambda d: d * d),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    packed = []
-    for s in range(_PQ_SUBSPACES):
-        keys = [
-            subspace_dist(s, c) * 4 + F.lit(c) for c in range(_PQ_CODEBOOK)
-        ]
-        packed.append(F.least(*keys).alias(f"k{s}"))
-    with_keys = vecs.select("vec_id", *packed)
     code = sum(
         ((F.col(f"k{s}") % 4) * F.lit(1 << (2 * s))) for s in range(_PQ_SUBSPACES)
     )
@@ -354,4 +355,245 @@ def sim_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         code.cast("long").alias("pq_code"),
         err.cast("long").alias("q_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_ivfpq_search
+
+_IVFPQ_COARSE_K = 8
+_IVFPQ_QUERIES = 5
+_IVFPQ_SHORTLIST = 10
+_IVFPQ_TOPK = 5
+
+_XQ_SQL = f"""
+    xq AS (
+        SELECT vec_id, t.j AS j,
+               CAST(floor(CAST(embedding[CAST(t.j AS INT) + 1] AS DOUBLE) * 1000)
+                    AS BIGINT) AS q,
+               t.j // {_PQ_SUBDIM} AS s, t.j % {_PQ_SUBDIM} AS jj
+        FROM embeddings, range(0, {_PQ_SUBSPACES * _PQ_SUBDIM}) t(j)
+    )
+"""
+
+
+@query(
+    "sim_ivfpq_search",
+    oracle=f"""
+    WITH {_XQ_SQL},
+    coarse AS (
+        SELECT vec_id, ks.k AS k,
+               sum((q - (((ks.k * 257 + j * 41) % 1000) - 500))
+                   * (q - (((ks.k * 257 + j * 41) % 1000) - 500))) AS d
+        FROM xq CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) ks(k)
+        GROUP BY vec_id, ks.k
+    ),
+    cellof AS (
+        SELECT vec_id, min(d * 8 + k) % 8 AS cell FROM coarse GROUP BY vec_id
+    ),
+    dist4 AS (
+        SELECT vec_id, s, cs.c AS c,
+               sum((q - (((s * 131 + cs.c * 37 + jj * 17) % 1000) - 500))
+                   * (q - (((s * 131 + cs.c * 37 + jj * 17) % 1000) - 500))) AS d
+        FROM xq CROSS JOIN (VALUES (0),(1),(2),(3)) cs(c)
+        GROUP BY vec_id, s, cs.c
+    ),
+    codes AS (
+        SELECT vec_id, s, min(d * 4 + c) % 4 AS c FROM dist4 GROUP BY vec_id, s
+    ),
+    qs AS (
+        SELECT vec_id AS query_id, cell FROM cellof
+        WHERE vec_id < {_IVFPQ_QUERIES}
+    ),
+    cand AS (
+        SELECT qu.query_id, co.vec_id AS neighbor_id
+        FROM cellof co JOIN qs qu ON co.cell = qu.cell
+        WHERE co.vec_id <> qu.query_id
+    ),
+    adc AS (
+        SELECT ca.query_id, ca.neighbor_id,
+               sum((x.q - (((x.s * 131 + cd.c * 37 + x.jj * 17) % 1000) - 500))
+                   * (x.q - (((x.s * 131 + cd.c * 37 + x.jj * 17) % 1000) - 500)))
+                   AS adist
+        FROM cand ca
+        JOIN xq x ON x.vec_id = ca.query_id
+        JOIN codes cd ON cd.vec_id = ca.neighbor_id AND cd.s = x.s
+        GROUP BY ca.query_id, ca.neighbor_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+            FROM adc)
+        WHERE rn <= {_IVFPQ_SHORTLIST}
+    ),
+    exact AS (
+        SELECT sh.query_id, sh.neighbor_id,
+               sum((a.q - b.q) * (a.q - b.q)) AS dist
+        FROM short sh
+        JOIN xq a ON a.vec_id = sh.query_id
+        JOIN xq b ON b.vec_id = sh.neighbor_id AND b.j = a.j
+        GROUP BY sh.query_id, sh.neighbor_id
+    )
+    SELECT query_id, neighbor_id, dist FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+        FROM exact)
+    WHERE rn <= {_IVFPQ_TOPK}
+    """,
+)
+def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search, the industry-standard billion-scale ANN pipeline,
+    end to end: a coarse quantizer (8 formula-derived centroids) buckets
+    the corpus into cells; each vector also carries its PQ code (the
+    sim_pq_assign encoder); a query probes its own cell, scores every
+    candidate by ADC (asymmetric distance: exact query subvector vs the
+    candidate's codebook centroid — a table lookup at deployment),
+    shortlists the best {_IVFPQ_SHORTLIST} and exact-re-ranks to the final
+    top {_IVFPQ_TOPK}. Everything runs in the floor(x*1000) integer domain,
+    so distances, argmins, and both rank boundaries are bit-deterministic
+    and the key carries a full value-hash oracle.
+
+    Scale shape: cell assignment and PQ encode are narrow per-row
+    expressions (zero shuffle, see sim_pq_assign); the query side is tiny
+    and broadcast; candidates form ONLY via the cell equi-join (nprobe=1
+    here; more probes = more cell keys per query, same dataflow); ADC and
+    the exact re-rank touch |cell| and {_IVFPQ_SHORTLIST} rows per query
+    respectively. Rank<=k steps are WindowGroupLimit (partial top-k)."""
+    vecs = _quantized(io.load_table(spark, sf_dir, "embeddings"))
+
+    def coarse_dist(k: int):
+        diffs = F.transform(
+            "q",
+            lambda x, i: (x - ((F.lit(k * 257) + i * 41) % 1000 - 500)),
+        )
+        return F.aggregate(
+            F.transform(diffs, lambda d: d * d),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    cell = (
+        F.least(*[coarse_dist(k) * 8 + F.lit(k) for k in range(_IVFPQ_COARSE_K)])
+        % 8
+    )
+    corpus = vecs.select(
+        "vec_id",
+        "q",
+        cell.alias("cell"),
+        *[
+            (_pq_subspace_key(s) % 4).alias(f"c{s}")
+            for s in range(_PQ_SUBSPACES)
+        ],
+    )
+    qs = corpus.filter(F.col("vec_id") < _IVFPQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("yq"),
+        "cell",
+    )
+    cand = corpus.join(F.broadcast(qs), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+
+    def adc_dist(s: int):
+        sl = F.slice("yq", _PQ_SUBDIM * s + 1, _PQ_SUBDIM)
+        diffs = F.transform(
+            sl,
+            lambda y, i: (
+                y
+                - (
+                    (F.lit(s * 131) + F.col(f"c{s}") * 37 + i * 17) % 1000
+                    - 500
+                )
+            ),
+        )
+        return F.aggregate(
+            F.transform(diffs, lambda d: d * d),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    adist = sum(adc_dist(s) for s in range(_PQ_SUBSPACES))
+    w_short = Window.partitionBy("query_id").orderBy("adist", "vec_id")
+    short = (
+        cand.select("query_id", "yq", F.col("vec_id"), "q", *[f"c{s}" for s in range(_PQ_SUBSPACES)])
+        .withColumn("adist", adist)
+        .withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= _IVFPQ_SHORTLIST)
+    )
+    dist = F.aggregate(
+        F.zip_with("yq", "q", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w_final = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    return (
+        short.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dist.alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(w_final))
+        .filter(F.col("rn") <= _IVFPQ_TOPK)
+        .select("query_id", "neighbor_id", "dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# curation_skyline
+
+@query(
+    "curation_skyline",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, lang,
+               len(list_distinct(string_split(text, ' '))) AS n_unique,
+               length(text) AS n_chars
+        FROM documents
+    )
+    SELECT a.doc_id, a.lang, a.n_unique, a.n_chars
+    FROM m a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM m b
+        WHERE b.lang = a.lang
+          AND b.n_unique >= a.n_unique AND -b.n_chars >= -a.n_chars
+          AND (b.n_unique > a.n_unique OR -b.n_chars > -a.n_chars)
+    )
+    """,
+)
+def curation_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Pareto frontier (skyline) of documents on vocabulary
+    richness (distinct-token count, maximize) vs brevity (character
+    count, minimize) — the docs no other same-language doc beats on both
+    axes, i.e. the information-dense exemplars a curation pass keeps.
+
+    Scale shape (the oracle's NOT EXISTS is the spec, not the plan): one
+    keyed groupBy (lang, n_unique) -> max brevity per group, then the
+    dominance scan runs over DISTINCT metric values only (a window keyed
+    by lang whose partition size is bounded by the metric's cardinality,
+    not the corpus), and survivors join back corpus-side. Docs tied on
+    both metrics all survive (dominance requires strict inequality
+    somewhere)."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.array_distinct(F.split("text", " "))).alias("n_unique"),
+        F.length("text").alias("n_chars"),
+    )
+    # best (smallest) char count per (lang, richness) level
+    g = m.groupBy("lang", "n_unique").agg(F.min("n_chars").alias("gmin"))
+    # running best over strictly richer levels, per language
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n_unique").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    keep = g.withColumn("runmin", F.min("gmin").over(w)).filter(
+        F.col("runmin").isNull() | (F.col("gmin") < F.col("runmin"))
+    )
+    return (
+        m.join(F.broadcast(keep), ["lang", "n_unique"])
+        .filter(F.col("n_chars") == F.col("gmin"))
+        .select("doc_id", "lang", "n_unique", "n_chars")
     )

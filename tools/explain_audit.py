@@ -255,6 +255,14 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
          "candidates only via band-bucket equi-join"),
     ],
+    "sim_ivfpq_search": [
+        (r"BroadcastHashJoin", "tiny query side broadcast, corpus never shuffles for candidates"),
+        (r"WindowGroupLimit", "ADC shortlist + exact re-rank as partial top-k"),
+    ],
+    "curation_skyline": [
+        (r"hashpartitioning\(lang", "dominance scan keyed by lang over distinct metric levels"),
+        (r"BroadcastHashJoin", "frontier levels broadcast back over the corpus"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
