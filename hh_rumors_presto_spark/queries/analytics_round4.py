@@ -597,3 +597,66 @@ def curation_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_chars") == F.col("gmin"))
         .select("doc_id", "lang", "n_unique", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_multires_rollup
+
+@query(
+    "ts_multires_rollup",
+    oracle="""
+    WITH fine AS (
+        SELECT event_type,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+               count(*) AS n, sum(CAST(value AS DECIMAL(28,10))) AS tot
+        FROM events GROUP BY 1, 2
+    ),
+    coarse AS (
+        -- recomputed from RAW here on purpose: equality with Spark's
+        -- merge-of-partials proves merge == recompute
+        SELECT event_type,
+               date_trunc('day', CAST(ts AS TIMESTAMP)) AS bucket,
+               count(*) AS n, sum(CAST(value AS DECIMAL(28,10))) AS tot
+        FROM events GROUP BY 1, 2
+    )
+    SELECT '1h' AS resolution, event_type, bucket,
+           CAST(n AS BIGINT) AS n, CAST(round(tot, 2) AS DOUBLE) AS total
+    FROM fine
+    UNION ALL
+    SELECT '1d', event_type, bucket,
+           CAST(n AS BIGINT), CAST(round(tot, 2) AS DOUBLE)
+    FROM coarse
+    """,
+)
+def ts_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (the hypertable continuous-aggregate
+    shape): hourly partials per event type, with the DAILY level derived
+    by MERGING the hourly partial states — count-sum pairs in exact
+    DECIMAL, so merge-of-partials is bit-equal to recomputing from raw
+    (which is exactly what the oracle does).
+
+    Scale: raw data is aggregated once (one shuffle to the fine key);
+    every coarser resolution re-aggregates the previous level's partials
+    — |fine buckets| rows, not the corpus — which is how a maintained
+    rollup ladder (1h -> 1d -> 1mo) stays O(buckets) per refresh."""
+    ev = io.load_events(spark, sf_dir)
+    fine = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(28,10)")).alias("tot"),
+    )
+    coarse = fine.groupBy(
+        "event_type", F.date_trunc("day", "bucket").alias("bucket")
+    ).agg(F.sum("n").alias("n"), F.sum("tot").alias("tot"))
+
+    def level(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("resolution"),
+            "event_type",
+            "bucket",
+            F.col("n").cast("long").alias("n"),
+            F.round("tot", 2).cast("double").alias("total"),
+        )
+
+    return level(fine, "1h").unionAll(level(coarse, "1d"))

@@ -205,3 +205,43 @@ def sink_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .text(out_dir)
     )
     return spark.read.text(out_dir)
+
+
+@query(
+    "sink_csv_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey,
+           n_name || ', region ' || CAST(n_regionkey AS VARCHAR) AS note
+    FROM nation
+    """,
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source with an explicit read schema (no inference on
+    the read path — schema inference is a full extra pass at corpus
+    scale). The `note` column embeds a comma so the roundtrip exercises
+    quoting, the classic CSV corruption point."""
+    nat = io.load_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        F.concat(
+            F.col("n_name"),
+            F.lit(", region "),
+            F.col("n_regionkey").cast("string"),
+        ).alias("note"),
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"hh_sink_csv_{os.path.basename(sf_dir)}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    nat.write.mode("overwrite").option("header", True).csv(out_dir)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.LongType()),
+            T.StructField("note", T.StringType()),
+        ]
+    )
+    return spark.read.schema(schema).option("header", True).csv(out_dir)

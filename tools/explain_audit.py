@@ -263,6 +263,10 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"hashpartitioning\(lang", "dominance scan keyed by lang over distinct metric levels"),
         (r"BroadcastHashJoin", "frontier levels broadcast back over the corpus"),
     ],
+    "ts_multires_rollup": [
+        (r"partial_sum\(cast\(value", "raw aggregated once at the fine (hourly) key"),
+        (r"partial_sum\(tot", "daily level merges hourly partial states, not raw rows"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
