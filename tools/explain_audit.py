@@ -292,7 +292,9 @@ FORBIDDEN = (
     ("BroadcastNestedLoopJoin",
      {"sim_topk", "sql_tpch_q22", "agg_share_of_total", "corpus_mix_weights",
       "dq_impute", "dq_drift_psi", "text_lm_score", "dq_benford",
-      "sim_ann_recall", "ts_cusum", "text_tfidf"}),
+      "sim_ann_recall", "ts_cusum", "text_tfidf",
+      # dedup_minhash_recall crossJoins its three ONE-ROW count aggregates
+      "dedup_minhash_recall"}),
 )
 
 
