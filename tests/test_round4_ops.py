@@ -1,0 +1,205 @@
+"""Semantic cross-checks for the round-4 operators, independent of the
+DuckDB oracles: each scalable implementation is compared against a
+brute-force reference computed in plain Python on the same fixture rows.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from hh_rumors_presto_spark.registry import QUERIES, load_all_queries
+
+load_all_queries()
+
+
+def test_spatial_grid_matches_bruteforce(spark, sf_dir):
+    """The banded 3x3-cell join must find EXACTLY the pairs brute force
+    finds — bucketing is an optimization, never a semantics change."""
+    rows = QUERIES["join_spatial_grid"](spark, sf_dir).collect()
+    got = {(r.a_id, r.b_id): r.dist_sq for r in rows}
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ids = [r.event_id for r in ev.select("event_id").collect() if r.event_id % 2 == 0]
+    pts = {
+        e: (((e * e) // 7 + e * 101) % 1000, ((e * e) // 11 + e * 17) % 1000)
+        for e in ids
+    }
+    want = {}
+    items = sorted(pts.items())
+    for i, (ea, (xa, ya)) in enumerate(items):
+        for eb, (xb, yb) in items[i + 1 :]:
+            d = (xa - xb) ** 2 + (ya - yb) ** 2
+            if d <= 25:
+                want[(ea, eb)] = d
+    assert got == want
+    assert want, "fixture produced no pairs — test is vacuous"
+
+
+def test_ewma_matches_direct_definition(spark, sf_dir):
+    """Unrolled lag-chain EWMA == direct weighted mean over the trailing
+    8 observations, for every row of one user's ordered series."""
+    out = {
+        (r.user_id, r.event_id): r.ewma
+        for r in QUERIES["ts_ewma"](spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = sorted(
+        ev.select("user_id", "event_id", "ts", "value").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    checked = 0
+    for user, series in by_user.items():
+        for t, r in enumerate(series):
+            window = series[max(0, t - 7) : t + 1][::-1]  # newest first
+            num = sum(0.5**i * x.value for i, x in enumerate(window))
+            den = sum(0.5**i for i in range(len(window)))
+            assert out[(user, r.event_id)] == pytest.approx(num / den, rel=1e-12)
+            checked += 1
+    assert checked > 0
+
+
+def test_phash_dedup_matches_banded_bruteforce(spark, sf_dir):
+    """Pair set == brute-force over the same signatures: a pair qualifies
+    iff it shares >= 1 of the 4 bands AND hamming <= 6. Also asserts the
+    fixture genuinely produces near-dup (0 < ham) pairs, not just exact
+    copies."""
+    got = {
+        (r.a_id, r.b_id): r.hamming
+        for r in QUERIES["mm_phash_dedup"](spark, sf_dir).collect()
+    }
+    import hashlib
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = {}
+    for r in docs.select("doc_id").collect():
+        h = hashlib.md5(f"img{r.doc_id % 120}".encode()).hexdigest()[:15]
+        mask = (1 << min(r.doc_id // 120, 50)) - 1
+        sigs[r.doc_id] = int(h, 16) ^ mask
+    want = {}
+    items = sorted(sigs.items())
+    for i, (a, sa) in enumerate(items):
+        for b, sb in items[i + 1 :]:
+            shares_band = any(
+                (sa >> (15 * k)) & 32767 == (sb >> (15 * k)) & 32767
+                for k in range(4)
+            )
+            ham = bin(sa ^ sb).count("1")
+            if shares_band and ham <= 6:
+                want[(a, b)] = ham
+    assert got == want
+    assert any(h > 0 for h in want.values()), "no true NEAR-dups exercised"
+
+
+def test_pq_assign_code_is_argmin(spark, sf_dir):
+    """pq_code unpacks to the true per-subspace argmin centroid and q_err
+    to the true total reconstruction error (brute force per vector)."""
+    out = {
+        r.vec_id: (r.pq_code, r.q_err)
+        for r in QUERIES["sim_pq_assign"](spark, sf_dir).collect()
+    }
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for r in emb.collect():
+        q = [math.floor(float(v) * 1000) for v in r.embedding]
+        code, err = 0, 0
+        for s in range(4):
+            dists = []
+            for c in range(4):
+                d = sum(
+                    (q[16 * s + j] - (((s * 131 + c * 37 + j * 17) % 1000) - 500))
+                    ** 2
+                    for j in range(16)
+                )
+                dists.append((d, c))
+            d, c = min(dists)
+            code += c * (1 << (2 * s))
+            err += d
+        assert out[r.vec_id] == (code, err)
+
+
+def test_skyline_is_exactly_the_pareto_frontier(spark, sf_dir):
+    """Survivors are all and only the non-dominated docs per language."""
+    kept = {
+        r.doc_id for r in QUERIES["curation_skyline"](spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = [
+        (r.doc_id, r.lang, len(set(r.text.split(" "))), len(r.text))
+        for r in docs.select("doc_id", "lang", "text").collect()
+    ]
+    want = set()
+    for did, lang, u, n in m:
+        dominated = any(
+            bl == lang
+            and bu >= u
+            and bn <= n
+            and (bu > u or bn < n)
+            for bd, bl, bu, bn in m
+            if bd != did
+        )
+        if not dominated:
+            want.add(did)
+    assert kept == want
+
+
+def test_multires_rollup_merge_equals_recompute(spark, sf_dir):
+    """The daily level (merged from hourly partials) must equal a direct
+    day-level aggregation of the raw events."""
+    from pyspark.sql import functions as F
+
+    out = QUERIES["ts_multires_rollup"](spark, sf_dir)
+    daily = {
+        (r.event_type, r.bucket): (r.n, r.total)
+        for r in out.filter(F.col("resolution") == "1d").collect()
+    }
+    from hh_rumors_presto_spark import io
+
+    ev = io.load_events(spark, sf_dir)
+    direct = {
+        (r.event_type, r.bucket): (r.n, r.total)
+        for r in ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(28,10)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .collect()
+    }
+    assert daily == direct
+
+
+def test_ivfpq_neighbors_come_from_query_cell(spark, sf_dir):
+    """Every returned neighbor must share the query's coarse cell, ranks
+    must be exact-distance-ordered, and result sets non-empty."""
+    rows = QUERIES["sim_ivfpq_search"](spark, sf_dir).collect()
+    assert rows
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cells = {}
+    for r in emb.collect():
+        q = [math.floor(float(v) * 1000) for v in r.embedding]
+        best = min(
+            (
+                sum(
+                    (q[j] - (((k * 257 + j * 41) % 1000) - 500)) ** 2
+                    for j in range(64)
+                )
+                * 8
+                + k,
+                k,
+            )
+            for k in range(8)
+        )
+        cells[r.vec_id] = best[1]
+    by_query: dict = {}
+    for r in rows:
+        assert cells[r.neighbor_id] == cells[r.query_id]
+        by_query.setdefault(r.query_id, []).append(r.dist)
+    for dists in by_query.values():
+        assert dists == sorted(dists)
