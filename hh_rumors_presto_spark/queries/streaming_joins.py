@@ -102,3 +102,75 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "stream_rollup_merge",
+    oracle="""
+    SELECT event_type,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally MAINTAINED hourly rollup (the streaming twin of
+    ts_multires_rollup): each micro-batch reduces to (key, count, exact
+    DECIMAL sum) partial states which MERGE into the persisted rollup —
+    read-modify-write of partials, never a reprocess of raw history. Two
+    separate stream runs feed disjoint halves of the fixture through the
+    same merge function, so the final state really is built by merging
+    into existing state; DECIMAL partials make the result independent of
+    how history was batched (the oracle aggregates raw directly).
+
+    Scale: per refresh, work is O(|batch| + |touched buckets|); state
+    rewrite is keyed and could be a partition-scoped MERGE in a lakehouse
+    table — the pattern is the same."""
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"hh_srm_{uuid.uuid4().hex[:8]}"
+    )
+    state = {"path": None, "version": 0}
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        partial = batch_df.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bucket")
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,10)")).alias("tot"),
+        )
+        if state["path"] is not None:
+            old = batch_df.sparkSession.read.parquet(state["path"])
+            partial = (
+                old.unionByName(partial.select(old.columns))
+                .groupBy("event_type", "bucket")
+                .agg(F.sum("n").alias("n"), F.sum("tot").alias("tot"))
+            )
+        state["version"] += 1
+        new_path = os.path.join(out_dir, f"state_v{state['version']}")
+        partial.select("event_type", "bucket", "n", "tot").write.parquet(
+            new_path
+        )
+        state["path"] = new_path
+
+    for half in (0, 1):
+        ev = read_events_stream(spark, sf_dir).filter(
+            F.col("event_id") % 2 == half
+        )
+        q = (
+            ev.writeStream.foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation", os.path.join(out_dir, f"_chk{half}")
+            )
+            .start()
+        )
+        q.awaitTermination()
+
+    return spark.read.parquet(state["path"]).select(
+        "event_type",
+        "bucket",
+        F.col("n").cast("long").alias("n"),
+        F.round("tot", 2).cast("double").alias("total"),
+    )
