@@ -42,10 +42,14 @@ def _match_term(term: str):
 
 def _bm25_term_sql(i: int, term: str) -> str:
     """One BM25 term's score column (DuckDB side)."""
+    # NB: (K1 + 1) must be CAST to DOUBLE here — DuckDB parses decimal
+    # literals as DECIMAL, so tf * (1.2 + 1) would be EXACT decimal 2.2
+    # while Spark's double is 2.2000000000000002 (1-ulp skew in exact-
+    # float mode). The cast makes both engines multiply the same double.
     return f"""
         CASE WHEN tf{i} > 0 THEN
             ((n_docs - df{i} + 0.5) / (df{i} + 0.5))
-            * (tf{i} * ({_BM25_K1} + 1))
+            * (tf{i} * CAST({_BM25_K1} + 1 AS DOUBLE))
             / (tf{i} + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
         ELSE 0.0 END
     """
@@ -114,7 +118,11 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf = F.col(f"tf{i}").cast("double")
         df = F.col(f"df{i}").cast("double")
         idf = (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5))
-        tf_part = (tf * (_BM25_K1 + 1)) / (
+        # association must mirror the SQL text exactly: the oracle's
+        # `idf * (tf*(k1+1)) / den` is LEFT-associative, i.e.
+        # (idf * num) / den — writing idf * (num/den) drifts by 1 ulp
+        num = idf * (tf * (_BM25_K1 + 1))
+        den = (
             tf
             + _BM25_K1
             * (
@@ -122,7 +130,7 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
             )
         )
-        return F.when(F.col(f"tf{i}") > 0, idf * tf_part).otherwise(F.lit(0.0))
+        return F.when(F.col(f"tf{i}") > 0, num / den).otherwise(F.lit(0.0))
 
     score = term_score(0) + term_score(1) + term_score(2)
     matched = sum(

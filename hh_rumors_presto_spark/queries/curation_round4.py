@@ -18,7 +18,7 @@ fixtures with full DuckDB value-hash oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hh_rumors_presto_spark import io
@@ -277,4 +277,48 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("d_us").alias("date_lo_us"),
             F.max("d_us").alias("date_hi_us"),
         )
+    )
+
+
+@query(
+    "sample_bottomk_merge",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, md5(text || ':' || CAST(doc_id AS VARCHAR)) AS hkey
+        FROM documents
+    )
+    SELECT doc_id, hkey
+    FROM h
+    ORDER BY hkey, doc_id
+    LIMIT 20
+    """,
+)
+def sample_bottomk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coordination-free distributed uniform sample via hash order
+    statistics (bottom-k sketch): every shard keeps its own bottom-20
+    doc hashes independently, the merged union's bottom-20 IS the global
+    uniform sample — proved by the oracle, which computes the global
+    bottom-20 directly. Because bottom-k of a union equals bottom-k of
+    per-shard bottom-k's, shards never coordinate and partial samples
+    are mergeable across files, days, or clusters (this is also how
+    distinct-count sketches and streaming samplers keep state bounded).
+
+    Scale: per-shard top-k is a WindowGroupLimit (no shard ships more
+    than k rows); the merge stage sees shards*k rows total."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.col("text"), F.lit(":"), F.col("doc_id").cast("string"))
+        ).alias("hkey"),
+        (F.col("doc_id") % 4).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    per_shard = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "hkey")
+    )
+    return (
+        per_shard.orderBy("hkey", "doc_id").limit(20).select("doc_id", "hkey")
     )

@@ -245,3 +245,78 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.read.schema(schema).option("header", True).csv(out_dir)
+
+
+@query(
+    "scan_file_skipping",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,10))), 2) AS DOUBLE)
+               AS total
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1997-06-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1997-09-01'
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level file skipping (the lakehouse zone-map pattern):
+    orders land as one file per order-month; a tiny stats manifest maps
+    each file to its (min, max) date; the query consults the MANIFEST
+    first and hands the reader only the files whose range intersects the
+    predicate — the other files are never opened (a stricter guarantee
+    than row-group skipping inside an opened file). The driver holds only
+    the manifest (k rows, same footprint as partition listing).
+
+    Scale: a 100 TB table's manifest is a few thousand rows; pruning
+    happens before any data I/O. The oracle is the plain filtered scan —
+    skipping must be invisible to results."""
+    base_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"hh_fileskip_{os.path.basename(sf_dir)}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    if not os.path.exists(os.path.join(base_dir, "_SUCCESS")):
+        orders = io.load_table(spark, sf_dir, "orders")
+        (
+            orders.withColumn(
+                "month", F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM")
+            )
+            .repartition("month")
+            .write.mode("overwrite")
+            .partitionBy("month")
+            .parquet(base_dir)
+        )
+    # the manifest: per file-group min/max of the skip column
+    manifest = [
+        (r.month, r.min_d, r.max_d)
+        for r in spark.read.parquet(base_dir)
+        .groupBy("month")
+        .agg(
+            F.min(F.col("o_orderdate").cast("date")).alias("min_d"),
+            F.max(F.col("o_orderdate").cast("date")).alias("max_d"),
+        )
+        .collect()
+    ]
+    from datetime import date
+
+    lo, hi = date(1997, 6, 1), date(1997, 9, 1)
+    live = sorted(m for m, mn, mx in manifest if mx >= lo and mn < hi)
+    assert len(live) < len(manifest), "skipping must prune something"
+    pruned = spark.read.parquet(
+        *[os.path.join(base_dir, f"month={m}") for m in live]
+    )
+    return (
+        pruned.filter(
+            (F.col("o_orderdate").cast("date") >= F.lit(lo))
+            & (F.col("o_orderdate").cast("date") < F.lit(hi))
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(28,10)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+    )

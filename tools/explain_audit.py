@@ -263,6 +263,10 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"hashpartitioning\(lang", "dominance scan keyed by lang over distinct metric levels"),
         (r"BroadcastHashJoin", "frontier levels broadcast back over the corpus"),
     ],
+    "sample_bottomk_merge": [
+        (r"WindowGroupLimit", "per-shard bottom-k keeps k rows per shard"),
+        (r"TakeOrderedAndProject", "merge stage is a partial top-k, no global sort"),
+    ],
     "ts_multires_rollup": [
         (r"partial_sum\(cast\(value", "raw aggregated once at the fine (hourly) key"),
         (r"partial_sum\(tot", "daily level merges hourly partial states, not raw rows"),
