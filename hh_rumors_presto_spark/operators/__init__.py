@@ -10,6 +10,7 @@ where the survivor matters.
 from hh_rumors_presto_spark.operators.dedup import dedup_first_wins, exact_dedup
 from hh_rumors_presto_spark.operators.windows import forward_fill, per_group_top_k
 from hh_rumors_presto_spark.operators.asof import asof_join
+from hh_rumors_presto_spark.operators.skyline import skyline_2d
 
 __all__ = [
     "asof_join",
@@ -17,4 +18,5 @@ __all__ = [
     "exact_dedup",
     "forward_fill",
     "per_group_top_k",
+    "skyline_2d",
 ]

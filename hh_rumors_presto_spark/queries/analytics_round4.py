@@ -574,6 +574,8 @@ def curation_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the corpus), and survivors join back corpus-side. Docs tied on
     both metrics all survive (dominance requires strict inequality
     somewhere)."""
+    from hh_rumors_presto_spark.operators.skyline import skyline_2d
+
     docs = io.load_table(spark, sf_dir, "documents")
     m = docs.select(
         "doc_id",
@@ -581,21 +583,8 @@ def curation_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(F.split("text", " "))).alias("n_unique"),
         F.length("text").alias("n_chars"),
     )
-    # best (smallest) char count per (lang, richness) level
-    g = m.groupBy("lang", "n_unique").agg(F.min("n_chars").alias("gmin"))
-    # running best over strictly richer levels, per language
-    w = (
-        Window.partitionBy("lang")
-        .orderBy(F.col("n_unique").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    keep = g.withColumn("runmin", F.min("gmin").over(w)).filter(
-        F.col("runmin").isNull() | (F.col("gmin") < F.col("runmin"))
-    )
-    return (
-        m.join(F.broadcast(keep), ["lang", "n_unique"])
-        .filter(F.col("n_chars") == F.col("gmin"))
-        .select("doc_id", "lang", "n_unique", "n_chars")
+    return skyline_2d(m, ["lang"], "n_unique", "n_chars").select(
+        "doc_id", "lang", "n_unique", "n_chars"
     )
 
 

@@ -203,3 +203,42 @@ def test_ivfpq_neighbors_come_from_query_cell(spark, sf_dir):
         by_query.setdefault(r.query_id, []).append(r.dist)
     for dists in by_query.values():
         assert dists == sorted(dists)
+
+
+# ---------------------------------------------------------------------------
+# property-based: the generic skyline operator vs brute force
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_pts = st.lists(
+    st.tuples(
+        st.sampled_from(["p", "q"]),              # partition
+        st.integers(min_value=0, max_value=6),    # maximize axis
+        st.integers(min_value=0, max_value=6),    # minimize axis
+    ),
+    min_size=1,
+    max_size=18,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(_pts)
+def test_skyline_operator_matches_bruteforce(spark, rows):
+    """Random small instances, including metric ties and duplicate rows:
+    the two-stage keyed plan must equal the O(n^2) dominance definition."""
+    from hh_rumors_presto_spark.operators import skyline_2d
+
+    data = [(i, p, mx, mn) for i, (p, mx, mn) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["rid", "part", "mx", "mn"])
+    got = {r.rid for r in skyline_2d(df, ["part"], "mx", "mn").collect()}
+    want = set()
+    for rid, p, mx, mn in data:
+        dominated = any(
+            p2 == p and mx2 >= mx and mn2 <= mn and (mx2 > mx or mn2 < mn)
+            for rid2, p2, mx2, mn2 in data
+            if rid2 != rid
+        )
+        if not dominated:
+            want.add(rid)
+    assert got == want
