@@ -40,7 +40,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #   sql_tpch_q20), the round-4 analytics batch (ts_ewma join_spatial_grid
 #   mm_phash_dedup sim_pq_assign sim_ivfpq_search curation_skyline
 #   ts_multires_rollup sink_csv_roundtrip dedup_minhash_recall
-#   stream_rollup_merge scan_file_skipping sample_bottomk_merge),
+#   stream_rollup_merge scan_file_skipping sample_bottomk_merge
+#   sketch_hist_quantile),
 #   §2.B remainder (ts_ohlc json_malformed sim_ivf dedup_best_of text_bm25
 #   ts_resample_interp agg_bitwise str_codec sink_compact
 #   emb_kmeans_iterate graph_pagerank graph_degree graph_bfs), strings

@@ -492,3 +492,105 @@ def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((n * sxy - sx * sy) / denom, 6),
     )
     return based.select("event_id", "user_id", slope.alias("slope"))
+
+
+@query(
+    "sketch_hist_quantile",
+    oracle="""
+    WITH cents AS (
+        SELECT o_orderkey % 4 AS shard,
+               CAST(floor(round(o_totalprice, 2) * 100 + 0.5) AS BIGINT) AS c
+        FROM orders
+    ),
+    shard_hist AS (
+        SELECT shard, c // 100000 AS bucket, count(*) AS n
+        FROM cents GROUP BY 1, 2
+    ),
+    hist AS (
+        SELECT bucket, sum(n) AS cnt FROM shard_hist GROUP BY bucket
+    ),
+    cum AS (
+        SELECT bucket, cnt,
+               sum(cnt) OVER (ORDER BY bucket) AS cum,
+               sum(cnt) OVER (ORDER BY bucket) - cnt AS cumb
+        FROM hist
+    ),
+    tot AS (SELECT sum(cnt) AS n_total FROM hist),
+    qs AS (SELECT * FROM (VALUES (50), (90), (99)) v(pct)),
+    ranked AS (
+        SELECT qs.pct, (qs.pct * t.n_total + 99) // 100 AS rank
+        FROM qs, tot t
+    ),
+    hit AS (
+        SELECT r.pct, r.rank, min(c.bucket) AS bucket
+        FROM ranked r JOIN cum c ON c.cum >= r.rank
+        GROUP BY r.pct, r.rank
+    )
+    SELECT h.pct,
+           CAST(h.rank AS BIGINT) AS rank,
+           CAST(c.bucket * 100000 + (100000 * (h.rank - c.cumb)) / c.cnt
+                AS DOUBLE) / 100.0 AS est
+    FROM hit h JOIN cum c ON c.bucket = h.bucket
+    """,
+)
+def sketch_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch via fixed-width histogram (the HDR/
+    t-digest role, deterministic): per-shard bucket counts MERGE by plain
+    addition (proven structurally — the merged histogram is built from
+    explicit per-shard partials), then p50/p90/p99 come from the
+    cumulative histogram with linear interpolation inside the hit bucket.
+    Ranks use the pure-integer ceil form (pct*N + 99) DIV 100 — a float
+    0.9*N would round ABOVE exact integer boundaries and shift the rank
+    by one vs DECIMAL engines.
+
+    Scale: this is how percentiles are computed at 100 TB — exact
+    percentile needs a global sort, the histogram needs one groupBy whose
+    key space is the (constant) bucket count; the cumulative window runs
+    over |buckets| rows, not the corpus; partials merge across shards,
+    days, and clusters."""
+    orders = io.load_table(spark, sf_dir, "orders")
+    cents = orders.select(
+        (F.col("o_orderkey") % 4).alias("shard"),
+        F.floor(F.round("o_totalprice", 2) * 100 + 0.5)
+        .cast("long")
+        .alias("c"),
+    )
+    shard_hist = (
+        cents.select("shard", F.expr("c DIV 100000").alias("bucket"))
+        .groupBy("shard", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    hist = shard_hist.groupBy("bucket").agg(F.sum("n").alias("cnt"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cumb"),
+    )
+    tot = hist.agg(F.sum("cnt").alias("n_total"))
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in (50, 90, 99)])).alias("pct")
+    )
+    ranked = qs.crossJoin(F.broadcast(tot)).select(
+        "pct", F.expr("(pct * n_total + 99) DIV 100").alias("rank")
+    )
+    # 3-row ranks x |buckets| histogram: the >= probe is a tiny BNLJ by
+    # construction (both sides constant-bounded)
+    hit = (
+        ranked.join(F.broadcast(cum), F.col("cum") >= F.col("rank"))
+        .groupBy("pct", "rank")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    est = (
+        F.col("bucket") * 100000
+        + (100000 * (F.col("rank") - F.col("cumb"))) / F.col("cnt")
+    ).cast("double") / F.lit(100.0)
+    return (
+        hit.join(F.broadcast(cum.select("bucket", "cnt", "cumb")), "bucket")
+        .select(
+            "pct",
+            F.col("rank").cast("long").alias("rank"),
+            est.alias("est"),
+        )
+    )

@@ -298,7 +298,10 @@ FORBIDDEN = (
       "dq_impute", "dq_drift_psi", "text_lm_score", "dq_benford",
       "sim_ann_recall", "ts_cusum", "text_tfidf",
       # dedup_minhash_recall crossJoins its three ONE-ROW count aggregates
-      "dedup_minhash_recall"}),
+      "dedup_minhash_recall",
+      # sketch_hist_quantile probes 3 rank rows against the constant-size
+      # bucket histogram (>= theta join, both sides bounded)
+      "sketch_hist_quantile"}),
 )
 
 
