@@ -649,3 +649,53 @@ def ts_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return level(fine, "1h").unionAll(level(coarse, "1d"))
+
+
+# ---------------------------------------------------------------------------
+# emb_random_projection
+
+@query(
+    "emb_random_projection",
+    oracle=f"""
+    WITH {_XQ_SQL}
+    SELECT vec_id, ks.k AS dim,
+           CAST(sum(q * (CASE WHEN (ks.k * 37 + j * 101) % 2 = 0
+                              THEN 1 ELSE -1 END)) AS BIGINT) AS proj
+    FROM xq CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),
+                               (8),(9),(10),(11),(12),(13),(14),(15)) ks(k)
+    GROUP BY vec_id, ks.k
+    """,
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction 64 -> 16 with a
+    sign (+1/-1) projection matrix derived from a parity formula — the
+    database-friendly JL variant (Achlioptas): no dense float matrix to
+    ship, every output coordinate is a signed sum of the quantized input
+    coordinates, all BIGINT-exact. This is the standard pre-step that
+    makes downstream LSH/clustering cheaper at corpus scale (16 ints per
+    vector instead of 64 floats).
+
+    Scale: the Spark side is shuffle-free — 16 aggregate() higher-order
+    expressions per row, one narrow map over the corpus (the oracle's
+    explode+regroup is the same sum written for DuckDB); long output
+    format (vec_id, dim, proj) keeps the driver-facing schema scalar."""
+    vecs = _quantized(io.load_table(spark, sf_dir, "embeddings"))
+
+    def proj(k: int):
+        signed = F.transform(
+            "q",
+            lambda x, i: F.when(
+                (F.lit(k * 37) + i * 101) % 2 == 0, x
+            ).otherwise(-x),
+        )
+        return F.aggregate(
+            signed, F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+
+    projected = vecs.select(
+        "vec_id", *[proj(k).alias(f"p{k}") for k in range(16)]
+    )
+    dims = F.array(*[F.col(f"p{k}") for k in range(16)])
+    return projected.select(
+        "vec_id", F.posexplode(dims).alias("dim", "proj")
+    ).select("vec_id", "dim", F.col("proj").cast("long").alias("proj"))
