@@ -12,8 +12,10 @@
   multi-column data-skipping layout (OPTIMIZE ZORDER BY) complementing
   single-column range clustering.
 
-All three are pure column expressions over the ``documents`` / ``orders``
-fixtures with full DuckDB value-hash oracles.
+All keys here carry full DuckDB value-hash oracles over the ``documents``
+/ ``orders`` fixtures; later additions (``sample_bottomk_merge``,
+``corpus_shard_manifest``) extend the family with mergeable sampling and
+the shard-delivery manifest.
 """
 
 from __future__ import annotations
@@ -321,4 +323,58 @@ def sample_bottomk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_shard.orderBy("hkey", "doc_id").limit(20).select("doc_id", "hkey")
+    )
+
+
+@query(
+    "corpus_shard_manifest",
+    oracle="""
+    SELECT doc_id % 8 AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(CAST(sum(CAST('0x' || substring(md5(text), 1, 10) AS BIGINT))
+                     AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+    FROM documents
+    GROUP BY doc_id % 8
+    """,
+)
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data delivery step: the corpus lands as N physical shards
+    plus a MANIFEST row per shard (doc count, token count, char count,
+    order-insensitive content checksum). The manifest is computed from a
+    RE-READ of the written files — it certifies the bytes on disk, not
+    the plan that produced them — while the oracle recomputes the same
+    stats from the raw table, so a lost/duplicated/corrupted row in the
+    shard write shows up as a correctness failure.
+
+    Scale: shard = hash(doc) % N is the standard reproducible layout; the
+    manifest is one keyed aggregate over the written data, and the
+    additive checksum means shard manifests can also be merged upward
+    into a corpus-level manifest without re-reading."""
+    import os
+    import tempfile
+
+    docs = io.load_table(spark, sf_dir, "documents")
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"hh_shards_{os.path.basename(sf_dir)}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    (
+        docs.withColumn("shard", F.col("doc_id") % 8)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    written = spark.read.parquet(out_dir)
+    h = (
+        F.conv(F.substring(F.md5("text"), 1, 10), 16, 10)
+        .cast("decimal(38,0)")
+    )
+    return written.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        F.sum(h).cast("decimal(38,0)").cast("string").alias("checksum"),
     )

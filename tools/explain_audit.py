@@ -279,6 +279,8 @@ NO_EXCHANGE_KEYS = (
     # PQ-encode is a pure narrow map: quantize + higher-order-function
     # distances + packed argmin, all inside codegen
     "sim_pq_assign",
+    # JL sign projection: 16 signed aggregate() sums + posexplode, narrow
+    "emb_random_projection",
 )
 
 FORBIDDEN = (
