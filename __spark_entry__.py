@@ -41,7 +41,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #   mm_phash_dedup sim_pq_assign sim_ivfpq_search curation_skyline
 #   ts_multires_rollup sink_csv_roundtrip dedup_minhash_recall
 #   stream_rollup_merge scan_file_skipping sample_bottomk_merge
-#   sketch_hist_quantile emb_random_projection corpus_shard_manifest),
+#   sketch_hist_quantile emb_random_projection corpus_shard_manifest
+#   sim_ivfpq_recall),
 #   §2.B remainder (ts_ohlc json_malformed sim_ivf dedup_best_of text_bm25
 #   ts_resample_interp agg_bitwise str_codec sink_compact
 #   emb_kmeans_iterate graph_pagerank graph_degree graph_bfs), strings

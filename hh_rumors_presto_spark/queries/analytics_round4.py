@@ -377,9 +377,8 @@ _XQ_SQL = f"""
 """
 
 
-@query(
-    "sim_ivfpq_search",
-    oracle=f"""
+# shared CTE chain for the IVF-PQ oracle (search + recall measurement)
+_IVFPQ_CTES = f"""
     WITH {_XQ_SQL},
     coarse AS (
         SELECT vec_id, ks.k AS k,
@@ -435,6 +434,13 @@ _XQ_SQL = f"""
         JOIN xq b ON b.vec_id = sh.neighbor_id AND b.j = a.j
         GROUP BY sh.query_id, sh.neighbor_id
     )
+"""
+
+
+@query(
+    "sim_ivfpq_search",
+    oracle=f"""
+    {_IVFPQ_CTES}
     SELECT query_id, neighbor_id, dist FROM (
         SELECT *, row_number() OVER (
             PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
@@ -699,3 +705,88 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return projected.select(
         "vec_id", F.posexplode(dims).alias("dim", "proj")
     ).select("vec_id", "dim", F.col("proj").cast("long").alias("proj"))
+
+
+# ---------------------------------------------------------------------------
+# sim_ivfpq_recall
+
+@query(
+    "sim_ivfpq_recall",
+    oracle=f"""
+    {_IVFPQ_CTES},
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+            FROM exact)
+        WHERE rn <= {_IVFPQ_TOPK}
+    ),
+    alldist AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               sum((a.q - b.q) * (a.q - b.q)) AS dist
+        FROM xq a JOIN xq b ON b.j = a.j AND b.vec_id <> a.vec_id
+        WHERE a.vec_id < {_IVFPQ_QUERIES}
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+            FROM alldist)
+        WHERE rn <= {_IVFPQ_TOPK}
+    )
+    SELECT t.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(a.neighbor_id) AS DOUBLE) / {_IVFPQ_TOPK} AS recall
+    FROM truth t
+    LEFT JOIN approx a ON a.query_id = t.query_id
+                      AND a.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id
+    """,
+)
+def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@{_IVFPQ_TOPK} of the IVF-PQ path against the exact
+    integer-distance top-{_IVFPQ_TOPK} — the third pinned quality floor
+    (beside sim_ann_recall for LSH and dedup_minhash_recall for minhash):
+    the approximate index's quality is an oracle-checked number, so any
+    change to the coarse quantizer, codebook, or shortlist width that
+    silently degrades results fails correctness, per query.
+
+    Scale: the exact side is the brute-force baseline a deployment runs
+    on a query SAMPLE to monitor its index; the approx side is the
+    production path unchanged."""
+    approx = sim_ivfpq_search(spark, sf_dir).select("query_id", "neighbor_id")
+    vecs = _quantized(io.load_table(spark, sf_dir, "embeddings"))
+    qs = vecs.filter(F.col("vec_id") < _IVFPQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("yq")
+    )
+    dist = F.aggregate(
+        F.zip_with("yq", "q", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    truth = (
+        vecs.join(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dist.alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _IVFPQ_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        truth.join(
+            approx.withColumn("hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("long").alias("n_hits"),
+            (F.count("hit").cast("double") / _IVFPQ_TOPK).alias("recall"),
+        )
+    )

@@ -259,6 +259,9 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"BroadcastHashJoin", "tiny query side broadcast, corpus never shuffles for candidates"),
         (r"WindowGroupLimit", "ADC shortlist + exact re-rank as partial top-k"),
     ],
+    "sim_ivfpq_recall": [
+        (r"WindowGroupLimit", "exact-truth top-k is a partial group limit"),
+    ],
     "curation_skyline": [
         (r"hashpartitioning\(lang", "dominance scan keyed by lang over distinct metric levels"),
         (r"BroadcastHashJoin", "frontier levels broadcast back over the corpus"),
@@ -303,7 +306,10 @@ FORBIDDEN = (
       "dedup_minhash_recall",
       # sketch_hist_quantile probes 3 rank rows against the constant-size
       # bucket histogram (>= theta join, both sides bounded)
-      "sketch_hist_quantile"}),
+      "sketch_hist_quantile",
+      # sim_ivfpq_recall's exact-truth side broadcasts the 5-row query
+      # set over the corpus (sim_topk's sanctioned brute-force shape)
+      "sim_ivfpq_recall"}),
 )
 
 
