@@ -466,6 +466,13 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     here; more probes = more cell keys per query, same dataflow); ADC and
     the exact re-rank touch |cell| and {_IVFPQ_SHORTLIST} rows per query
     respectively. Rank<=k steps are WindowGroupLimit (partial top-k)."""
+    return _ivfpq_topk(spark, sf_dir, nprobe=1)
+
+
+def _ivfpq_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """The IVF-PQ search pipeline with ``nprobe`` probed cells per query
+    (the recall/cost knob: more probes = more cell keys on the tiny query
+    side, identical dataflow)."""
     vecs = _quantized(io.load_table(spark, sf_dir, "embeddings"))
 
     def coarse_dist(k: int):
@@ -479,23 +486,28 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    cell = (
-        F.least(*[coarse_dist(k) * 8 + F.lit(k) for k in range(_IVFPQ_COARSE_K)])
-        % 8
+    packed = F.array_sort(
+        F.array(
+            *[coarse_dist(k) * 8 + F.lit(k) for k in range(_IVFPQ_COARSE_K)]
+        )
     )
     corpus = vecs.select(
         "vec_id",
         "q",
-        cell.alias("cell"),
+        (F.element_at(packed, 1) % 8).alias("cell"),
         *[
             (_pq_subspace_key(s) % 4).alias(f"c{s}")
             for s in range(_PQ_SUBSPACES)
         ],
     )
-    qs = corpus.filter(F.col("vec_id") < _IVFPQ_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("q").alias("yq"),
-        "cell",
+    qs = (
+        vecs.filter(F.col("vec_id") < _IVFPQ_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("yq"),
+            F.explode(F.slice(packed, 1, nprobe)).alias("pk"),
+        )
+        .select("query_id", "yq", (F.col("pk") % 8).alias("cell"))
     )
     cand = corpus.join(F.broadcast(qs), "cell").filter(
         F.col("vec_id") != F.col("query_id")
@@ -521,11 +533,14 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     adist = sum(adc_dist(s) for s in range(_PQ_SUBSPACES))
     w_short = Window.partitionBy("query_id").orderBy("adist", "vec_id")
+    # shortlist width scales with nprobe — a fixed width dilutes under a
+    # larger candidate pool (2-bit PQ codes rank coarsely, so true
+    # neighbors get crowded out; measured 0.08 -> 0.04 before scaling)
     short = (
         cand.select("query_id", "yq", F.col("vec_id"), "q", *[f"c{s}" for s in range(_PQ_SUBSPACES)])
         .withColumn("adist", adist)
         .withColumn("rn", F.row_number().over(w_short))
-        .filter(F.col("rn") <= _IVFPQ_SHORTLIST)
+        .filter(F.col("rn") <= _IVFPQ_SHORTLIST * nprobe)
     )
     dist = F.aggregate(
         F.zip_with("yq", "q", lambda a, b: (a - b) * (a - b)),
@@ -543,6 +558,73 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _IVFPQ_TOPK)
         .select("query_id", "neighbor_id", "dist")
     )
+
+
+# probe-3 variant of the oracle chain (reuses xq/coarse/cellof/codes)
+_IVFPQ_P3_CTES = f"""
+    cellrank AS (
+        SELECT vec_id, k, row_number() OVER (
+            PARTITION BY vec_id ORDER BY d, k) AS rk
+        FROM coarse
+    ),
+    qs3 AS (
+        SELECT vec_id AS query_id, k AS cell FROM cellrank
+        WHERE vec_id < {_IVFPQ_QUERIES} AND rk <= 3
+    ),
+    cand3 AS (
+        SELECT qu.query_id, co.vec_id AS neighbor_id
+        FROM cellof co JOIN qs3 qu ON co.cell = qu.cell
+        WHERE co.vec_id <> qu.query_id
+    ),
+    adc3 AS (
+        SELECT ca.query_id, ca.neighbor_id,
+               sum((x.q - (((x.s * 131 + cd.c * 37 + x.jj * 17) % 1000) - 500))
+                   * (x.q - (((x.s * 131 + cd.c * 37 + x.jj * 17) % 1000) - 500)))
+                   AS adist
+        FROM cand3 ca
+        JOIN xq x ON x.vec_id = ca.query_id
+        JOIN codes cd ON cd.vec_id = ca.neighbor_id AND cd.s = x.s
+        GROUP BY ca.query_id, ca.neighbor_id
+    ),
+    short3 AS (
+        -- shortlist scales with nprobe: a fixed-width shortlist DILUTES
+        -- under more candidates (measured: recall went 0.08 -> 0.04)
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+            FROM adc3)
+        WHERE rn <= {_IVFPQ_SHORTLIST * 3}
+    ),
+    exact3 AS (
+        SELECT sh.query_id, sh.neighbor_id,
+               sum((a.q - b.q) * (a.q - b.q)) AS dist
+        FROM short3 sh
+        JOIN xq a ON a.vec_id = sh.query_id
+        JOIN xq b ON b.vec_id = sh.neighbor_id AND b.j = a.j
+        GROUP BY sh.query_id, sh.neighbor_id
+    )
+"""
+
+
+@query(
+    "sim_ivfpq_probe3",
+    oracle=f"""
+    {_IVFPQ_CTES},
+    {_IVFPQ_P3_CTES}
+    SELECT query_id, neighbor_id, dist FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+        FROM exact3)
+    WHERE rn <= {_IVFPQ_TOPK}
+    """,
+)
+def sim_ivfpq_probe3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search at nprobe=3: each query probes its 3 nearest coarse
+    cells instead of 1 — the standard recall/cost knob, exercised so the
+    measured recall ladder (sim_ivfpq_recall) shows the knob working.
+    Same dataflow as sim_ivfpq_search: only the tiny broadcast query side
+    grows (3 cell keys per query); the corpus plan is untouched."""
+    return _ivfpq_topk(spark, sf_dir, nprobe=3)
 
 
 # ---------------------------------------------------------------------------
@@ -714,11 +796,19 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ivfpq_recall",
     oracle=f"""
     {_IVFPQ_CTES},
-    approx AS (
+    {_IVFPQ_P3_CTES},
+    approx1 AS (
         SELECT query_id, neighbor_id FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
             FROM exact)
+        WHERE rn <= {_IVFPQ_TOPK}
+    ),
+    approx3 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+            FROM exact3)
         WHERE rn <= {_IVFPQ_TOPK}
     ),
     alldist AS (
@@ -735,27 +825,35 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM alldist)
         WHERE rn <= {_IVFPQ_TOPK}
     )
-    SELECT t.query_id,
+    SELECT 'nprobe1' AS method, t.query_id,
            CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
            CAST(count(a.neighbor_id) AS DOUBLE) / {_IVFPQ_TOPK} AS recall
     FROM truth t
-    LEFT JOIN approx a ON a.query_id = t.query_id
-                      AND a.neighbor_id = t.neighbor_id
+    LEFT JOIN approx1 a ON a.query_id = t.query_id
+                       AND a.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id
+    UNION ALL
+    SELECT 'nprobe3', t.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT),
+           CAST(count(a.neighbor_id) AS DOUBLE) / {_IVFPQ_TOPK}
+    FROM truth t
+    LEFT JOIN approx3 a ON a.query_id = t.query_id
+                       AND a.neighbor_id = t.neighbor_id
     GROUP BY t.query_id
     """,
 )
 def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall@{_IVFPQ_TOPK} of the IVF-PQ path against the exact
-    integer-distance top-{_IVFPQ_TOPK} — the third pinned quality floor
-    (beside sim_ann_recall for LSH and dedup_minhash_recall for minhash):
-    the approximate index's quality is an oracle-checked number, so any
-    change to the coarse quantizer, codebook, or shortlist width that
-    silently degrades results fails correctness, per query.
+    integer-distance top-{_IVFPQ_TOPK}, at BOTH probe settings — the third
+    pinned quality floor (beside sim_ann_recall for LSH and
+    dedup_minhash_recall for minhash), shaped as a ladder so the nprobe
+    knob's effect is itself an oracle-checked number: any change to the
+    coarse quantizer, codebook, shortlist width, or probe logic that
+    silently degrades results fails correctness, per query per setting.
 
     Scale: the exact side is the brute-force baseline a deployment runs
-    on a query SAMPLE to monitor its index; the approx side is the
-    production path unchanged."""
-    approx = sim_ivfpq_search(spark, sf_dir).select("query_id", "neighbor_id")
+    on a query SAMPLE to monitor its index; the approx sides are the
+    production paths unchanged."""
     vecs = _quantized(io.load_table(spark, sf_dir, "embeddings"))
     qs = vecs.filter(F.col("vec_id") < _IVFPQ_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("yq")
@@ -778,15 +876,23 @@ def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _IVFPQ_TOPK)
         .select("query_id", "neighbor_id")
     )
-    return (
-        truth.join(
-            approx.withColumn("hit", F.lit(1)),
-            ["query_id", "neighbor_id"],
-            "left",
+    def scored(method: str, approx: DataFrame) -> DataFrame:
+        return (
+            truth.join(
+                approx.select("query_id", "neighbor_id").withColumn(
+                    "hit", F.lit(1)
+                ),
+                ["query_id", "neighbor_id"],
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(
+                F.count("hit").cast("long").alias("n_hits"),
+                (F.count("hit").cast("double") / _IVFPQ_TOPK).alias("recall"),
+            )
+            .select(F.lit(method).alias("method"), "query_id", "n_hits", "recall")
         )
-        .groupBy("query_id")
-        .agg(
-            F.count("hit").cast("long").alias("n_hits"),
-            (F.count("hit").cast("double") / _IVFPQ_TOPK).alias("recall"),
-        )
+
+    return scored("nprobe1", sim_ivfpq_search(spark, sf_dir)).unionAll(
+        scored("nprobe3", sim_ivfpq_probe3(spark, sf_dir))
     )

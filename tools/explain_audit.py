@@ -262,6 +262,10 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "sim_ivfpq_recall": [
         (r"WindowGroupLimit", "exact-truth top-k is a partial group limit"),
     ],
+    "sim_ivfpq_probe3": [
+        (r"BroadcastHashJoin", "3 probe cells still only grow the broadcast query side"),
+        (r"WindowGroupLimit", "scaled shortlist + re-rank as partial top-k"),
+    ],
     "curation_skyline": [
         (r"hashpartitioning\(lang", "dominance scan keyed by lang over distinct metric levels"),
         (r"BroadcastHashJoin", "frontier levels broadcast back over the corpus"),
