@@ -320,3 +320,56 @@ def scan_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total"),
         )
     )
+
+
+@query(
+    "scan_csv_malformed",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_corrupt,
+           CAST(sum(CASE WHEN event_id % 7 <> 0 THEN event_id % 100 ELSE 0 END)
+               AS BIGINT) AS val_sum
+    FROM events
+    """,
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingest of a corrupted feed (the CSV twin of
+    json_malformed): every 7th line carries an untypeable field, the read
+    schema demands an INT, and the reader must (a) keep every line,
+    (b) capture the raw text of bad lines in the corrupt-record column,
+    (c) parse the rest — quarantine-not-crash, the only viable posture
+    for a multi-TB third-party feed. The oracle derives the expected
+    good/bad split from the corruption rule itself."""
+    ev = io.load_table(spark, sf_dir, "events").select("event_id")
+    line = F.concat_ws(
+        ",",
+        F.col("event_id").cast("string"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("xx")).otherwise(
+            (F.col("event_id") % 100).cast("string")
+        ),
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"hh_badcsv_{os.path.basename(sf_dir)}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    ev.select(line.alias("value")).write.mode("overwrite").text(out_dir)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("val", T.IntegerType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    read = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out_dir)
+    )
+    return read.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count("_corrupt").cast("long").alias("n_corrupt"),
+        F.sum(F.coalesce("val", F.lit(0))).cast("long").alias("val_sum"),
+    )
