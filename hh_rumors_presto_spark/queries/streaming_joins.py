@@ -174,3 +174,55 @@ def stream_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round("tot", 2).cast("double").alias("total"),
     )
+
+
+@query(
+    "stream_checkpoint_resume",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once resume semantics: the same availableNow stream runs
+    TWICE against one checkpoint; the file source's committed offsets
+    make the second run a no-op (zero non-empty micro-batches), so the
+    appended sink still holds each input row exactly once — asserted
+    in-code, and proven end-to-end by the oracle comparing the sink's
+    re-aggregation against a single clean pass over the source. This is
+    the restart-after-crash contract a 100 TB ingest job leans on:
+    reprocessing is governed by the checkpoint, not by operator memory."""
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"hh_ckpt_{uuid.uuid4().hex[:8]}"
+    )
+    chk = os.path.join(out_dir, "_chk")
+    calls = {"nonempty": 0}
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        n = batch_df.count()
+        if n:
+            calls["nonempty"] += 1
+            batch_df.write.mode("append").parquet(
+                os.path.join(out_dir, "data")
+            )
+
+    for run in (1, 2):
+        ev = read_events_stream(spark, sf_dir).select("event_id", "event_type")
+        q = (
+            ev.writeStream.foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        q.awaitTermination()
+        if run == 1:
+            assert calls["nonempty"] >= 1, "first run must process data"
+            after_first = calls["nonempty"]
+    assert calls["nonempty"] == after_first, (
+        "checkpoint resume reprocessed data — exactly-once broken"
+    )
+    return (
+        spark.read.parquet(os.path.join(out_dir, "data"))
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
