@@ -287,3 +287,61 @@ def agg_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("part_min").alias("min_price"),
         F.max("part_max").alias("max_price"),
     )
+
+
+@query(
+    "ivm_join_delta",
+    oracle="""
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(28,10))), 2)
+                AS DOUBLE) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a join view: with orders and
+    customers each split into (base, delta), the maintained aggregate is
+    built from base⋈base PLUS the three delta terms Δo⋈c, o⋈Δc, Δo⋈Δc —
+    never by re-joining the full inputs — and the partial states merge by
+    addition (count + exact DECIMAL sum). The oracle recomputes the view
+    from scratch, so the delta rule's correctness is the check itself.
+
+    Scale: refresh cost is proportional to |Δ| (each delta term joins a
+    delta side against one input), not to the accumulated base; this is
+    the join analog of the rollup ladder's merge==recompute guarantee."""
+    orders = io.load_table(spark, sf_dir, "orders")
+    cust = io.load_table(spark, sf_dir, "customer")
+    o_base = orders.filter(F.col("o_orderkey") % 5 != 0)
+    o_delta = orders.filter(F.col("o_orderkey") % 5 == 0)
+    c_base = cust.filter(F.col("c_custkey") % 10 != 0)
+    c_delta = cust.filter(F.col("c_custkey") % 10 == 0)
+
+    def part(o: DataFrame, c: DataFrame) -> DataFrame:
+        return (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(28,10)")).alias(
+                    "tot"
+                ),
+            )
+        )
+
+    partials = (
+        part(o_base, c_base)
+        .unionAll(part(o_delta, c_base))
+        .unionAll(part(o_base, c_delta))
+        .unionAll(part(o_delta, c_delta))
+    )
+    return (
+        partials.groupBy("c_nationkey")
+        .agg(F.sum("n").alias("n"), F.sum("tot").alias("tot"))
+        .select(
+            "c_nationkey",
+            F.col("n").cast("long").alias("n_orders"),
+            F.round("tot", 2).cast("double").alias("total"),
+        )
+    )
