@@ -1,11 +1,15 @@
 """Round-4 analytics batch: exact EWMA smoothing, grid-bucketed spatial
 radius join, perceptual-hash near-dup over binary image signatures, and
-product-quantization encoding for the ANN scale path.
+the complete product-quantization ANN path (encode, IVF-PQ search at
+nprobe=1 and nprobe=3, oracle-gated recall ladder), plus the
+Pareto-skyline curation key, the multi-resolution rollup ladder, and the
+Johnson-Lindenstrauss sign projection.
 
 Determinism policy (registry.py rules): every key below is bit-exact
 across engines — EWMA multiplies by powers of two only (exponent shifts,
 no mantissa rounding) with identical addition order in both SQL texts;
-the other three work entirely in BIGINT after a floor() quantization.
+the others work entirely in BIGINT after a floor() quantization (or in
+DECIMAL partials for the rollup).
 
 Scale notes (100 TB posture):
 - ``ts_ewma`` is one keyed window (shuffle on user_id); constant state
