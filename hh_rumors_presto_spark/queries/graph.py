@@ -347,3 +347,67 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("doc_id")))
     )
     return nodes.groupBy("doc_id").agg(F.count("*").alias("n_tri"))
+
+
+_W_SQL = "((src * 7 + dst * 13) % 97 + 1)"
+_SSSP_ROUNDS = 4
+
+
+@query(
+    "graph_sssp_weighted",
+    oracle=f"""
+    {_GRAPH_SQL},
+    we AS (SELECT src, dst, {_W_SQL} AS w FROM edges),
+    d0 AS (SELECT (SELECT min(src) FROM we) AS node, CAST(0 AS BIGINT) AS dist),
+    d1 AS (SELECT node, min(dist) AS dist FROM (
+        SELECT * FROM d0
+        UNION ALL SELECT e.dst, d.dist + e.w FROM d0 d JOIN we e ON e.src = d.node
+    ) GROUP BY node),
+    d2 AS (SELECT node, min(dist) AS dist FROM (
+        SELECT * FROM d1
+        UNION ALL SELECT e.dst, d.dist + e.w FROM d1 d JOIN we e ON e.src = d.node
+    ) GROUP BY node),
+    d3 AS (SELECT node, min(dist) AS dist FROM (
+        SELECT * FROM d2
+        UNION ALL SELECT e.dst, d.dist + e.w FROM d2 d JOIN we e ON e.src = d.node
+    ) GROUP BY node),
+    d4 AS (SELECT node, min(dist) AS dist FROM (
+        SELECT * FROM d3
+        UNION ALL SELECT e.dst, d.dist + e.w FROM d3 d JOIN we e ON e.src = d.node
+    ) GROUP BY node)
+    SELECT node, dist FROM d4
+    """,
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths, {_SSSP_ROUNDS} Bellman-Ford
+    relaxation rounds from the lowest node id, with deterministic integer
+    edge weights. The per-round merge is MIN (idempotent, commutative,
+    associative) over exact BIGINT path lengths — the third iterative
+    merge discipline in the graph family beside PageRank's fixed-point
+    SUM and BFS/CC's label MIN, and like them bit-identical under any
+    partitioning, so the key carries a full value-hash oracle (the oracle
+    unrolls the same {_SSSP_ROUNDS} relaxations).
+
+    Scale: each round is one equi-join frontier-to-edges + one min
+    aggregate (Pregel-as-joins); lineage truncated per round; the driver
+    holds nothing."""
+    edges = _edges(spark, sf_dir)
+    w = (F.col("src") * 7 + F.col("dst") * 13) % 97 + 1
+    we = edges.select("src", "dst", w.cast("long").alias("w")).localCheckpoint(
+        eager=False
+    )
+    dist = we.agg(F.min("src").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    for _ in range(_SSSP_ROUNDS):
+        cand = dist.join(we, dist.node == we.src).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = (
+            dist.unionAll(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist
