@@ -43,7 +43,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #   stream_rollup_merge scan_file_skipping sample_bottomk_merge
 #   sketch_hist_quantile emb_random_projection corpus_shard_manifest
 #   sim_ivfpq_recall sim_ivfpq_probe3 scan_csv_malformed
-#   stream_checkpoint_resume ivm_join_delta graph_sssp_weighted),
+#   stream_checkpoint_resume ivm_join_delta graph_sssp_weighted
+#   ts_interval_coverage),
 #   §2.B remainder (ts_ohlc json_malformed sim_ivf dedup_best_of text_bm25
 #   ts_resample_interp agg_bitwise str_codec sink_compact
 #   emb_kmeans_iterate graph_pagerank graph_degree graph_bfs), strings

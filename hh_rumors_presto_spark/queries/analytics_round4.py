@@ -900,3 +900,92 @@ def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored("nprobe1", sim_ivfpq_search(spark, sf_dir)).unionAll(
         scored("nprobe3", sim_ivfpq_probe3(spark, sf_dir))
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_interval_coverage
+
+@query(
+    "ts_interval_coverage",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                   + (event_id % 50 + 1) * 1000000 AS e
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > coalesce(max(e) OVER (
+                        PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               sum(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM flagged
+    ),
+    per_island AS (
+        SELECT user_id, island, max(e) - min(s) AS len
+        FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS covered_us,
+           CAST(count(*) AS BIGINT) AS n_islands
+    FROM per_island GROUP BY user_id
+    """,
+)
+def ts_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union length of overlapping intervals per user (total covered
+    time, e.g. actual active seconds under overlapping sessions) — the
+    classic sweep-line, expressed as two keyed windows: a row opens a new
+    island iff its start exceeds the running max end of all earlier
+    intervals; islands then reduce to max(end)-min(start). All integer
+    microseconds, exact in both engines.
+
+    Scale: both windows are keyed by user (state = one running max), the
+    island reduction is a hash aggregate — no self-join over intervals,
+    which is the naive O(n^2) formulation this replaces."""
+    ev = io.load_events(spark, sf_dir)
+    s = F.unix_micros("ts")
+    e = s + (F.col("event_id") % 50 + 1) * 1000000
+    iv = ev.select("user_id", "event_id", s.alias("s"), e.alias("e"))
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_run).alias("island")
+    )
+    return (
+        islands.groupBy("user_id", "island")
+        .agg((F.max("e") - F.min("s")).alias("len"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("len").cast("long").alias("covered_us"),
+            F.count("*").cast("long").alias("n_islands"),
+        )
+    )
