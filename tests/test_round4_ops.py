@@ -242,3 +242,80 @@ def test_skyline_operator_matches_bruteforce(spark, rows):
         if not dominated:
             want.add(rid)
     assert got == want
+
+
+# property-based: asof_join and forward_fill vs brute force
+
+_series = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),              # key
+        st.integers(min_value=0, max_value=30),   # ts
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_series, _series)
+def test_asof_join_matches_bruteforce(spark, lrows, rrows):
+    """Random series with duplicate timestamps: asof picks the latest
+    right row at-or-before each left row, ties broken by the tiebreak
+    column; unmatched left rows keep null."""
+    from hh_rumors_presto_spark.operators import asof_join
+
+    ldata = [(i, k, t) for i, (k, t) in enumerate(lrows)]
+    rdata = [(i, k, t, f"v{i}") for i, (k, t) in enumerate(rrows)]
+    left = spark.createDataFrame(ldata, ["lid", "key", "ts"])
+    right = spark.createDataFrame(rdata, ["rid", "key", "rts", "val"])
+    out = {
+        r.lid: r.val
+        for r in asof_join(
+            left,
+            right,
+            key="key",
+            left_ts="ts",
+            right_ts="rts",
+            payload_cols=["val"],
+            right_tiebreak="rid",
+            left_id="lid",
+        ).collect()
+    }
+    for lid, k, t in ldata:
+        cands = [(rt, rid, v) for rid, rk, rt, v in rdata if rk == k and rt <= t]
+        want = max(cands)[2] if cands else None
+        assert out[lid] == want, (lid, k, t)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=9)),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_forward_fill_matches_bruteforce(spark, rows):
+    """LOCF over random null patterns equals a sequential scan."""
+    from hh_rumors_presto_spark.operators import forward_fill
+    from pyspark.sql import functions as F
+
+    data = [(i, k, v) for i, (k, v) in enumerate(rows)]
+    # explicit schema: an all-null value column defeats type inference
+    df = spark.createDataFrame(
+        data, "pos LONG, key STRING, v LONG"
+    )
+    out = {
+        r.pos: r.filled
+        for r in forward_fill(
+            df, "v", ["key"], [F.col("pos")], out_col="filled"
+        ).collect()
+    }
+    last: dict = {}
+    for pos, k, v in data:
+        if v is not None:
+            last[k] = v
+        assert out[pos] == last.get(k), (pos, k)
