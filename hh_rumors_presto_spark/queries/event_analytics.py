@@ -225,3 +225,56 @@ def agg_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "agg_attribution",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, event_id, event_type,
+               first_value(CASE WHEN event_type = 'click' THEN event_id END
+                           IGNORE NULLS) OVER w AS first_click,
+               last_value(CASE WHEN event_type = 'click' THEN event_id END
+                          IGNORE NULLS) OVER w AS last_click
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id AS purchase_id, first_click, last_click
+    FROM marked WHERE event_type = 'purchase'
+    """,
+)
+def agg_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion attribution: every purchase is credited to the user's
+    FIRST preceding click (first-touch) and LATEST preceding click
+    (last-touch) under the (ts, event_id) total order — the marketing
+    analytics staple, done with two ignore-nulls window lookups over the
+    strictly-preceding frame (so a click at the purchase's own position
+    never self-attributes; purchases before any click yield NULLs).
+
+    Scale: one keyed window, constant state (two carried ids) — no
+    click⋈purchase range join, which is the naive quadratic form."""
+    ev = io.load_events(spark, sf_dir)
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.first(click_id, ignorenulls=True).over(w).alias("first_click"),
+        F.last(click_id, ignorenulls=True).over(w).alias("last_click"),
+    )
+    return marked.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        "first_click",
+        "last_click",
+    )

@@ -24,7 +24,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hh_rumors_presto_spark import io
@@ -166,4 +166,79 @@ def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return dims.mapInPandas(
         plan, "doc_id long, width long, height long, out_w long, out_h long"
+    )
+
+
+@query(
+    "mm_scene_cut",
+    oracle="""
+    WITH frames AS (
+        SELECT doc_id, t.f AS f,
+               CAST('0x' || substring(
+                   md5('frame' || CAST(doc_id AS VARCHAR) || ':'
+                       || CAST(t.f // 8 AS VARCHAR)), 1, 6) AS BIGINT) AS sig
+        FROM documents, range(0, 24) t(f)
+        WHERE doc_id % 10 = 4
+    ),
+    diffs AS (
+        SELECT doc_id, f, sig,
+               lag(sig) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+        FROM frames
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(1 + sum(CASE WHEN prev IS NOT NULL AND sig <> prev
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_scenes,
+           CAST(min(CASE WHEN prev IS NOT NULL AND sig <> prev THEN f END)
+                AS BIGINT) AS first_cut_frame
+    FROM diffs GROUP BY doc_id
+    """,
+)
+def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection over per-frame signatures: consecutive
+    frames whose content signature changes mark a scene boundary. The
+    container ships no video codecs, so each 'video' document carries 24
+    deterministic frame signatures that change every 8 frames (3 scenes
+    by construction — the detector must find exactly them); a real
+    pipeline swaps the synthetic signature for a decoded-frame perceptual
+    hash (mm_phash_dedup) and keeps every expression.
+
+    Scale: frame fan-out is sequence+explode (proportional to video
+    length, embarrassingly parallel); the boundary test is one keyed lag
+    window with constant state — temporal segmentation never shuffles
+    more than (doc, frame, sig) rows."""
+    docs = io.load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 4
+    )
+    frames = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("f")
+    ).select(
+        "doc_id",
+        "f",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("frame"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.expr("f DIV 8").cast("string"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("sig"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("f")
+    diffs = frames.withColumn("prev", F.lag("sig").over(w))
+    is_cut = F.col("prev").isNotNull() & (F.col("sig") != F.col("prev"))
+    return diffs.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_frames"),
+        (1 + F.sum(is_cut.cast("int"))).cast("long").alias("n_scenes"),
+        F.min(F.when(is_cut, F.col("f"))).cast("long").alias("first_cut_frame"),
     )
