@@ -319,3 +319,26 @@ def test_forward_fill_matches_bruteforce(spark, rows):
         if v is not None:
             last[k] = v
         assert out[pos] == last.get(k), (pos, k)
+
+
+def test_hist_quantile_within_one_bucket_of_exact(spark, sf_dir):
+    """The histogram sketch's p50/p90/p99 estimates must land within one
+    bucket width ($1000) of the exact rank statistic, and the rank must
+    equal the integer ceil of pct*N."""
+    rows = {
+        r.pct: (r.rank, r.est)
+        for r in QUERIES["sketch_hist_quantile"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {50, 90, 99}
+    prices = sorted(
+        round(r.o_totalprice, 2)
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_totalprice")
+        .collect()
+    )
+    n = len(prices)
+    for pct, (rank, est) in rows.items():
+        want_rank = -((-pct * n) // 100)  # ceil(pct*n/100) in integers
+        assert rank == want_rank
+        exact = prices[rank - 1]  # rank-th smallest
+        assert abs(est - exact) <= 1000.0, (pct, est, exact)
