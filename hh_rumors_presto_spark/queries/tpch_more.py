@@ -225,9 +225,11 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents WHERE doc_id % 10 = 0
     )
     SELECT doc_id,
-           array_to_string(list_sort(list_distinct(list_intersect(head, mid))), ' ') AS common,
+           -- coalesce: DuckDB's array_to_string of an EMPTY list is NULL,
+           -- Spark's array_join is '' (latent until a doc's head ⊆ mid)
+           coalesce(array_to_string(list_sort(list_distinct(list_intersect(head, mid))), ' '), '') AS common,
            len(list_distinct(list_concat(head, mid))) AS n_union,
-           array_to_string(list_sort(list_distinct(list_filter(head, x -> NOT list_contains(mid, x)))), ' ') AS only_head,
+           coalesce(array_to_string(list_sort(list_distinct(list_filter(head, x -> NOT list_contains(mid, x)))), ' '), '') AS only_head,
            len(flatten([head, mid])) AS n_flat
     FROM t
     """,
