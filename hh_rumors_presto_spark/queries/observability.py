@@ -267,3 +267,85 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(p - benford, 6).alias("deviation"),
         )
     )
+
+
+@query(
+    "dq_reconciliation",
+    oracle="""
+    WITH lsum AS (
+        SELECT l_orderkey,
+               sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS line_total
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+        SELECT o.o_orderstatus,
+               CAST(o.o_totalprice AS DECIMAL(28,10)) AS header_total,
+               ls.line_total
+        FROM orders o LEFT JOIN lsum ls ON ls.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN line_total IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_no_lines,
+           CAST(sum(CASE WHEN line_total IS NOT NULL
+                         AND abs(header_total - line_total) * 20 <= line_total
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_within_5pct,
+           CAST(round(sum(CASE WHEN line_total IS NOT NULL
+                               THEN abs(header_total - line_total)
+                               ELSE CAST(0 AS DECIMAL(28,10)) END), 2)
+                AS DOUBLE) AS total_abs_gap
+    FROM j GROUP BY o_orderstatus
+    """,
+)
+def dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation audit: every order's header total
+    checked against the sum of its line items — per status, how many
+    orders have no lines at all (referential gap), how many reconcile
+    within 5% (the tolerance compare is exact DECIMAL, |gap|*20 <= sum —
+    no float thresholds), and the total absolute money gap. The standard
+    month-end close / pipeline-handoff audit between a header table and
+    its detail table.
+
+    Scale: one keyed detail aggregation + one header-spine join (both on
+    the natural orderkey), then a tiny status rollup — the detail table
+    is touched once."""
+    li = io.load_table(spark, sf_dir, "lineitem")
+    orders = io.load_table(spark, sf_dir, "orders")
+    lsum = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(28,10)")).alias(
+            "line_total"
+        )
+    )
+    j = orders.join(
+        lsum, orders.o_orderkey == lsum.l_orderkey, "left"
+    ).select(
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(28,10)").alias("header_total"),
+        "line_total",
+    )
+    gap = F.abs(F.col("header_total") - F.col("line_total"))
+    return j.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("line_total").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_no_lines"),
+        F.sum(
+            F.when(
+                F.col("line_total").isNotNull()
+                & (gap * 20 <= F.col("line_total")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_within_5pct"),
+        F.round(
+            F.sum(
+                F.when(F.col("line_total").isNotNull(), gap).otherwise(
+                    F.lit(0).cast("decimal(28,10)")
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("total_abs_gap"),
+    )
