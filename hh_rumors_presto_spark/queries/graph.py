@@ -411,3 +411,65 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return dist
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 4
+
+
+def _kcore_round_sql(i: int) -> str:
+    return f"""
+    k{i + 1} AS (
+        SELECT src AS node FROM e{i} GROUP BY src
+        HAVING count(*) >= {_KCORE_K}
+    ),
+    e{i + 1} AS (
+        SELECT e.src, e.dst FROM e{i} e
+        JOIN k{i + 1} a ON a.node = e.src
+        JOIN k{i + 1} b ON b.node = e.dst
+    )"""
+
+
+@query(
+    "graph_kcore",
+    oracle=f"""
+    {_GRAPH_SQL},
+    e0 AS (SELECT src, dst FROM edges),
+    {",".join(_kcore_round_sql(i) for i in range(_KCORE_ROUNDS))}
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
+    FROM e{_KCORE_ROUNDS} GROUP BY src
+    """,
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_KCORE_K}-core peeling, {_KCORE_ROUNDS} rounds: repeatedly drop
+    nodes whose degree fell below {_KCORE_K} and the edges touching them
+    — the monotone-DELETION iterative discipline (a shrinking edge set
+    each round), complementing the graph family's sum (PageRank), label
+    min (BFS/CC), and path min (SSSP) merges. Every round is exact
+    integer degree counting, so the surviving core and its degrees are
+    bit-deterministic; the oracle unrolls the same rounds.
+
+    Scale: each round is one degree aggregate + two semi-join
+    restrictions on the (shrinking) edge list; lineage truncated per
+    round; at a fixpoint earlier than round {_KCORE_ROUNDS} the later
+    rounds are no-ops by construction."""
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    e = edges
+    for _ in range(_KCORE_ROUNDS):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select(F.col("src").alias("node"))
+        )
+        e = (
+            e.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(
+                keep.withColumnRenamed("node", "dst"), "dst", "left_semi"
+            )
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+    return e.groupBy("src").agg(
+        F.count("*").cast("long").alias("core_deg")
+    ).withColumnRenamed("src", "node")
