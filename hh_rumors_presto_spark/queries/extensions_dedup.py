@@ -625,3 +625,70 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "dedup_lsh_bucket_stats",
+    oracle=f"""
+    WITH sig AS ({_minhash_sig_sql()}),
+    bands AS (
+        SELECT doc_id, 0 AS band,
+               md5(CAST(h0 AS VARCHAR) || ',' || CAST(h1 AS VARCHAR) || ','
+                   || CAST(h2 AS VARCHAR) || ',' || CAST(h3 AS VARCHAR)) AS bucket FROM sig
+        UNION ALL
+        SELECT doc_id, 1,
+               md5(CAST(h4 AS VARCHAR) || ',' || CAST(h5 AS VARCHAR) || ','
+                   || CAST(h6 AS VARCHAR) || ',' || CAST(h7 AS VARCHAR)) FROM sig
+    ),
+    sizes AS (
+        SELECT band, bucket, count(*) AS sz FROM bands GROUP BY band, bucket
+    )
+    SELECT band, sz AS bucket_size,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(sz * (sz - 1) / 2) AS BIGINT) AS candidate_pairs
+    FROM sizes GROUP BY band, sz
+    """,
+)
+def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-size distribution of the minhash-LSH bands — the skew
+    diagnostic for the banded candidate join: per band, how many buckets
+    exist at each occupancy and how many candidate pairs (sz choose 2)
+    each size class contributes. At corpus scale this is the report that
+    decides whether a hot bucket needs salting or a stop-shingle filter
+    BEFORE the pair join runs — candidate cost is sum(sz^2), and this
+    key makes that sum inspectable and regression-gated.
+
+    Scale: signature build is the production path unchanged; the stats
+    are two keyed aggregates over (band, bucket) — never the pair join
+    itself."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    tok = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id", F.explode(bigram_shingles(F.col("toks"))).alias("tok")
+    )
+    base = _hex15_to_long(F.md5(F.col("tok")))
+    sig = tok.select("doc_id", base.alias("base")).groupBy("doc_id").agg(
+        *[
+            F.min(_affine_hash(s, F.col("base"))).alias(f"h{s}")
+            for s in range(N_MINHASH)
+        ]
+    )
+
+    def band_bucket(band: int):
+        members = [f"h{band * MINHASH_ROWS + i}" for i in range(MINHASH_ROWS)]
+        return F.md5(
+            F.concat_ws(",", *[F.col(h).cast("string") for h in members])
+        )
+
+    bands = sig.select(
+        F.posexplode(
+            F.array(*[band_bucket(b) for b in range(MINHASH_BANDS)])
+        ).alias("band", "bucket")
+    )
+    sizes = bands.groupBy("band", "bucket").agg(F.count("*").alias("sz"))
+    return sizes.groupBy("band", F.col("sz").alias("bucket_size")).agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum(F.expr("sz * (sz - 1) DIV 2")).cast("long").alias(
+            "candidate_pairs"
+        ),
+    )

@@ -128,3 +128,60 @@ def pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         (F.sum("n_tokens").cast("double") / F.count("*")).alias("avg_tokens"),
     )
+
+
+@query(
+    "pipeline_eval_split",
+    oracle="""
+    WITH tagged AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_toks,
+               CASE WHEN CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                    WHEN CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens
+    FROM tagged GROUP BY split
+    """,
+)
+def pipeline_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by content-free key
+    hash — the reproducible way to partition a corpus: the assignment is
+    a pure function of the document id (salted so it is independent of
+    every other hash-derived decision in the pipeline), so reruns,
+    engines, and incremental additions all agree, and a document can
+    never migrate between splits as the corpus grows. Emits the per-split
+    document and token budget a training run is provisioned from.
+
+    Scale: one narrow map + 3-group aggregate; no shuffle of the corpus
+    beyond the map-side partial counts."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            F.size(F.split("text", " ")).alias("n_toks"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+    )
