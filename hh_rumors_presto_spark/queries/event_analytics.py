@@ -278,3 +278,65 @@ def agg_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_click",
         "last_click",
     )
+
+
+_RL_COOLDOWN_US = 21_600_000_000  # 6-hour cooldown (fixture events
+# average ~2.4/user/day, so a short cooldown would throttle almost nothing)
+
+
+@query(
+    "ts_rate_limit",
+    oracle=f"""
+    WITH RECURSIVE ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        FROM events
+    ),
+    r AS (
+        SELECT user_id, rn, us, event_id, us AS last_kept, TRUE AS kept
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.rn, e.us, e.event_id,
+               CASE WHEN e.us >= r.last_kept + {_RL_COOLDOWN_US}
+                    THEN e.us ELSE r.last_kept END,
+               e.us >= r.last_kept + {_RL_COOLDOWN_US}
+        FROM r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT user_id, event_id FROM r WHERE kept
+    """,
+)
+def ts_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cooldown rate limiting (alerting/notification throttle): keep an
+    event only if at least 6 hours passed since the LAST KEPT event of
+    that user. Genuinely recursive per-key state — the survivor set
+    depends on earlier survivors, so no window/sessionize rewrite exists
+    (a session gap measures from the last EVENT, not the last KEPT one).
+    The Spark side is the sanctioned custom-stateful-operator shape: an
+    Arrow-batched linear scan per user via applyInPandas; the oracle is
+    the same recursion as a recursive CTE.
+
+    Scale: one shuffle on the group key, O(group) memory in the worker,
+    identical cost shape to a hash aggregate plus the Arrow hop — the
+    batch twin of applyInPandasWithState (stream_stateful)."""
+    import pandas as pd
+
+    ev = io.load_events(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+
+    def keep_throttled(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["us", "event_id"])
+        kept_rows = []
+        last_kept = None
+        for row in pdf.itertuples(index=False):
+            if last_kept is None or row.us >= last_kept + _RL_COOLDOWN_US:
+                kept_rows.append((row.user_id, row.event_id))
+                last_kept = row.us
+        return pd.DataFrame(kept_rows, columns=["user_id", "event_id"])
+
+    return ev.groupBy("user_id").applyInPandas(
+        keep_throttled, "user_id long, event_id long"
+    )
