@@ -989,3 +989,78 @@ def ts_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_islands"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_peak_concurrency
+
+@query(
+    "ts_peak_concurrency",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                   + (event_id % 50 + 1) * 1000000 AS e
+        FROM events
+    ),
+    pts AS (
+        SELECT user_id, s AS t, 1 AS delta, 0 AS closing, event_id FROM iv
+        UNION ALL
+        SELECT user_id, e, -1, 1, event_id FROM iv
+    ),
+    run AS (
+        SELECT user_id,
+               sum(delta) OVER (
+                   PARTITION BY user_id
+                   ORDER BY t, closing, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS open_now
+        FROM pts
+    )
+    SELECT user_id, CAST(max(open_now) AS BIGINT) AS peak_concurrency
+    FROM run GROUP BY user_id
+    """,
+)
+def ts_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per user over the same interval set as
+    ts_interval_coverage: each interval contributes a +1 at its start
+    and a -1 at its end, the keyed running sum is the number open at
+    each boundary, and its max is the peak. The tie order (t, closing,
+    event_id) is a total order that processes starts BEFORE ends at the
+    same instant — [a,b] and [b,c] count as 2 concurrent at b, the
+    inclusive-bounds convention, applied identically in both engines.
+
+    Scale: the sweep is one keyed window over 2x the interval count with
+    constant state — the standard max-overlap shape (room scheduling,
+    session concurrency, connection peaks)."""
+    ev = io.load_events(spark, sf_dir)
+    s = F.unix_micros("ts")
+    e = s + (F.col("event_id") % 50 + 1) * 1000000
+    iv = ev.select("user_id", "event_id", s.alias("s"), e.alias("e"))
+    pts = iv.select(
+        "user_id",
+        F.col("s").alias("t"),
+        F.lit(1).alias("delta"),
+        F.lit(0).alias("closing"),
+        "event_id",
+    ).unionAll(
+        iv.select(
+            "user_id",
+            F.col("e").alias("t"),
+            F.lit(-1).alias("delta"),
+            F.lit(1).alias("closing"),
+            "event_id",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "closing", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = pts.select(
+        "user_id", F.sum("delta").over(w).alias("open_now")
+    )
+    return run.groupBy("user_id").agg(
+        F.max("open_now").cast("long").alias("peak_concurrency")
+    )
