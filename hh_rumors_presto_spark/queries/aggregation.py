@@ -15,7 +15,7 @@ Scale note: all of these are hash aggregates with automatic partial+final
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hh_rumors_presto_spark import io
@@ -283,4 +283,48 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_quantity").alias("max_qty"),
         F.median("l_quantity").alias("med_qty"),
         F.count("*").alias("n"),
+    )
+
+
+@query(
+    "agg_mom_change",
+    oracle="""
+    WITH monthly AS (
+        SELECT o_orderstatus,
+               date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+               sum(CAST(o_totalprice AS DECIMAL(28,10))) AS tot
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderstatus,
+           CAST(month AS DATE) AS month,
+           CAST(round(tot, 2) AS DOUBLE) AS total,
+           round(CAST(tot - lag(tot) OVER w AS DOUBLE)
+                 / CAST(lag(tot) OVER w AS DOUBLE), 6) AS mom_change
+    FROM monthly
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY month)
+    """,
+)
+def agg_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth per order status — the BI metrics-layer
+    staple: monthly DECIMAL totals (exact under any partitioning), then
+    a lag ratio over the AGGREGATED series. First month per status is
+    NULL (no prior), both engines. The ratio divides two doubles cast
+    from the same exact decimals, so it is bit-identical.
+
+    Scale: the corpus-touching work is one keyed aggregate; the window
+    runs over |status x months| rows only."""
+    orders = io.load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_orderstatus",
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("m"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(28,10)")).alias("tot"))
+    w = Window.partitionBy("o_orderstatus").orderBy("m")
+    prev = F.lag("tot").over(w)
+    return monthly.select(
+        "o_orderstatus",
+        F.col("m").cast("date").alias("month"),
+        F.round("tot", 2).cast("double").alias("total"),
+        F.round(
+            (F.col("tot") - prev).cast("double") / prev.cast("double"), 6
+        ).alias("mom_change"),
     )
