@@ -498,9 +498,11 @@ def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sketch_hist_quantile",
     oracle="""
     WITH cents AS (
+        -- NULL guard: a NULL price would land in a NULL bucket, and the
+        -- cumsum window orders NULLS FIRST in Spark but LAST in DuckDB
         SELECT o_orderkey % 4 AS shard,
                CAST(floor(round(o_totalprice, 2) * 100 + 0.5) AS BIGINT) AS c
-        FROM orders
+        FROM orders WHERE o_totalprice IS NOT NULL
     ),
     shard_hist AS (
         SELECT shard, c // 100000 AS bucket, count(*) AS n
@@ -548,7 +550,9 @@ def sketch_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     key space is the (constant) bucket count; the cumulative window runs
     over |buckets| rows, not the corpus; partials merge across shards,
     days, and clusters."""
-    orders = io.load_table(spark, sf_dir, "orders")
+    orders = io.load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     cents = orders.select(
         (F.col("o_orderkey") % 4).alias("shard"),
         F.floor(F.round("o_totalprice", 2) * 100 + 0.5)

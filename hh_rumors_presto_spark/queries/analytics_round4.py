@@ -11,6 +11,13 @@ no mantissa rounding) with identical addition order in both SQL texts;
 the others work entirely in BIGINT after a floor() quantization (or in
 DECIMAL partials for the rollup).
 
+Density assumption: the PQ/IVF keys assume embedding arrays contain no
+NULL elements (true of the driver-generated fixtures, TESTDATA.md). A
+NULL element would diverge cross-engine — Spark's aggregate() fold turns
+the whole distance NULL while DuckDB's SUM skips the element — so a
+regenerated fixture with sparse vectors needs an explicit element guard
+added to _quantized on BOTH sides first.
+
 Scale notes (100 TB posture):
 - ``ts_ewma`` is one keyed window (shuffle on user_id); constant state
   per row (8 lags), no unbounded frames.
