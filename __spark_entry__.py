@@ -47,7 +47,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #   ts_interval_coverage mm_scene_cut agg_attribution
 #   text_langid_accuracy dq_reconciliation graph_kcore
 #   pipeline_eval_split dedup_lsh_bucket_stats ts_rate_limit
-#   ts_peak_concurrency agg_mom_change),
+#   ts_peak_concurrency agg_mom_change emb_cosine_histogram),
 #   §2.B remainder (ts_ohlc json_malformed sim_ivf dedup_best_of text_bm25
 #   ts_resample_interp agg_bitwise str_codec sink_compact
 #   emb_kmeans_iterate graph_pagerank graph_degree graph_bfs), strings

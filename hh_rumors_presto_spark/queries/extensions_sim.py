@@ -652,3 +652,47 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "emb_cosine_histogram",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.label,
+               {_cos_sql("a.embedding", "b.embedding")} AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT label,
+           CAST(floor(cos * 10) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY label, floor(cos * 10)
+    """,
+)
+def emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine-similarity distribution per label block — the
+    threshold-picking diagnostic for embedding dedup and clustering:
+    before choosing a near-dup cutoff you look at where the pair mass
+    sits (bin = floor(cos*10), so [0.8, 0.9) is bin 8). Blocked by label
+    exactly like emb_knn_graph, so pair cost is sum(block^2), never n^2;
+    both engines compute the identical cosine expression (exact-float
+    verified for the sim family), making bin assignment deterministic.
+
+    At corpus scale this runs on a sample per block — the histogram is
+    the thing that justifies the production threshold, and pinning it as
+    oracle rows regression-gates the embedding + cosine path end to
+    end."""
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.label").alias("label"), cos.alias("cos"))
+        .groupBy("label", F.floor(F.col("cos") * 10).cast("int").alias("bin"))
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
