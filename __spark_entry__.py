@@ -34,40 +34,27 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # All 50 were schema-audited (no array/map/struct/decimal outputs — the
 # driver canonicalizer rejects those) and pass tools/verify_local.py.
 #
-# ROUND-4 ROTATION PLAN (swap FRONT_KEYS once r3 rows land green):
-#   corpus_length_histogram (yielded its r3 slot), the partsupp TPC-H
-#   closure batch (sql_tpch_q2 sql_tpch_q9 sql_tpch_q11 sql_tpch_q16
-#   sql_tpch_q20), the round-4 analytics batch (ts_ewma join_spatial_grid
-#   mm_phash_dedup sim_pq_assign sim_ivfpq_search curation_skyline
-#   ts_multires_rollup sink_csv_roundtrip dedup_minhash_recall
-#   stream_rollup_merge scan_file_skipping sample_bottomk_merge
-#   sketch_hist_quantile emb_random_projection corpus_shard_manifest
-#   sim_ivfpq_recall sim_ivfpq_probe3 scan_csv_malformed
+# ROUND-4 ROTATION PLAN — the exact 50-key window, pre-validated against
+# tools/rotation_check.py (all registered, none driver-evaluated, no
+# dupes). Swap FRONT_KEYS to THIS list once r3 rows land green:
+#   sql_tpch_q2 sql_tpch_q9 sql_tpch_q11 sql_tpch_q16 sql_tpch_q20
+#   dedup_minhash_recall sim_ivfpq_recall sim_pq_assign sim_ivfpq_search
+#   sim_ivfpq_probe3 emb_random_projection emb_cosine_histogram
+#   dedup_lsh_bucket_stats ts_ewma join_spatial_grid mm_phash_dedup
+#   curation_skyline ts_multires_rollup stream_rollup_merge
 #   stream_checkpoint_resume ivm_join_delta graph_sssp_weighted
-#   ts_interval_coverage mm_scene_cut agg_attribution
-#   text_langid_accuracy dq_reconciliation graph_kcore
-#   pipeline_eval_split dedup_lsh_bucket_stats ts_rate_limit
-#   ts_peak_concurrency agg_mom_change emb_cosine_histogram),
-#   §2.B remainder (ts_ohlc json_malformed sim_ivf dedup_best_of text_bm25
+#   graph_kcore ts_interval_coverage ts_peak_concurrency mm_scene_cut
+#   agg_attribution text_langid_accuracy dq_reconciliation
+#   pipeline_eval_split ts_rate_limit agg_mom_change sketch_hist_quantile
+#   sample_bottomk_merge scan_file_skipping scan_csv_malformed
+#   sink_csv_roundtrip corpus_shard_manifest corpus_length_histogram
+#   ts_ohlc json_malformed sim_ivf dedup_best_of text_bm25
 #   ts_resample_interp agg_bitwise str_codec sink_compact
-#   emb_kmeans_iterate graph_pagerank graph_degree graph_bfs), strings
-#   remainder (str_like str_misc null_fns str_slugify_fast
-#   str_sanitize_html), scans/sinks remainder (scan_paged_dsv2
-#   scan_partition_pruned scan_binaryfile sink_parquet_roundtrip
-#   sink_partitioned sink_text_roundtrip), sql_tpch_q5/q7/q8/q10/q13/q14,
-#   set_intersect_all set_except_all unpivot_stack profile_table
-#   limit/lateral (sql_lateral_topk win_gaps_islands win_ntile),
-#   stream_join stream_foreach_batch stream_watermark, dq_drift_psi
-#   dq_impute dq_benford debug_counters, map_ops array_explode array_hof
-#   try_fns json_variant.
-# ROUND-5: sql_tpch_q15/q17/q18/q19/q21/q22 leftovers + graph_triangles,
-#   join_nearest join_interval_bin join_bloom_pruned, win_* remainder
-#   (running_distinct drawdown rolling_median rolling_slope pattern_match
-#   anomaly_zscore distribution time-series ts_* remainder), emb_* and
-#   mm_* remainder, udf_arrow_batch udaf_arrow_grouped udtf_native,
-#   layout_* cache_reuse hint_rebalance sql_* remainder, sketch_*,
-#   breadth batches. ROUND-6: whatever CORRECTNESS_r5 still left without
-#   rows (compute from CORRECTNESS_r0{1..5} union vs registry).
+#   emb_kmeans_iterate graph_pagerank
+# ROUND-5+: run `python tools/rotation_check.py` after each round and
+#   take the never-evaluated remainder in registration order (graph/
+#   strings/scans/sinks/sql/win/stream/dq/breadth leftovers), 50 at a
+#   time, until every key has a driver row.
 FRONT_KEYS = [
     # round-3 additions (composed page extractor, HTTP crawl contract,
     # multi-table ANN + measured recall) + the resume-cursor scan
