@@ -23,6 +23,7 @@ def load() -> None:
         engine_surface,
         event_analytics,
         curation_round4,
+        curation_round5,
         extensions_corpus,
         extensions_curation,
         extensions_dedup,

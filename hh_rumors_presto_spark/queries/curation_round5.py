@@ -1,0 +1,426 @@
+"""Round-5 curation batch: semantic dedup, BPE application, an end-to-end
+curation composite, and pairwise n-gram containment.
+
+These extend the LLM-training-pipeline surface (driver mandate; SURVEY.md
+§2.C) past the per-primitive keys with the composed shapes a production
+corpus build actually runs:
+
+- ``dedup_semantic`` — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+  k-means-cluster the embedding space, then prune near-duplicates ONLY
+  within a cluster. The pair search is blocked by centroid assignment
+  (sum-of-cluster-squares work, never corpus x corpus); at 100 TB the
+  centroid count k scales up so block sizes stay bounded while the
+  assignment stays a broadcast of k rows.
+- ``text_bpe_encode`` — apply a fixed BPE merge table to the corpus (the
+  tokenize step of a pretraining build; ``text_bpe_merges`` is the matching
+  training step). Pure per-row column expressions — zero shuffle, zero
+  Python — and the merge table is chosen so plain left-to-right substring
+  replacement is EXACTLY the BPE merge semantics (see the in-function
+  proof), which is what makes a DuckDB oracle possible.
+- ``curation_pipeline_e2e`` — filter -> exact-dedup -> per-source cap as
+  one composed plan, the minimal "real" curation DAG.
+- ``text_containment`` — per-(train, eval) asymmetric n-gram containment
+  |grams(t) ∩ grams(e)| / |grams(e)| — the direction-sensitive refinement
+  of ``text_decontaminate``'s per-train overlap count (quote/inclusion
+  detection, not just contact detection).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.functions import cosine_similarity, dot
+from hh_rumors_presto_spark.registry import query
+
+# --------------------------------------------------------------------------
+# dedup_semantic
+# --------------------------------------------------------------------------
+
+_SEM_K = 8  # centroid count (deterministic seed: first k vec_ids)
+_SEM_THETA = 0.35  # cosine threshold (fixture-scaled; prod would use ~0.95)
+
+# dist2 expands as (v.v - 2 v.c) + c.c with identical association in both
+# engines (same expression shape as emb_kmeans_assign) so boundary
+# assignments agree bit-exactly.
+_D2_SQL = (
+    "list_inner_product(e.v, e.v) - 2 * list_inner_product(e.v, c.cv)"
+    " + list_inner_product(c.cv, c.cv)"
+)
+_PAIR_COS_SQL = (
+    "list_inner_product(a.v, b.v) / nullif("
+    "sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))"
+    ", 0.0)"
+)
+
+
+@query(
+    "dedup_semantic",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {_SEM_K}),
+    assign AS (
+        SELECT vec_id, v, centroid_id FROM (
+            SELECT e.vec_id, e.v, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_D2_SQL} ASC, c.centroid_id
+                   ) AS rn
+            FROM e JOIN cent c ON true
+        ) WHERE rn = 1
+    ),
+    dups AS (
+        SELECT DISTINCT b.vec_id
+        FROM assign a
+        JOIN assign b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE {_PAIR_COS_SQL} > {_SEM_THETA}
+    )
+    SELECT s.vec_id, s.centroid_id, (d.vec_id IS NOT NULL) AS is_dup
+    FROM assign s LEFT JOIN dups d ON s.vec_id = d.vec_id
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: embedding-cluster-blocked cosine near-dup pruning.
+
+    Shape at scale: (1) assignment = broadcast of the k-row centroid set
+    against a single corpus scan (identical to ``emb_kmeans_assign``);
+    (2) the candidate pair join is an EQUI-join on centroid_id — no pair is
+    ever formed across clusters, so work is sum(|cluster|^2), not n^2, and
+    k is the knob that bounds block size at 100 TB; (3) the survivor rule
+    (a vector is a duplicate iff a SMALLER vec_id in its cluster exceeds
+    the cosine threshold) is a deterministic total order, so the kept set
+    is unique. Cosine/dist2 arithmetic matches DuckDB bit-exactly
+    (functions/vectors.py), so the threshold compare is engine-stable.
+    """
+    emb = io.load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cent = emb.filter(F.col("vec_id") < _SEM_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    e, c = F.col("embedding"), F.col("c_emb")
+    d2 = dot(e, e) - F.lit(2.0) * dot(e, c) + dot(c, c)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist2").asc(), F.col("centroid_id")
+    )
+    assigned = (
+        emb.join(F.broadcast(cent))
+        .select("vec_id", "embedding", "centroid_id", d2.alias("dist2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        "centroid_id",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        "centroid_id",
+    )
+    dups = (
+        a.join(b, "centroid_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            cosine_similarity(F.col("a_emb"), F.col("b_emb"))
+            > F.lit(_SEM_THETA)
+        )
+        .select(F.col("b_id").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dups, assigned.vec_id == dups.dup_id, "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.col("dup_id").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# text_bpe_encode
+# --------------------------------------------------------------------------
+
+# Merge table, applied strictly in order. CHOSEN SO THAT plain non-
+# overlapping left-to-right substring replacement on the space-separated
+# symbol string is EXACTLY the BPE merge: a pattern "x y" can only match
+# where symbol x is adjacent to symbol y, never across a symbol boundary,
+# because at each rule's turn no earlier-created symbol ends with a suffix
+# of x or starts with a prefix of y that would fabricate the pattern:
+#   th,in,an,er,on,ou: operate on single-char symbols only (no multi-char
+#     symbol yet ends in t/i/a/e/o or starts with h/n/r/u at that point —
+#     'er' ends in r but 'r e' is NOT in the table, 'ou' not 're');
+#   'th e': the literal substring "th" can only come from the symbol 'th'
+#     (rule 1 consumed every adjacent t,h pair);
+#   'an d': same argument via rule 3.
+# No rule pairs identical symbols, so greedy left-to-right == iterative
+# leftmost merge. This is what makes the DuckDB oracle bit-identical.
+_BPE_MERGES = [
+    ("t h", "th"),
+    ("i n", "in"),
+    ("a n", "an"),
+    ("e r", "er"),
+    ("o n", "on"),
+    ("o u", "ou"),
+    ("th e", "the"),
+    ("an d", "and"),
+]
+
+
+def _bpe_sql_word_expr(var: str) -> str:
+    """DuckDB expression: token count of one word after the merge chain."""
+    spread = f"trim(regexp_replace({var}, '(.)', '\\1 ', 'g'))"
+    merged = spread
+    for pat, rep in _BPE_MERGES:
+        merged = f"replace({merged}, '{pat}', '{rep}')"
+    return f"len(string_split({merged}, ' '))"
+
+
+@query(
+    "text_bpe_encode",
+    oracle=f"""
+    WITH cleaned AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+                   x -> x <> ''
+               ) AS words
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(words) AS INT) AS n_words,
+           CAST(coalesce(list_sum(list_transform(
+               words, x -> {_bpe_sql_word_expr('x')}
+           )), 0) AS BIGINT) AS n_tokens
+    FROM cleaned
+    """,
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a fixed BPE merge table and count tokens per document — the
+    tokenization/sizing pass of a pretraining data build (the merge table
+    itself is what ``text_bpe_merges`` learns).
+
+    Shape at scale: a pure narrow map — normalize, split, and a per-word
+    merge chain built ENTIRELY from higher-order functions and string
+    replaces, all inside whole-stage codegen. Zero shuffle, zero Python,
+    no explode (the per-word token counts fold back with F.aggregate), so
+    the operator runs at scan speed on any corpus size. The merge table is
+    constructed so substring replacement IS the exact BPE semantics (proof
+    at _BPE_MERGES), hence the value-hash DuckDB oracle.
+    """
+    docs = io.load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", ""), " "),
+        lambda x: x != F.lit(""),
+    )
+
+    def word_tokens(x):
+        merged = F.trim(F.regexp_replace(x, "(.)", "$1 "))
+        for pat, rep in _BPE_MERGES:
+            merged = F.replace(merged, F.lit(pat), F.lit(rep))
+        return F.size(F.split(merged, " "))
+
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.aggregate(
+            F.transform(words, word_tokens),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("n_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# curation_pipeline_e2e
+# --------------------------------------------------------------------------
+
+_CUR_MIN_WORDS, _CUR_MAX_WORDS = 20, 80
+_CUR_MIN_WL = 4.0  # mean word length lower bound (gopher-style)
+_CUR_SRC_CAP = 10  # survivors kept per source
+
+
+@query(
+    "curation_pipeline_e2e",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source, n_chars,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+               CAST(list_sum(list_transform(
+                   list_filter(string_split(text, ' '), x -> x <> ''),
+                   x -> len(x))) AS DOUBLE)
+                 / len(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS mean_wl,
+               md5(text) AS fp
+        FROM documents
+    ),
+    filtered AS (
+        SELECT * FROM scored
+        WHERE n_words BETWEEN {_CUR_MIN_WORDS} AND {_CUR_MAX_WORDS}
+          AND mean_wl >= {_CUR_MIN_WL}
+    ),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY fp ORDER BY doc_id
+            ) AS dup_rn
+            FROM filtered
+        ) WHERE dup_rn = 1
+    )
+    SELECT doc_id, source, CAST(n_words AS INT) AS n_words,
+           CAST(src_rank AS INT) AS src_rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY source ORDER BY n_chars DESC, doc_id
+        ) AS src_rank
+        FROM deduped
+    )
+    WHERE src_rank <= {_CUR_SRC_CAP}
+    """,
+)
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composite: quality filter -> exact dedup ->
+    per-source cap, as ONE composed plan (the minimal real corpus-build
+    DAG; each stage also exists as its own key: text_gopher_rules,
+    dedup_exact, corpus_domain_cap).
+
+    Shape at scale: the filter is a narrow codegen map that runs BEFORE
+    any shuffle (cheapest-first stage ordering — the payoff of composing
+    stages in one plan is that Catalyst pipelines the filter into the
+    scan); dedup and the cap are keyed row_number windows (hash-partition
+    by fp / source), both WindowGroupLimit-able; nothing global, nothing
+    collected. Word stats via higher-order functions, no explode.
+    """
+    docs = io.load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(words).alias("n_words"),
+        (
+            F.aggregate(
+                F.transform(words, F.length),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / F.size(words)
+        ).alias("mean_wl"),
+        F.md5("text").alias("fp"),
+    )
+    filtered = scored.filter(
+        F.col("n_words").between(_CUR_MIN_WORDS, _CUR_MAX_WORDS)
+        & (F.col("mean_wl") >= _CUR_MIN_WL)
+    )
+    dup_w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        filtered.withColumn("dup_rn", F.row_number().over(dup_w))
+        .filter(F.col("dup_rn") == 1)
+    )
+    cap_w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        deduped.withColumn("src_rank", F.row_number().over(cap_w))
+        .filter(F.col("src_rank") <= _CUR_SRC_CAP)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_words").cast("int").alias("n_words"),
+            F.col("src_rank").cast("int").alias("src_rank"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# text_containment
+# --------------------------------------------------------------------------
+
+_CONT_N = 3  # gram width (5-grams are too sparse on the synthetic fixture)
+
+
+def _tri_gram_sql(src_filter: str) -> str:
+    return f"""
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(string_split(text,' ')) - {_CONT_N - 1}),
+                   i -> array_to_string(string_split(text,' ')[i:i+{_CONT_N - 1}], ' ')
+               ))) AS gram
+        FROM documents
+        WHERE {src_filter} AND len(string_split(text,' ')) >= {_CONT_N}
+    """
+
+
+@query(
+    "text_containment",
+    oracle=f"""
+    WITH ev AS ({_tri_gram_sql("doc_id % 97 = 0")}),
+    tr AS ({_tri_gram_sql("doc_id % 97 <> 0")}),
+    evn AS (SELECT doc_id, count(*) AS n_eval FROM ev GROUP BY doc_id)
+    SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc,
+           CAST(count(*) AS BIGINT) AS n_common,
+           round(CAST(count(*) AS DOUBLE) / any_value(evn.n_eval), 6)
+               AS containment
+    FROM tr t
+    JOIN ev e ON t.gram = e.gram
+    JOIN evn ON evn.doc_id = e.doc_id
+    GROUP BY t.doc_id, e.doc_id
+    """,
+)
+def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment per (train, eval) document pair:
+    |grams(t) ∩ grams(e)| / |grams(e)| — the direction-sensitive
+    contamination score (how much of the EVAL doc appears in a train doc),
+    refining ``text_decontaminate``'s per-train overlap count.
+
+    Shape at scale: the eval side (benchmark) is tiny by construction —
+    its distinct gram set and per-doc gram counts broadcast; the training
+    corpus streams through the broadcast join gram-by-gram and aggregates
+    by (train_doc, eval_doc), so the corpus is scanned once and only
+    matching grams enter the shuffle (pair-keyed, bounded by real
+    overlap, not corpus size).
+    """
+    docs = io.load_table(spark, sf_dir, "documents")
+    toks = F.col("toks")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (_CONT_N - 1)),
+            lambda i: F.array_join(F.slice(toks, i, _CONT_N), " "),
+        )
+    )
+
+    def gram_rows(df):
+        return (
+            df.select("doc_id", F.split("text", " ").alias("toks"))
+            .filter(F.size(toks) >= _CONT_N)
+            .select("doc_id", F.explode(grams).alias("gram"))
+        )
+
+    ev = gram_rows(docs.filter(F.col("doc_id") % 97 == 0)).withColumnRenamed(
+        "doc_id", "eval_doc"
+    )
+    evn = ev.groupBy("eval_doc").agg(F.count("*").alias("n_eval"))
+    tr = gram_rows(docs.filter(F.col("doc_id") % 97 != 0)).withColumnRenamed(
+        "doc_id", "train_doc"
+    )
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count("*").alias("n_common"))
+        .join(F.broadcast(evn), "eval_doc")
+        .select(
+            "train_doc",
+            "eval_doc",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double") / F.col("n_eval"), 6
+            ).alias("containment"),
+        )
+    )

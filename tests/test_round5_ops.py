@@ -1,0 +1,175 @@
+"""Semantic cross-checks for the round-5 curation batch, independent of
+the DuckDB oracles: each scalable implementation is compared against a
+brute-force reference computed in plain Python on the same fixture rows.
+"""
+
+from __future__ import annotations
+
+from hh_rumors_presto_spark.queries.curation_round5 import (
+    _BPE_MERGES,
+    _CONT_N,
+    _CUR_MAX_WORDS,
+    _CUR_MIN_WL,
+    _CUR_MIN_WORDS,
+    _CUR_SRC_CAP,
+    _SEM_K,
+    _SEM_THETA,
+)
+from hh_rumors_presto_spark.registry import QUERIES, load_all_queries
+
+load_all_queries()
+
+
+def _embeddings(spark, sf_dir):
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    return {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+
+
+def test_semantic_dedup_matches_bruteforce(spark, sf_dir):
+    """Cluster-blocked pruning must equal the brute-force SemDeDup rule:
+    assign to nearest of the first-k centroids, then a vector is a dup iff
+    a smaller vec_id in the SAME cluster has cosine > theta."""
+    vecs = _embeddings(spark, sf_dir)
+    cents = {i: vecs[i] for i in range(_SEM_K)}
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
+        return num / den
+
+    assign = {
+        v: min(cents, key=lambda c: (d2(vec, cents[c]), c))
+        for v, vec in vecs.items()
+    }
+    want_dup = set()
+    by_cluster: dict[int, list[int]] = {}
+    for v, c in assign.items():
+        by_cluster.setdefault(c, []).append(v)
+    for members in by_cluster.values():
+        members.sort()
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                if cos(vecs[a], vecs[b]) > _SEM_THETA:
+                    want_dup.add(b)
+
+    rows = QUERIES["dedup_semantic"](spark, sf_dir).collect()
+    got_assign = {r.vec_id: r.centroid_id for r in rows}
+    got_dup = {r.vec_id for r in rows if r.is_dup}
+    assert got_assign == assign
+    assert got_dup == want_dup
+    assert want_dup, "fixture produced no duplicates — test is vacuous"
+    # the pruned survivor set keeps at least the smallest id per cluster
+    for members in by_cluster.values():
+        assert members[0] not in want_dup
+
+
+def _bpe_encode_word(word: str) -> list[str]:
+    """Reference BPE: iteratively merge the leftmost occurrence of the
+    current rule until the rule no longer applies, rules in table order."""
+    syms = list(word)
+    for pat, rep in _BPE_MERGES:
+        a, b = pat.split(" ")
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(rep)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_reference_merges(spark, sf_dir):
+    """The substring-replace chain must equal true pairwise BPE merging
+    (the _BPE_MERGES table is constructed to guarantee this)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    import re
+
+    want = {}
+    for r in docs:
+        words = [w for w in re.sub(r"[^a-z ]", "", r.text.lower()).split(" ") if w]
+        want[r.doc_id] = (
+            len(words),
+            sum(len(_bpe_encode_word(w)) for w in words),
+        )
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in QUERIES["text_bpe_encode"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_bpe_merge_reduces_tokens(spark, sf_dir):
+    rows = QUERIES["text_bpe_encode"](spark, sf_dir).collect()
+    docs = {r.doc_id: r.text for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()}
+    import re
+
+    fired = 0
+    for r in rows:
+        clean = re.sub(r"[^a-z ]", "", docs[r.doc_id].lower())
+        n_chars = sum(len(w) for w in clean.split(" ") if w)
+        assert r.n_tokens <= n_chars
+        if r.n_tokens < n_chars:
+            fired += 1
+    assert fired > 0, "no merge ever fired — table is vacuous on fixture"
+
+
+def test_curation_pipeline_stages_all_bite(spark, sf_dir):
+    """Each stage of the composite must be observable: the filter drops
+    rows, and the per-source cap truncates at least one source."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    survivors = QUERIES["curation_pipeline_e2e"](spark, sf_dir).collect()
+
+    def stats(text):
+        words = [w for w in text.split(" ") if w]
+        return len(words), sum(len(w) for w in words) / len(words)
+
+    filtered = [
+        r
+        for r in docs
+        if _CUR_MIN_WORDS <= stats(r.text)[0] <= _CUR_MAX_WORDS
+        and stats(r.text)[1] >= _CUR_MIN_WL
+    ]
+    assert len(filtered) < len(docs), "filter stage never fired"
+    per_src: dict[str, int] = {}
+    for r in filtered:
+        per_src[r.source] = per_src.get(r.source, 0) + 1
+    assert any(v > _CUR_SRC_CAP for v in per_src.values()), "cap never fired"
+    got_per_src: dict[str, int] = {}
+    for r in survivors:
+        got_per_src[r.source] = got_per_src.get(r.source, 0) + 1
+        assert r.src_rank <= _CUR_SRC_CAP
+    assert all(v <= _CUR_SRC_CAP for v in got_per_src.values())
+    assert survivors
+
+
+def test_containment_matches_bruteforce(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+
+    def grams(text):
+        toks = text.split(" ")
+        return {
+            " ".join(toks[i : i + _CONT_N])
+            for i in range(len(toks) - _CONT_N + 1)
+        }
+
+    ev = {r.doc_id: grams(r.text) for r in docs if r.doc_id % 97 == 0}
+    tr = {r.doc_id: grams(r.text) for r in docs if r.doc_id % 97 != 0}
+    want = {}
+    for t, tg in tr.items():
+        for e, eg in ev.items():
+            common = len(tg & eg)
+            if common:
+                want[(t, e)] = (common, round(common / len(eg), 6))
+    got = {
+        (r.train_doc, r.eval_doc): (r.n_common, round(r.containment, 6))
+        for r in QUERIES["text_containment"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want, "no containment pairs on fixture — test is vacuous"

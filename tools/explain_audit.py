@@ -278,6 +278,18 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"partial_sum\(cast\(value", "raw aggregated once at the fine (hourly) key"),
         (r"partial_sum\(tot", "daily level merges hourly partial states, not raw rows"),
     ],
+    "dedup_semantic": [
+        (r"BroadcastNestedLoopJoin|BroadcastHashJoin",
+         "k-row centroid set broadcast for assignment"),
+        (r"hashpartitioning\(centroid_id", "pair candidates blocked by cluster equi-join"),
+    ],
+    "curation_pipeline_e2e": [
+        (r"WindowGroupLimit", "dedup/cap windows as per-partition group limits"),
+        (r"Filter \(", "quality filter runs below the first shuffle"),
+    ],
+    "text_containment": [
+        (r"BroadcastHashJoin", "benchmark gram set broadcast, corpus never shuffles for candidates"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -288,6 +300,8 @@ NO_EXCHANGE_KEYS = (
     "sim_pq_assign",
     # JL sign projection: 16 signed aggregate() sums + posexplode, narrow
     "emb_random_projection",
+    # BPE application is a pure narrow map: HOF merge chain in codegen
+    "text_bpe_encode",
 )
 
 FORBIDDEN = (
@@ -313,7 +327,11 @@ FORBIDDEN = (
       "sketch_hist_quantile",
       # sim_ivfpq_recall's exact-truth side broadcasts the 5-row query
       # set over the corpus (sim_topk's sanctioned brute-force shape)
-      "sim_ivfpq_recall"}),
+      "sim_ivfpq_recall",
+      # dedup_semantic's assignment broadcasts the k-ROW centroid set over
+      # a single corpus scan (emb_kmeans_assign's sanctioned shape); the
+      # pair join itself is the cluster equi-join, never a nested loop
+      "dedup_semantic"}),
 )
 
 
