@@ -17,6 +17,7 @@ def load() -> None:
         analytics_round2,
         analytics_round3,
         analytics_round4,
+        analytics_round5,
         breadth_round3,
         breadth_round4,
         breadth_round5,

@@ -290,6 +290,22 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "text_containment": [
         (r"BroadcastHashJoin", "benchmark gram set broadcast, corpus never shuffles for candidates"),
     ],
+    "ts_seasonal_decompose": [
+        (r"BroadcastHashJoin", "seasonal (|keys| x 24) profile broadcast back"),
+        (r"hashpartitioning\(event_type", "moving average is a keyed window"),
+    ],
+    "feat_target_encode": [
+        (r"BroadcastHashJoin", "per-category sums broadcast over one fact scan"),
+    ],
+    "join_pit_multi": [
+        (r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
+         "each feature table is an equi-join on the entity key"),
+        (r"max_by", "as-of resolved via max_by, no window over the fan-out"),
+    ],
+    "ts_holt_winters": [
+        (r"FlatMapGroupsInPandas", "Arrow-grouped stateful pass"),
+        (r"hashpartitioning\(user_id", "series key partitioning, state stays per-executor"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -331,7 +347,12 @@ FORBIDDEN = (
       # dedup_semantic's assignment broadcasts the k-ROW centroid set over
       # a single corpus scan (emb_kmeans_assign's sanctioned shape); the
       # pair join itself is the cluster equi-join, never a nested loop
-      "dedup_semantic"}),
+      "dedup_semantic",
+      # ts_seasonal_decompose's grid is |event_types| x |hours| — two tiny
+      # dimension sides (independent of the fact row count) crossed to
+      # densify the series; feat_target_encode broadcasts its ONE-ROW
+      # global prior
+      "ts_seasonal_decompose", "feat_target_encode"}),
 )
 
 
