@@ -21,6 +21,7 @@ def load() -> None:
         breadth_round3,
         breadth_round4,
         breadth_round5,
+        breadth_round6,
         engine_surface,
         event_analytics,
         curation_round4,

@@ -1,0 +1,345 @@
+"""Round-6 breadth batch: a value-verifiable HyperLogLog, CCNet-style
+perplexity bucketing, and a sampled-estimate accuracy floor.
+
+- ``sketch_hll_det`` — a REAL HyperLogLog (Flajolet et al. 2007) built
+  from an engine-neutral md5 hash, so unlike ``agg_approx_distinct`` /
+  ``sketch_hll_merge`` (rows-only: Spark's internal sketch), every
+  register and the final estimate are value-hash-verified against DuckDB.
+  The register table IS the mergeable sketch state: groupBy(group, bucket)
+  max(rho) is exactly the HLL merge operator, so partial aggregation
+  gives the map-side-combine sketch build for free.
+- ``corpus_ccnet_buckets`` — the CCNet corpus partition (Wenzek et al.
+  2019, arXiv:1911.00359): score every document with a unigram-LM
+  log-prob (perplexity proxy), then split the corpus into head / middle /
+  tail at the global score tertiles.
+- ``aqp_sample_mean`` — approximate-query-processing floor: a 10%
+  deterministic hash sample's group means vs the exact means, with the
+  relative error REPORTED AND GATED (the sampling-accuracy evidence an
+  AQP path needs before anyone trusts it at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.registry import query
+
+# --------------------------------------------------------------------------
+# sketch_hll_det
+# --------------------------------------------------------------------------
+
+_HLL_M = 256  # registers (b = 8 bucket bits); std error ~ 1.04/sqrt(m) = 6.5%
+# 52 bits of rank material remain after the bucket byte (13 hex chars)
+_HLL_RANK_HEX = 13
+
+# alpha_256 * m^2 * 2^53, written as arithmetic both engines evaluate
+# identically (IEEE doubles, fixed association) rather than a rounded
+# literal. 2^53 rescales the integer-exact register sum (see below).
+_HLL_SCALE_SQL = (
+    f"(0.7213 / (1.0 + 1.079 / {_HLL_M})) * {_HLL_M * _HLL_M} * 9007199254740992.0"
+)
+
+
+@query(
+    "sketch_hll_det",
+    oracle=f"""
+    WITH h AS (
+        SELECT l_returnflag AS grp, l_partkey,
+               md5(CAST(l_partkey AS VARCHAR)) AS hex
+        FROM lineitem
+    ),
+    ranked AS (
+        SELECT grp,
+               CAST(('0x' || substring(hex, 1, 2)) AS BIGINT) AS bucket,
+               CASE WHEN stripped = '' THEN {4 * _HLL_RANK_HEX + 1}
+                    ELSE 4 * ({_HLL_RANK_HEX} - length(stripped))
+                         + CASE WHEN nib = '1' THEN 3
+                                WHEN nib IN ('2', '3') THEN 2
+                                WHEN nib IN ('4', '5', '6', '7') THEN 1
+                                ELSE 0 END
+                         + 1 END AS rho
+        FROM (
+            SELECT grp, hex,
+                   regexp_replace(substring(hex, 3, {_HLL_RANK_HEX}), '^0+', '')
+                       AS stripped,
+                   substring(regexp_replace(
+                       substring(hex, 3, {_HLL_RANK_HEX}), '^0+', ''), 1, 1)
+                       AS nib
+            FROM h
+        )
+    ),
+    regs AS (
+        SELECT grp, bucket, max(rho) AS m_j FROM ranked GROUP BY grp, bucket
+    ),
+    est AS (
+        SELECT grp,
+               sum(CAST(pow(2, 53 - m_j) AS BIGINT)) AS sum_scaled,
+               count(*) AS n_present
+        FROM regs GROUP BY grp
+    ),
+    raw AS (
+        SELECT grp,
+               {_HLL_SCALE_SQL}
+                 / CAST(sum_scaled
+                        + ({_HLL_M} - n_present) * 9007199254740992 AS DOUBLE)
+                   AS raw_est,
+               {_HLL_M} - n_present AS v_empty
+        FROM est
+    ),
+    truth AS (
+        SELECT l_returnflag AS grp, count(DISTINCT l_partkey) AS exact_ndv
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT r.grp AS l_returnflag,
+           round(CASE WHEN r.raw_est <= 2.5 * {_HLL_M} AND r.v_empty > 0
+                      THEN {_HLL_M} * ln({_HLL_M} / CAST(r.v_empty AS DOUBLE))
+                      ELSE r.raw_est END, 4) AS hll_est,
+           CAST(t.exact_ndv AS BIGINT) AS exact_ndv,
+           round(abs(CASE WHEN r.raw_est <= 2.5 * {_HLL_M} AND r.v_empty > 0
+                          THEN {_HLL_M} * ln({_HLL_M} / CAST(r.v_empty AS DOUBLE))
+                          ELSE r.raw_est END - t.exact_ndv)
+                 / t.exact_ndv, 6) AS rel_err
+    FROM raw r JOIN truth t ON t.grp = r.grp
+    """,
+)
+def sketch_hll_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog NDV per group, estimate vs exact truth.
+
+    Hash = md5 of the value (engine-neutral): byte 1 picks one of 256
+    registers, the remaining 52 bits give rho = leading-zero rank,
+    computed by STRING arithmetic on the hex (strip leading '0' nibbles +
+    a 4-way nibble CASE) — no float log2, whose last-ulp rounding differs
+    per engine. Register sums are rescaled to INTEGER: sum(2^(53-rho))
+    fits a BIGINT exactly, so the harmonic-mean denominator is exact
+    under any reduction order and the estimate is bit-deterministic.
+
+    Shape at scale: groupBy(group, bucket) max(rho) IS the HLL sketch —
+    max is the merge operator, so Spark's partial aggregation builds and
+    merges per-partition sketches map-side; the shuffle carries at most
+    |groups| x 256 register rows no matter how many input rows. The
+    measured rel_err column is the pinned quality floor (std error
+    1.04/sqrt(256) ~ 6.5%). Unlike agg_approx_distinct (rows-only), this
+    estimate is value-hash-verified.
+    """
+    li = io.load_table(spark, sf_dir, "lineitem")
+    hexd = F.md5(F.col("l_partkey").cast("string"))
+    stripped = F.regexp_replace(
+        F.substring(hexd, 3, _HLL_RANK_HEX), "^0+", ""
+    )
+    nib = F.substring(stripped, 1, 1)
+    rho = F.when(stripped == "", 4 * _HLL_RANK_HEX + 1).otherwise(
+        4 * (_HLL_RANK_HEX - F.length(stripped))
+        + F.when(nib == "1", 3)
+        .when(nib.isin("2", "3"), 2)
+        .when(nib.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+        + 1
+    )
+    ranked = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.conv(F.substring(hexd, 1, 2), 16, 10).cast("long").alias("bucket"),
+        rho.alias("rho"),
+    )
+    regs = ranked.groupBy("grp", "bucket").agg(F.max("rho").alias("m_j"))
+    est = regs.groupBy("grp").agg(
+        F.sum(F.pow(F.lit(2.0), 53 - F.col("m_j")).cast("long")).alias(
+            "sum_scaled"
+        ),
+        F.count("*").alias("n_present"),
+    )
+    two53 = 9007199254740992
+    scale = (
+        F.lit(0.7213 / (1.0 + 1.079 / _HLL_M)) * (_HLL_M * _HLL_M) * float(two53)
+    )
+    v_empty = _HLL_M - F.col("n_present")
+    raw_est = scale / (
+        F.col("sum_scaled") + v_empty * F.lit(two53)
+    ).cast("double")
+    final_est = F.when(
+        (raw_est <= 2.5 * _HLL_M) & (v_empty > 0),
+        _HLL_M * F.log(_HLL_M / v_empty.cast("double")),
+    ).otherwise(raw_est)
+    truth = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.countDistinct("l_partkey").alias("exact_ndv")
+    )
+    return (
+        est.select("grp", final_est.alias("e"), v_empty.alias("v"))
+        .join(truth, "grp")
+        .select(
+            F.col("grp").alias("l_returnflag"),
+            F.round("e", 4).alias("hll_est"),
+            F.col("exact_ndv").cast("bigint").alias("exact_ndv"),
+            F.round(
+                F.abs(F.col("e") - F.col("exact_ndv")) / F.col("exact_ndv"), 6
+            ).alias("rel_err"),
+        )
+    )
+
+
+# alpha arithmetic must stay a PYTHON-SIDE constant expression identical to
+# the SQL's: 0.7213/(1.0+1.079/256) evaluated once in CPython IEEE doubles
+# == DuckDB evaluating the same literals. (Checked in tests.)
+
+
+# --------------------------------------------------------------------------
+# corpus_ccnet_buckets
+# --------------------------------------------------------------------------
+
+_CC_FLOOR = 1e-9  # OOV probability floor (matches text_lm_score's shape)
+
+
+@query(
+    "corpus_ccnet_buckets",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (SELECT tok, CAST(count(*) AS DOUBLE) AS cnt FROM tok GROUP BY tok),
+    total AS (SELECT sum(cnt) AS n FROM vocab),
+    scored AS (
+        SELECT t.doc_id, avg(ln(v.cnt / total.n + {_CC_FLOOR})) AS score
+        FROM tok t JOIN vocab v ON v.tok = t.tok, total
+        GROUP BY t.doc_id
+    ),
+    cuts AS (
+        SELECT quantile_cont(score, 1.0/3) AS p33,
+               quantile_cont(score, 2.0/3) AS p66
+        FROM scored
+    )
+    SELECT s.doc_id, round(s.score, 6) AS avg_logp,
+           CASE WHEN s.score >= c.p66 THEN 'head'
+                WHEN s.score >= c.p33 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s, cuts c
+    """,
+)
+def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus partition: per-document unigram-LM
+    average log-prob (the perplexity proxy; higher = more fluent), split
+    at the global score tertiles — the standard quality-tiering step
+    before choosing what fraction of a crawl to train on.
+
+    Shape at scale: vocab aggregate (map-side partials) broadcast back
+    over the token stream; per-doc fold; the two tertile cuts are a
+    ONE-ROW exact-percentile aggregate broadcast over the scored corpus
+    (the same RangePartitioner-style boundary footprint as everywhere
+    else — no global sort, no collect)."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").cast("double").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    scored = (
+        tok.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.avg(F.log(F.col("cnt") / F.col("n") + _CC_FLOOR)).alias("score"))
+    )
+    cuts = scored.agg(
+        F.expr("percentile(score, 1.0/3)").alias("p33"),
+        F.expr("percentile(score, 2.0/3)").alias("p66"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            F.round("score", 6).alias("avg_logp"),
+            F.when(F.col("score") >= F.col("p66"), "head")
+            .when(F.col("score") >= F.col("p33"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# aqp_sample_mean
+# --------------------------------------------------------------------------
+
+_AQP_PCT = 10  # deterministic 10% hash sample
+
+
+@query(
+    "aqp_sample_mean",
+    oracle=f"""
+    WITH base AS (
+        SELECT l_returnflag, l_quantity,
+               CAST(('0x' || substring(md5(
+                   CAST(l_orderkey AS VARCHAR) || '-' ||
+                   CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+                   AS h
+        FROM lineitem
+    ),
+    exact AS (
+        SELECT l_returnflag,
+               sum(CAST(l_quantity AS BIGINT)) AS s, count(*) AS c
+        FROM base GROUP BY l_returnflag
+    ),
+    samp AS (
+        SELECT l_returnflag,
+               sum(CAST(l_quantity AS BIGINT)) AS s, count(*) AS c
+        FROM base WHERE h < {_AQP_PCT} GROUP BY l_returnflag
+    )
+    SELECT e.l_returnflag,
+           round(CAST(e.s AS DOUBLE) / e.c, 6) AS exact_mean,
+           round(CAST(s.s AS DOUBLE) / s.c, 6) AS sample_mean,
+           CAST(s.c AS BIGINT) AS sample_rows,
+           round(abs(CAST(s.s AS DOUBLE) / s.c - CAST(e.s AS DOUBLE) / e.c)
+                 / (CAST(e.s AS DOUBLE) / e.c), 6) AS rel_err
+    FROM exact e JOIN samp s ON s.l_returnflag = e.l_returnflag
+    """,
+)
+def aqp_sample_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-query-processing accuracy floor: group means from a
+    deterministic 10% hash sample vs the exact means, with measured
+    relative error. The sample predicate is md5-derived (engine-neutral,
+    reproducible, and — unlike TABLESAMPLE — stable under retries and
+    across engines), so the whole comparison is value-hash-verified.
+
+    Shape at scale: the sample predicate is a narrow filter in the scan's
+    codegen stage (rows drop before any shuffle; being md5-derived it
+    cannot push into parquet row-group stats — a production AQP path
+    would materialize the sample as its own table to also cut the I/O);
+    both sides are one keyed integer aggregate. Quantities are
+    integer-valued, so the sums are exact and the means
+    bit-deterministic."""
+    li = io.load_table(spark, sf_dir, "lineitem")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    base = li.select(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("q"), h.alias("h")
+    )
+    exact = base.groupBy("l_returnflag").agg(
+        F.sum("q").alias("es"), F.count("*").alias("ec")
+    )
+    samp = (
+        base.filter(F.col("h") < _AQP_PCT)
+        .groupBy("l_returnflag")
+        .agg(F.sum("q").alias("ss"), F.count("*").alias("sc"))
+    )
+    e_mean = F.col("es").cast("double") / F.col("ec")
+    s_mean = F.col("ss").cast("double") / F.col("sc")
+    return exact.join(samp, "l_returnflag").select(
+        "l_returnflag",
+        F.round(e_mean, 6).alias("exact_mean"),
+        F.round(s_mean, 6).alias("sample_mean"),
+        F.col("sc").cast("bigint").alias("sample_rows"),
+        F.round(F.abs(s_mean - e_mean) / e_mean, 6).alias("rel_err"),
+    )

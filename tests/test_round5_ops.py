@@ -271,3 +271,85 @@ def test_target_encode_loo_excludes_own_row(spark, sf_dir):
             assert encs[pos[0]] < encs[neg[0]]
             checked += 1
     assert checked, "fixture had single-target categories only — vacuous"
+
+
+def test_hll_matches_reference_implementation(spark, sf_dir):
+    """The register table and estimate must equal a from-scratch Python
+    HLL over the same md5 hashes, and the error must sit inside the
+    theoretical band for m=256."""
+    import hashlib
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    regs: dict[tuple[str, int], int] = {}
+    truth: dict[str, set] = {}
+    for r in li:
+        hx = hashlib.md5(str(r.l_partkey).encode()).hexdigest()
+        bucket = int(hx[:2], 16)
+        rem = hx[2:15]
+        stripped = rem.lstrip("0")
+        if not stripped:
+            rho = 4 * 13 + 1
+        else:
+            nib = int(stripped[0], 16)
+            extra = 3 if nib == 1 else 2 if nib < 4 else 1 if nib < 8 else 0
+            rho = 4 * (13 - len(stripped)) + extra + 1
+        key = (r.l_returnflag, bucket)
+        regs[key] = max(regs.get(key, 0), rho)
+        truth.setdefault(r.l_returnflag, set()).add(r.l_partkey)
+
+    m = 256
+    want = {}
+    for grp in truth:
+        ms = [v for (g, _), v in regs.items() if g == grp]
+        sum_scaled = sum(2 ** (53 - v) for v in ms)
+        v_empty = m - len(ms)
+        raw = (
+            (0.7213 / (1.0 + 1.079 / m)) * m * m * 9007199254740992.0
+        ) / float(sum_scaled + v_empty * 9007199254740992)
+        if raw <= 2.5 * m and v_empty > 0:
+            import math
+
+            raw = m * math.log(m / float(v_empty))
+        want[grp] = (round(raw, 4), len(truth[grp]))
+
+    out = QUERIES["sketch_hll_det"](spark, sf_dir).collect()
+    for r in out:
+        est, ndv = want[r.l_returnflag]
+        assert r.hll_est == est
+        assert r.exact_ndv == ndv
+        assert r.rel_err < 3 * 1.04 / (m ** 0.5), "outside 3x std-error band"
+
+
+def test_ccnet_buckets_are_ordered_tertiles(spark, sf_dir):
+    """head scores >= middle scores >= tail scores, and the three buckets
+    are tertile-sized (within interpolation slack)."""
+    rows = QUERIES["corpus_ccnet_buckets"](spark, sf_dir).collect()
+    by_bucket: dict[str, list[float]] = {"head": [], "middle": [], "tail": []}
+    for r in rows:
+        by_bucket[r.bucket].append(r.avg_logp)
+    n = len(rows)
+    assert all(by_bucket.values()), "a bucket is empty"
+    assert min(by_bucket["head"]) >= max(by_bucket["middle"])
+    assert min(by_bucket["middle"]) >= max(by_bucket["tail"])
+    for sizes in by_bucket.values():
+        assert abs(len(sizes) - n / 3) <= 2
+
+
+def test_aqp_sample_is_the_exact_hash_subset(spark, sf_dir):
+    """The 10% sample must be exactly the md5-predicate subset (no
+    TABLESAMPLE nondeterminism), and the measured error small."""
+    import hashlib
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    want_rows: dict[str, int] = {}
+    for r in li:
+        key = f"{r.l_orderkey}-{r.l_linenumber}"
+        h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16) % 100
+        if h < 10:
+            want_rows[r.l_returnflag] = want_rows.get(r.l_returnflag, 0) + 1
+    out = QUERIES["aqp_sample_mean"](spark, sf_dir).collect()
+    for r in out:
+        assert r.sample_rows == want_rows[r.l_returnflag]
+        # rel std error of the mean ~ sigma/(mu*sqrt(n)) ~ 4% at the
+        # sf0.001 sample size (n~180); 0.15 is a ~3.5-sigma ceiling
+        assert r.rel_err < 0.15

@@ -306,6 +306,16 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"FlatMapGroupsInPandas", "Arrow-grouped stateful pass"),
         (r"hashpartitioning\(user_id", "series key partitioning, state stays per-executor"),
     ],
+    "sketch_hll_det": [
+        (r"partial_max", "map-side register merge == per-partition sketch build"),
+    ],
+    "corpus_ccnet_buckets": [
+        (r"BroadcastHashJoin", "vocab broadcast over the token stream"),
+    ],
+    "aqp_sample_mean": [
+        (r"Filter", "sample predicate drops rows before any shuffle"),
+        (r"partial_sum", "both sides are map-side-combined keyed aggregates"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -351,8 +361,10 @@ FORBIDDEN = (
       # ts_seasonal_decompose's grid is |event_types| x |hours| — two tiny
       # dimension sides (independent of the fact row count) crossed to
       # densify the series; feat_target_encode broadcasts its ONE-ROW
-      # global prior
-      "ts_seasonal_decompose", "feat_target_encode"}),
+      # global prior; corpus_ccnet_buckets broadcasts its ONE-ROW corpus
+      # total and ONE-ROW tertile cuts
+      "ts_seasonal_decompose", "feat_target_encode",
+      "corpus_ccnet_buckets"}),
 )
 
 
