@@ -23,6 +23,7 @@ def load() -> None:
         breadth_round5,
         breadth_round6,
         engine_surface,
+        engine_surface2,
         event_analytics,
         curation_round4,
         curation_round5,

@@ -353,3 +353,79 @@ def test_aqp_sample_is_the_exact_hash_subset(spark, sf_dir):
         # rel std error of the mean ~ sigma/(mu*sqrt(n)) ~ 4% at the
         # sf0.001 sample size (n~180); 0.15 is a ~3.5-sigma ceiling
         assert r.rel_err < 0.15
+
+
+def test_xml_roundtrip_preserves_rows(spark, sf_dir):
+    """Row-level check beyond the aggregate oracle: writing + reading the
+    XML loses or mutates nothing, including the free-text column."""
+    import os
+    import tempfile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"hh_test_xml_{spark.sparkContext.applicationId}",
+    )
+    docs.write.mode("overwrite").format("xml").option("rowTag", "doc").save(out)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema("doc_id long, text string, lang string")
+        .load(out)
+    )
+    want = {(r.doc_id, r.text, r.lang) for r in docs.collect()}
+    got = {(r.doc_id, r.text, r.lang) for r in back.collect()}
+    assert got == want
+
+
+def test_pipe_syntax_equals_dataframe_plan(spark, sf_dir):
+    """The |> pipeline must produce exactly what the equivalent DataFrame
+    chain produces."""
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.l_returnflag, r.l_linestatus): (r.sum_qty, r.avg_price, r.n)
+        for r in QUERIES["sql_pipe_syntax"](spark, sf_dir).collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    want_df = (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") > 10)
+    )
+    want = {
+        (r.l_returnflag, r.l_linestatus): (r.sum_qty, r.avg_price, r.n)
+        for r in want_df.collect()
+    }
+    assert got == want
+
+
+def test_sql_scripting_threshold_math(spark, sf_dir):
+    """The WHILE loop's compounded threshold must equal the literal
+    five-multiplication value, proven through the row counts."""
+    from pyspark.sql import functions as F
+
+    thr = 1000.0
+    for _ in range(5):
+        thr = thr * 1.1
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    want = {
+        r.o_orderpriority: r.n
+        for r in orders.filter(F.col("o_totalprice") > thr)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {
+        r.o_orderpriority: r.n_big
+        for r in QUERIES["sql_scripting"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert sum(want.values()) > 0, "threshold filtered everything — vacuous"
