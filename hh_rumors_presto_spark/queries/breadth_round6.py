@@ -343,3 +343,117 @@ def aqp_sample_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sc").cast("bigint").alias("sample_rows"),
         F.round(F.abs(s_mean - e_mean) / e_mean, 6).alias("rel_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# ml_logreg_gd
+# --------------------------------------------------------------------------
+
+_GD_ITERS = 3
+_GD_LR = 1.0
+
+# z association is fixed as ((w1*x1 + w2*x2) + w3*x3) in BOTH engines;
+# gradients are rounded to 12 decimals between iterations in BOTH engines,
+# which (a) absorbs last-ulp libm/exp and reduction-order drift before it
+# can compound across iterations and (b) keeps every w_j an exact finite
+# decimal both engines share.
+_GD_FEATURES_SQL = """
+    SELECT 1.0 AS x1,
+           o_totalprice / 100000.0 AS x2,
+           CAST(substring(o_orderpriority, 1, 1) AS INT) / 5.0 AS x3,
+           CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+    FROM orders
+"""
+
+
+def _gd_oracle() -> str:
+    ctes = [f"base AS ({_GD_FEATURES_SQL})",
+            "w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"]
+    prev = "w0"
+    for i in range(1, _GD_ITERS + 1):
+        p = f"(1.0 / (1.0 + exp(-((w1*x1 + w2*x2) + w3*x3))))"
+        ctes.append(
+            f"g{i} AS (SELECT round(avg(({p} - y) * x1), 12) AS g1,"
+            f" round(avg(({p} - y) * x2), 12) AS g2,"
+            f" round(avg(({p} - y) * x3), 12) AS g3"
+            f" FROM base, {prev})"
+        )
+        ctes.append(
+            f"w{i} AS (SELECT w1 - {_GD_LR} * g1 AS w1,"
+            f" w2 - {_GD_LR} * g2 AS w2, w3 - {_GD_LR} * g3 AS w3"
+            f" FROM {prev}, g{i})"
+        )
+        prev = f"w{i}"
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT round(w1, 6) AS w1, round(w2, 6) AS w2, round(w3, 6) AS w3,
+           round(avg(CASE WHEN (((w1*x1 + w2*x2) + w3*x3) >= 0)
+                               = (y = 1.0)
+                          THEN 1.0 ELSE 0.0 END), 6) AS train_acc,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM base, {prev}
+    GROUP BY w1, w2, w3
+    """
+    )
+
+
+@query("ml_logreg_gd", oracle=_gd_oracle())
+def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression trained by batch gradient descent ON THE
+    ENGINE: each iteration is one map-side-combinable aggregate producing
+    the 3-component gradient as a ONE-ROW table that broadcasts into the
+    next iteration — the weights never leave the plan (no .collect(), no
+    driver math), which is exactly how iterative-ML-as-dataflow scales:
+    per iteration, one pass over the data, 3 doubles of state.
+
+    Determinism: gradients are rounded to 12 decimals per iteration in
+    both engines (absorbing exp/reduction-order last-ulp drift before it
+    compounds); the final accuracy uses the sign of z, not a sigmoid
+    threshold. Oracle = the unrolled CTE chain with identical
+    association."""
+    orders = io.load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.lit(1.0).alias("x1"),
+        (F.col("o_totalprice") / 100000.0).alias("x2"),
+        (
+            F.substring("o_orderpriority", 1, 1).cast("int") / 5.0
+        ).alias("x3"),
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
+    )
+    w = spark.range(1).select(
+        F.lit(0.0).alias("w1"), F.lit(0.0).alias("w2"), F.lit(0.0).alias("w3")
+    )
+    z = (F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")) + F.col(
+        "w3"
+    ) * F.col("x3")
+    p = 1.0 / (1.0 + F.exp(-z))
+    for _ in range(_GD_ITERS):
+        joined = base.crossJoin(F.broadcast(w))
+        g = joined.agg(
+            F.round(F.avg((p - F.col("y")) * F.col("x1")), 12).alias("g1"),
+            F.round(F.avg((p - F.col("y")) * F.col("x2")), 12).alias("g2"),
+            F.round(F.avg((p - F.col("y")) * F.col("x3")), 12).alias("g3"),
+        )
+        w = w.crossJoin(F.broadcast(g)).select(
+            (F.col("w1") - _GD_LR * F.col("g1")).alias("w1"),
+            (F.col("w2") - _GD_LR * F.col("g2")).alias("w2"),
+            (F.col("w3") - _GD_LR * F.col("g3")).alias("w3"),
+        )
+    correct = F.when(
+        (z >= 0) == (F.col("y") == 1.0), 1.0
+    ).otherwise(0.0)
+    return (
+        base.crossJoin(F.broadcast(w))
+        .groupBy("w1", "w2", "w3")
+        .agg(
+            F.round(F.avg(correct), 6).alias("train_acc"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            F.round("w1", 6).alias("w1"),
+            F.round("w2", 6).alias("w2"),
+            F.round("w3", 6).alias("w3"),
+            "train_acc",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+        )
+    )

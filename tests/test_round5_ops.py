@@ -429,3 +429,36 @@ def test_sql_scripting_threshold_math(spark, sf_dir):
     }
     assert got == want
     assert sum(want.values()) > 0, "threshold filtered everything — vacuous"
+
+
+def test_logreg_gd_matches_numpy_reference(spark, sf_dir):
+    """The in-plan gradient descent must match a numpy replay of the same
+    iterations (same rounding discipline), and the fit must beat the
+    majority-class baseline or at least match it."""
+    import numpy as np
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    X = np.array(
+        [
+            [1.0, r.o_totalprice / 100000.0, int(r.o_orderpriority[0]) / 5.0]
+            for r in orders
+        ]
+    )
+    y = np.array([1.0 if r.o_orderstatus == "F" else 0.0 for r in orders])
+    w = np.zeros(3)
+    for _ in range(3):
+        z = (w[0] * X[:, 0] + w[1] * X[:, 1]) + w[2] * X[:, 2]
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = np.array(
+            [round(float(np.mean((p - y) * X[:, j])), 12) for j in range(3)]
+        )
+        w = w - 1.0 * g
+    z = (w[0] * X[:, 0] + w[1] * X[:, 1]) + w[2] * X[:, 2]
+    acc = float(np.mean((z >= 0) == (y == 1.0)))
+
+    [row] = QUERIES["ml_logreg_gd"](spark, sf_dir).collect()
+    assert (row.w1, row.w2, row.w3) == tuple(round(float(x), 6) for x in w)
+    assert row.train_acc == round(acc, 6)
+    assert row.n_rows == len(orders)
+    majority = max(float(np.mean(y)), 1.0 - float(np.mean(y)))
+    assert row.train_acc >= round(majority, 6) - 1e-9

@@ -316,6 +316,11 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"Filter", "sample predicate drops rows before any shuffle"),
         (r"partial_sum", "both sides are map-side-combined keyed aggregates"),
     ],
+    "ml_logreg_gd": [
+        (r"partial_avg|partial_sum", "gradient components map-side combined"),
+        (r"BroadcastNestedLoopJoin|BroadcastExchange",
+         "weights flow as one-row broadcasts, never collected"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -364,7 +369,10 @@ FORBIDDEN = (
       # global prior; corpus_ccnet_buckets broadcasts its ONE-ROW corpus
       # total and ONE-ROW tertile cuts
       "ts_seasonal_decompose", "feat_target_encode",
-      "corpus_ccnet_buckets"}),
+      "corpus_ccnet_buckets",
+      # ml_logreg_gd chains ONE-ROW weight/gradient tables through the
+      # iterations — 3 doubles of broadcast state per pass over the data
+      "ml_logreg_gd"}),
 )
 
 
