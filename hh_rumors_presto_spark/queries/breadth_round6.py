@@ -457,3 +457,161 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_rows").cast("bigint").alias("n_rows"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# emb_pca_power
+# --------------------------------------------------------------------------
+
+_PCA_SCALE = 1_000_000  # fixed-point quantizer (6 decimal digits)
+_PCA_ITERS = 3
+_PCA_DIM = 64
+
+
+def _pca_oracle() -> str:
+    s = _PCA_SCALE
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""lng AS (
+            SELECT vec_id, i AS dim, v[i] AS val
+            FROM e, unnest(generate_series(1, {_PCA_DIM})) AS r(i)
+        )""",
+        "mu AS (SELECT dim, avg(val) AS mu FROM lng GROUP BY dim)",
+        f"""c AS (
+            SELECT vec_id, l.dim,
+                   CAST(floor((val - mu.mu) * {s} + 0.5) AS BIGINT) AS c
+            FROM lng l JOIN mu ON mu.dim = l.dim
+        )""",
+        f"""w0 AS (
+            SELECT dim,
+                   CASE WHEN dim % 2 = 1 THEN {s} ELSE -{s} END AS w
+            FROM (SELECT DISTINCT dim FROM c)
+        )""",
+    ]
+    prev = "w0"
+    for i in range(1, _PCA_ITERS + 1):
+        ctes.append(
+            f"""s{i} AS (
+            SELECT vec_id,
+                   CAST(floor(CAST(CAST(sum(c.c * w.w) AS BIGINT) AS DOUBLE)
+                              / {s}.0) AS BIGINT) AS sv
+            FROM c JOIN {prev} w ON w.dim = c.dim
+            GROUP BY vec_id
+        )"""
+        )
+        ctes.append(
+            f"""g{i} AS (
+            SELECT c.dim, CAST(sum(s.sv * c.c) AS BIGINT) AS g
+            FROM c JOIN s{i} s ON s.vec_id = c.vec_id
+            GROUP BY c.dim
+        )"""
+        )
+        ctes.append(
+            f"""n{i} AS (
+            SELECT sqrt(sum(CAST(g AS DOUBLE) * CAST(g AS DOUBLE))) AS nrm
+            FROM g{i}
+        )"""
+        )
+        ctes.append(
+            f"""w{i} AS (
+            SELECT dim,
+                   CAST(floor(CAST(g AS DOUBLE) / nrm * {s} + 0.5) AS BIGINT)
+                       AS w
+            FROM g{i}, n{i}
+        )"""
+        )
+        prev = f"w{i}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(dim AS INT) AS dim, w / {s}.0 AS loading FROM {prev}
+    """
+    )
+
+
+@query("emb_pca_power", oracle=_pca_oracle())
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (centered) embedding cloud by POWER
+    ITERATION run entirely in-plan: w <- normalize(C^T (C w)) three
+    times, where C is the centered corpus — computed as two keyed
+    aggregates per iteration (per-row dot products, then per-dimension
+    sums) without ever materializing the 64x64 covariance, the shape that
+    scales to any corpus size (state per iteration = one 64-row table).
+
+    Determinism is the graph_pagerank discipline transplanted to linear
+    algebra: centered values quantize to BIGINT fixed-point
+    (floor(x*1e6 + 0.5) — an explicit quantizer, identical in both
+    engines), so every matrix product is an EXACT integer sum under any
+    reduction order; doubles appear only at the normalization boundary
+    (sqrt + one floor-div whose 1e-6-spaced operands sit far outside any
+    rounding ulp). No .collect(): the weight vector flows between
+    iterations as a broadcast 64-row table / one-row array column.
+    """
+    s = _PCA_SCALE
+    e = io.load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    lng = e.select(
+        "vec_id", F.posexplode("v").alias("pos", "val")
+    ).select("vec_id", (F.col("pos") + 1).alias("dim"), "val")
+    mu = lng.groupBy("dim").agg(F.avg("val").alias("mu"))
+    # The centered fixed-point matrix is loop-invariant and read twice per
+    # iteration (row-dot side and dimension-sum side): pre-partition by
+    # vec_id ONCE and persist, so each iteration's groupBy(vec_id) and
+    # join(vec_id) reuse the partitioning instead of re-exploding and
+    # re-shuffling the corpus (the graph_pagerank edge-caching discipline).
+    c = (
+        lng.join(F.broadcast(mu), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            F.floor((F.col("val") - F.col("mu")) * s + 0.5)
+            .cast("long")
+            .alias("c"),
+        )
+        .repartition(32, "vec_id")
+        .persist()
+    )
+    w = mu.select(
+        "dim",
+        F.when(F.col("dim") % 2 == 1, s).otherwise(-s).cast("long").alias("w"),
+    )
+    for _ in range(_PCA_ITERS):
+        sv = (
+            c.join(F.broadcast(w), "dim")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("c") * F.col("w")).alias("dot"))
+            .select(
+                "vec_id",
+                F.floor(F.col("dot").cast("double") / float(s))
+                .cast("long")
+                .alias("sv"),
+            )
+        )
+        g = (
+            c.join(sv, "vec_id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("sv") * F.col("c")).alias("g"))
+        )
+        nrm = g.agg(
+            F.sqrt(
+                F.sum(F.col("g").cast("double") * F.col("g").cast("double"))
+            ).alias("nrm")
+        )
+        w = (
+            g.crossJoin(F.broadcast(nrm))
+            .select(
+                "dim",
+                F.floor(F.col("g").cast("double") / F.col("nrm") * s + 0.5)
+                .cast("long")
+                .alias("w"),
+            )
+        )
+    # the cache stays resident (|rows| x 64 fixed-point longs — a few MB
+    # even at sf0.1; unlike graph_pagerank's edge list it is small enough
+    # that eager checkpoint-and-release would only hide the plan)
+    return w.select(
+        F.col("dim").cast("int").alias("dim"),
+        (F.col("w") / float(s)).alias("loading"),
+    )

@@ -462,3 +462,40 @@ def test_logreg_gd_matches_numpy_reference(spark, sf_dir):
     assert row.n_rows == len(orders)
     majority = max(float(np.mean(y)), 1.0 - float(np.mean(y)))
     assert row.train_acc >= round(majority, 6) - 1e-9
+
+
+def test_pca_power_matches_numpy_replay(spark, sf_dir):
+    """The in-plan fixed-point power iteration must equal a numpy replay
+    of the same quantized steps, and must concentrate more variance than
+    the starting vector (power iteration actually converged upward)."""
+    import math
+
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    V = np.array([[float(x) for x in r.embedding] for r in emb])
+    S = 1_000_000
+    mu = V.mean(axis=0)
+    C = np.floor((V - mu) * S + 0.5).astype(np.int64)
+    w = np.array([S if (d + 1) % 2 == 1 else -S for d in range(64)], np.int64)
+    w0 = w.astype(float)
+    for _ in range(3):
+        dot = C @ w  # exact in int64 (bounds checked in the impl docstring)
+        sv = np.floor(dot.astype(float) / float(S)).astype(np.int64)
+        g = C.T @ sv
+        nrm = math.sqrt(float(np.sum(g.astype(float) ** 2)))
+        w = np.floor(g.astype(float) / nrm * S + 0.5).astype(np.int64)
+    want = {d + 1: w[d] / float(S) for d in range(64)}
+    got = {
+        r.dim: r.loading
+        for r in QUERIES["emb_pca_power"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+    # variance along the result beats variance along the start vector
+    X = V - mu
+    wf = np.array([want[d + 1] for d in range(64)])
+    var_final = float(np.sum((X @ wf) ** 2)) / float(np.dot(wf, wf))
+    var_start = float(np.sum((X @ w0) ** 2)) / float(np.dot(w0, w0))
+    assert var_final > var_start
+    assert abs(float(np.linalg.norm(wf)) - 1.0) < 1e-3

@@ -321,6 +321,10 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"BroadcastNestedLoopJoin|BroadcastExchange",
          "weights flow as one-row broadcasts, never collected"),
     ],
+    "emb_pca_power": [
+        (r"InMemoryTableScan", "centered matrix cached, not re-exploded per iteration"),
+        (r"partial_sum", "matrix products are map-side-combined integer sums"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -371,8 +375,9 @@ FORBIDDEN = (
       "ts_seasonal_decompose", "feat_target_encode",
       "corpus_ccnet_buckets",
       # ml_logreg_gd chains ONE-ROW weight/gradient tables through the
-      # iterations — 3 doubles of broadcast state per pass over the data
-      "ml_logreg_gd"}),
+      # iterations — 3 doubles of broadcast state per pass over the data;
+      # emb_pca_power broadcasts its ONE-ROW norm scalar per iteration
+      "ml_logreg_gd", "emb_pca_power"}),
 )
 
 
