@@ -412,3 +412,37 @@ def join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("dist"), 2).alias("dist"),
         )
     )
+
+
+@query(
+    "join_hinted",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_hinted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit join-strategy control: the same customer⋈orders join that
+    Catalyst would broadcast is FORCED onto the shuffle-hash path with a
+    SHUFFLE_HASH hint — the knob an operator reaches for when the
+    "small" side isn't (broadcast OOM) or when stats mislead the
+    planner. Results are strategy-invariant (same oracle as a plain
+    join); the plan gate asserts the hint was actually honored
+    (ShuffledHashJoin, not BroadcastHashJoin), which is the point of the
+    key: planner control, verified, not assumed."""
+    orders = io.load_table(spark, sf_dir, "orders")
+    cust = io.load_table(spark, sf_dir, "customer").hint("SHUFFLE_HASH")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).cast("long").alias("cents"),
+        )
+    )

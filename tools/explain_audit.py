@@ -325,6 +325,9 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"InMemoryTableScan", "centered matrix cached, not re-exploded per iteration"),
         (r"partial_sum", "matrix products are map-side-combined integer sums"),
     ],
+    "join_hinted": [
+        (r"ShuffledHashJoin", "SHUFFLE_HASH hint honored over the broadcast default"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
