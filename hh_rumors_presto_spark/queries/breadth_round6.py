@@ -165,7 +165,7 @@ def sketch_hll_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("exact_ndv")
     )
     return (
-        est.select("grp", final_est.alias("e"), v_empty.alias("v"))
+        est.select("grp", final_est.alias("e"))
         .join(truth, "grp")
         .select(
             F.col("grp").alias("l_returnflag"),

@@ -390,7 +390,11 @@ def main() -> int:
 
     spark = get_spark("explain_audit")
     qs = ent.queries()
-    keys = sys.argv[1:] or list(CHECKS)
+    # default audit covers CHECKS plus the zero-shuffle keys (which have
+    # no CHECKS row of their own) so a bare CLI run misses nothing
+    keys = sys.argv[1:] or list(
+        dict.fromkeys([*CHECKS, *NO_EXCHANGE_KEYS])
+    )
     n_warn = 0
     for key in keys:
         df = qs[key](spark, SF)
