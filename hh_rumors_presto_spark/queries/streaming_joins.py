@@ -226,3 +226,84 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+@query(
+    "stream_join_outer",
+    oracle="""
+    WITH c AS (SELECT event_id AS click_id, user_id,
+                      CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id,
+                 CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'purchase'),
+    wm AS (
+        -- the final global watermark: min over both streams' (max event
+        -- time - delay); unmatched left rows are emitted only once the
+        -- watermark proves no future match can arrive
+        SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+               - INTERVAL 2 HOUR AS w
+    ),
+    matched AS (
+        SELECT c.click_id, p.purchase_id, c.user_id
+        FROM c JOIN p
+          ON p.user_id = c.user_id
+         AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 1 HOUR
+    )
+    SELECT click_id, purchase_id, user_id FROM matched
+    UNION ALL
+    SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id, c.user_id
+    FROM c, wm
+    WHERE c.ts + INTERVAL 1 HOUR < wm.w
+      AND NOT EXISTS (
+          SELECT 1 FROM p
+          WHERE p.user_id = c.user_id
+            AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 1 HOUR
+      )
+    """,
+)
+def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: clicks with their attributed
+    purchase, or NULL once the watermark PROVES no purchase can still
+    arrive — the state-eviction semantics that make outer joins possible
+    on unbounded streams at all. Clicks younger than (final watermark -
+    1h match window) stay in state unemitted, and the oracle models that
+    boundary EXACTLY (wm = min of both streams' max-ts - 2h delay), so
+    even the withheld tail is value-hash-verified rather than waved off
+    as rows-only.
+
+    Shape at scale: identical to stream_join (keyed state, time-bound
+    condition bounds state size); the only addition is the NULL-side
+    emission on watermark advance."""
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+        "leftOuter",
+    ).select("click_id", "purchase_id", "user_id")
+    from hh_rumors_presto_spark.streaming import run_stream_to_df
+
+    return run_stream_to_df(joined, output_mode="append")

@@ -122,3 +122,45 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # event 4 arrived two batches later, behind the active watermark, and
     # was dropped (no resurrected duplicate window row either).
     assert t0_rows == [1], out
+
+
+def test_outer_join_withholds_unproven_tail(spark, sf_dir):
+    """stream_join_outer must emit NULL rows ONLY for clicks whose
+    no-match status the final watermark can prove — the naive batch LEFT
+    JOIN emits strictly more NULL rows (the unproven tail), and that gap
+    is the state-eviction semantics under test."""
+    from pyspark.sql import functions as F
+
+    from hh_rumors_presto_spark.registry import QUERIES, load_all_queries
+
+    load_all_queries()
+    rows = QUERIES["stream_join_outer"](spark, sf_dir).collect()
+    got_nulls = {r.click_id for r in rows if r.purchase_id is None}
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    clicks = {r.event_id: r for r in ev.filter(F.col("event_type") == "click").collect()}
+    purchases = [r for r in ev.collect() if r.event_type == "purchase"]
+    from datetime import timedelta
+
+    max_c = max(r.ts for r in clicks.values())
+    max_p = max(r.ts for r in purchases)
+    wm = min(max_c, max_p) - timedelta(hours=2)
+
+    naive_nulls = set()
+    for cid, c in clicks.items():
+        if not any(
+            p.user_id == c.user_id and c.ts <= p.ts <= c.ts + timedelta(hours=1)
+            for p in purchases
+        ):
+            naive_nulls.add(cid)
+    provable = {
+        cid
+        for cid in naive_nulls
+        if clicks[cid].ts + timedelta(hours=1) < wm
+    }
+    assert got_nulls == provable
+    assert provable < naive_nulls, (
+        "no tail click was withheld — the eviction boundary is untested"
+    )
