@@ -424,3 +424,74 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# text_bpe_fertility
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_bpe_fertility",
+    oracle=f"""
+    WITH cleaned AS (
+        SELECT doc_id, lang,
+               list_filter(
+                   string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+                   x -> x <> ''
+               ) AS words
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT lang,
+               len(words) AS n_words,
+               coalesce(list_sum(list_transform(
+                   words, x -> {_bpe_sql_word_expr('x')}
+               )), 0) AS n_tokens
+        FROM cleaned
+    )
+    SELECT lang,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(sum(n_tokens) AS DOUBLE) / sum(n_words), 6) AS fertility
+    FROM per_doc
+    WHERE n_words > 0
+    GROUP BY lang
+    """,
+)
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language: tokens-per-word under the
+    fixed BPE merge table — THE metric for judging whether a tokenizer
+    under-serves a language (high fertility = more tokens per word = less
+    effective context window and higher training cost for that
+    language). Composes text_bpe_encode's zero-shuffle merge chain with
+    one keyed integer aggregate; the ratio is derived from exact BIGINT
+    sums, so it is bit-deterministic."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", ""), " "),
+        lambda x: x != F.lit(""),
+    )
+
+    def word_tokens(x):
+        merged = F.trim(F.regexp_replace(x, "(.)", "$1 "))
+        for pat, rep in _BPE_MERGES:
+            merged = F.replace(merged, F.lit(pat), F.lit(rep))
+        return F.size(F.split(merged, " "))
+
+    per_doc = docs.select(
+        "lang",
+        F.size(words).alias("n_words"),
+        F.aggregate(
+            F.transform(words, word_tokens),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("n_tokens"),
+    ).filter(F.col("n_words") > 0)
+    return per_doc.groupBy("lang").agg(
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.sum("n_words"), 6
+        ).alias("fertility"),
+    )

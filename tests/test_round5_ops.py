@@ -499,3 +499,29 @@ def test_pca_power_matches_numpy_replay(spark, sf_dir):
     var_start = float(np.sum((X @ w0) ** 2)) / float(np.dot(w0, w0))
     assert var_final > var_start
     assert abs(float(np.linalg.norm(wf)) - 1.0) < 1e-3
+
+
+def test_bpe_fertility_consistent_with_encode(spark, sf_dir):
+    """Fertility per language must equal the ratio of text_bpe_encode's
+    own per-doc sums grouped by lang."""
+    enc = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in QUERIES["text_bpe_encode"](spark, sf_dir).collect()
+    }
+    langs = {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    want: dict[str, list[int]] = {}
+    for d, (nw, nt) in enc.items():
+        if nw > 0:
+            acc = want.setdefault(langs[d], [0, 0])
+            acc[0] += nw
+            acc[1] += nt
+    got = QUERIES["text_bpe_fertility"](spark, sf_dir).collect()
+    assert {r.lang for r in got} == set(want)
+    for r in got:
+        nw, nt = want[r.lang]
+        assert (r.total_words, r.total_tokens) == (nw, nt)
+        assert r.fertility == round(nt / nw, 6)
+        assert r.fertility < 1.0 or nt >= nw  # sanity: ratio well-formed
