@@ -54,7 +54,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # ROUND-5+: run `python tools/rotation_check.py` after each round and
 #   take the never-evaluated remainder in registration order (graph/
 #   strings/scans/sinks/sql/win/stream/dq/breadth leftovers), 50 at a
-#   time, until every key has a driver row.
+#   time, until every key has a driver row. The round-3 continuation
+#   added 19 more never-evaluated keys to that remainder: dedup_semantic
+#   text_bpe_encode curation_pipeline_e2e text_containment
+#   ts_seasonal_decompose feat_target_encode join_pit_multi
+#   ts_holt_winters sketch_hll_det corpus_ccnet_buckets aqp_sample_mean
+#   scan_xml sql_pipe_syntax sql_scripting ml_logreg_gd emb_pca_power
+#   join_hinted stream_join_outer text_bpe_fertility.
 FRONT_KEYS = [
     # round-3 additions (composed page extractor, HTTP crawl contract,
     # multi-table ANN + measured recall) + the resume-cursor scan
