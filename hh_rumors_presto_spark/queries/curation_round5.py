@@ -150,25 +150,30 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Merge table, applied strictly in order. CHOSEN SO THAT plain non-
 # overlapping left-to-right substring replacement on the space-separated
-# symbol string is EXACTLY the BPE merge: a pattern "x y" can only match
-# where symbol x is adjacent to symbol y, never across a symbol boundary,
-# because at each rule's turn no earlier-created symbol ends with a suffix
-# of x or starts with a prefix of y that would fabricate the pattern:
-#   th,in,an,er,on,ou: operate on single-char symbols only (no multi-char
-#     symbol yet ends in t/i/a/e/o or starts with h/n/r/u at that point —
-#     'er' ends in r but 'r e' is NOT in the table, 'ou' not 're');
-#   'th e': the literal substring "th" can only come from the symbol 'th'
-#     (rule 1 consumed every adjacent t,h pair);
-#   'an d': same argument via rule 3.
+# symbol string is EXACTLY the BPE merge: a pattern "x y" may only match
+# where symbol x is adjacent to symbol y, never across a symbol boundary.
+# The safety invariant, for each rule in table order: no symbol that can
+# exist when the rule runs ENDS WITH x's leading symbol-fragment or
+# STARTS WITH y (other than x/y themselves as whole symbols). Here:
+#   th,in,an,on,ou,ck: operate on single-char pairs; no multi-char symbol
+#     created earlier ends with t/i/a/o/c or starts with h/n/u/k;
+#   'th e': the substring "th" can only be the symbol th (rule 1 consumed
+#     every adjacent t,h pair), and NO symbol starts with 'e' (this is
+#     why 'e r'->'er' is NOT in the table: 'er' would let "th e" match
+#     across a th|er boundary — a real counterexample, word 'ther', found
+#     by tests/test_properties_round5.py's hypothesis fuzz);
+#   'an d': substring "an" only from symbol an; no symbol starts with 'd'.
 # No rule pairs identical symbols, so greedy left-to-right == iterative
-# leftmost merge. This is what makes the DuckDB oracle bit-identical.
+# leftmost merge. The property test fuzzes this equivalence over the full
+# alphabet; it is what makes the DuckDB oracle bit-identical AND actual
+# BPE rather than merely deterministic.
 _BPE_MERGES = [
     ("t h", "th"),
     ("i n", "in"),
     ("a n", "an"),
-    ("e r", "er"),
     ("o n", "on"),
     ("o u", "ou"),
+    ("c k", "ck"),
     ("th e", "the"),
     ("an d", "and"),
 ]
