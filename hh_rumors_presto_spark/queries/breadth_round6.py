@@ -615,3 +615,202 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim").cast("int").alias("dim"),
         (F.col("w") / float(s)).alias("loading"),
     )
+
+
+# --------------------------------------------------------------------------
+# sketch_hll_setops
+# --------------------------------------------------------------------------
+
+# Two overlapping partkey sets with a genuinely partial intersection
+# (order-keyed predicates are degenerate here — every part appears on
+# enough orders that both sets cover the whole universe): A = two thirds
+# of parts, B = half of parts, A int B = one third.
+_HLL_SET_A = "l_partkey % 3 < 2"
+_HLL_SET_B = "l_partkey % 2 = 0"
+
+
+def _hll_ranked_sql(pred: str, tag: str) -> str:
+    """Registers CTE body for one set (same rho machinery as
+    sketch_hll_det)."""
+    return f"""
+        SELECT '{tag}' AS grp,
+               CAST(('0x' || substring(hex, 1, 2)) AS BIGINT) AS bucket,
+               CASE WHEN stripped = '' THEN {4 * _HLL_RANK_HEX + 1}
+                    ELSE 4 * ({_HLL_RANK_HEX} - length(stripped))
+                         + CASE WHEN nib = '1' THEN 3
+                                WHEN nib IN ('2', '3') THEN 2
+                                WHEN nib IN ('4', '5', '6', '7') THEN 1
+                                ELSE 0 END
+                         + 1 END AS rho
+        FROM (
+            SELECT hex,
+                   regexp_replace(substring(hex, 3, {_HLL_RANK_HEX}), '^0+', '')
+                       AS stripped,
+                   substring(regexp_replace(
+                       substring(hex, 3, {_HLL_RANK_HEX}), '^0+', ''), 1, 1)
+                       AS nib
+            FROM (SELECT md5(CAST(l_partkey AS VARCHAR)) AS hex
+                  FROM lineitem WHERE {pred})
+        )
+    """
+
+
+_HLL_RAW_SQL = (
+    f"{_HLL_SCALE_SQL} / CAST(sum_scaled"
+    f" + ({_HLL_M} - n_present) * 9007199254740992 AS DOUBLE)"
+)
+# small-range (linear counting) correction, same branch as sketch_hll_det:
+# raw <= 2.5m with empty registers -> m * ln(m / V)
+_HLL_EST_SQL = (
+    f"CASE WHEN {_HLL_RAW_SQL} <= 2.5 * {_HLL_M} AND n_present < {_HLL_M}"
+    f" THEN {_HLL_M} * ln({_HLL_M} / CAST({_HLL_M} - n_present AS DOUBLE))"
+    f" ELSE {_HLL_RAW_SQL} END"
+)
+
+
+@query(
+    "sketch_hll_setops",
+    oracle=f"""
+    WITH ranked AS (
+        {_hll_ranked_sql(_HLL_SET_A, 'A')}
+        UNION ALL
+        {_hll_ranked_sql(_HLL_SET_B, 'B')}
+    ),
+    regs AS (
+        SELECT grp, bucket, max(rho) AS m_j FROM ranked GROUP BY grp, bucket
+    ),
+    uregs AS (
+        SELECT bucket, max(m_j) AS m_j FROM regs GROUP BY bucket
+    ),
+    per_set AS (
+        SELECT grp,
+               sum(CAST(pow(2, 53 - m_j) AS BIGINT)) AS sum_scaled,
+               count(*) AS n_present
+        FROM regs GROUP BY grp
+    ),
+    est AS (SELECT grp, {_HLL_EST_SQL} AS e FROM per_set),
+    uest AS (
+        SELECT {_HLL_EST_SQL} AS e
+        FROM (SELECT sum(CAST(pow(2, 53 - m_j) AS BIGINT)) AS sum_scaled,
+                     count(*) AS n_present
+              FROM uregs)
+    ),
+    truth AS (
+        SELECT
+          (SELECT count(DISTINCT l_partkey) FROM lineitem
+           WHERE {_HLL_SET_A} OR {_HLL_SET_B}) AS exact_union,
+          (SELECT count(*) FROM
+            (SELECT DISTINCT l_partkey FROM lineitem WHERE {_HLL_SET_A})
+            NATURAL JOIN
+            (SELECT DISTINCT l_partkey FROM lineitem WHERE {_HLL_SET_B}))
+              AS exact_intersect
+    )
+    SELECT round(a.e, 4) AS est_a, round(b.e, 4) AS est_b,
+           round(u.e, 4) AS est_union,
+           round(a.e + b.e - u.e, 4) AS est_intersect,
+           CAST(t.exact_union AS BIGINT) AS exact_union,
+           CAST(t.exact_intersect AS BIGINT) AS exact_intersect,
+           round(abs(u.e - t.exact_union) / t.exact_union, 6)
+               AS union_rel_err
+    FROM (SELECT e FROM est WHERE grp = 'A') a,
+         (SELECT e FROM est WHERE grp = 'B') b,
+         uest u, truth t
+    """,
+)
+def sketch_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch ALGEBRA: the union of two sketches is the elementwise
+    max of their register tables (exactly the mergeability sketch_hll_det
+    relies on, now exercised ACROSS sets), and the intersection estimate
+    follows by inclusion-exclusion — the standard audience-overlap /
+    cross-segment-cardinality pattern where sketches shine at 100 TB
+    (set ops on 256-row states instead of on the raw data). Estimates
+    and the measured union error are value-hash-verified; exact truths
+    ride along as the quality floor."""
+    li = io.load_table(spark, sf_dir, "lineitem")
+    hexd = F.md5(F.col("l_partkey").cast("string"))
+    stripped = F.regexp_replace(
+        F.substring(hexd, 3, _HLL_RANK_HEX), "^0+", ""
+    )
+    nib = F.substring(stripped, 1, 1)
+    rho = F.when(stripped == "", 4 * _HLL_RANK_HEX + 1).otherwise(
+        4 * (_HLL_RANK_HEX - F.length(stripped))
+        + F.when(nib == "1", 3)
+        .when(nib.isin("2", "3"), 2)
+        .when(nib.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+        + 1
+    )
+    sets = [("A", F.expr(_HLL_SET_A)), ("B", F.expr(_HLL_SET_B))]
+    ranked = None
+    for tag, pred in sets:
+        part = li.filter(pred).select(
+            F.lit(tag).alias("grp"),
+            F.conv(F.substring(hexd, 1, 2), 16, 10)
+            .cast("long")
+            .alias("bucket"),
+            rho.alias("rho"),
+        )
+        ranked = part if ranked is None else ranked.unionAll(part)
+    regs = ranked.groupBy("grp", "bucket").agg(F.max("rho").alias("m_j"))
+    uregs = regs.groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+    two53 = 9007199254740992
+    scale = (
+        F.lit(0.7213 / (1.0 + 1.079 / _HLL_M)) * (_HLL_M * _HLL_M) * float(two53)
+    )
+
+    def estimate(reg_df, keys):
+        agg = reg_df.groupBy(*keys).agg(
+            F.sum(F.pow(F.lit(2.0), 53 - F.col("m_j")).cast("long")).alias(
+                "sum_scaled"
+            ),
+            F.count("*").alias("n_present"),
+        )
+        raw = scale / (
+            F.col("sum_scaled") + (_HLL_M - F.col("n_present")) * F.lit(two53)
+        ).cast("double")
+        v_empty = _HLL_M - F.col("n_present")
+        e = F.when(
+            (raw <= 2.5 * _HLL_M) & (v_empty > 0),
+            _HLL_M * F.log(_HLL_M / v_empty.cast("double")),
+        ).otherwise(raw)
+        return agg.select(*keys, e.alias("e"))
+
+    est = estimate(regs, ["grp"])
+    uest = estimate(uregs.select(F.lit(1).alias("one"), "m_j"), ["one"]).drop(
+        "one"
+    )
+    a_ids = li.filter(F.expr(_HLL_SET_A)).select("l_partkey").distinct()
+    b_ids = li.filter(F.expr(_HLL_SET_B)).select("l_partkey").distinct()
+    truth = (
+        a_ids.unionAll(b_ids)
+        .distinct()
+        .agg(F.count("*").alias("exact_union"))
+        .crossJoin(
+            F.broadcast(
+                a_ids.join(b_ids, "l_partkey")
+                .agg(F.count("*").alias("exact_intersect"))
+            )
+        )
+    )
+    ea = est.filter(F.col("grp") == "A").select(F.col("e").alias("ea"))
+    eb = est.filter(F.col("grp") == "B").select(F.col("e").alias("eb"))
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(uest))
+        .crossJoin(F.broadcast(truth))
+        .select(
+            F.round("ea", 4).alias("est_a"),
+            F.round("eb", 4).alias("est_b"),
+            F.round("e", 4).alias("est_union"),
+            F.round(F.col("ea") + F.col("eb") - F.col("e"), 4).alias(
+                "est_intersect"
+            ),
+            F.col("exact_union").cast("bigint").alias("exact_union"),
+            F.col("exact_intersect").cast("bigint").alias("exact_intersect"),
+            F.round(
+                F.abs(F.col("e") - F.col("exact_union"))
+                / F.col("exact_union"),
+                6,
+            ).alias("union_rel_err"),
+        )
+    )

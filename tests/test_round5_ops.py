@@ -525,3 +525,67 @@ def test_bpe_fertility_consistent_with_encode(spark, sf_dir):
         assert (r.total_words, r.total_tokens) == (nw, nt)
         assert r.fertility == round(nt / nw, 6)
         assert r.fertility < 1.0 or nt >= nw  # sanity: ratio well-formed
+
+
+def test_hll_setops_union_is_register_max(spark, sf_dir):
+    """Union-sketch estimate must equal an HLL built directly on the
+    union set (register-max == union is the mergeability property), and
+    the intersection estimate must be within the theoretical error of
+    the exact intersection."""
+    import hashlib
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+
+    def regs_for(pred):
+        regs: dict[int, int] = {}
+        vals = set()
+        for r in li:
+            if pred(r):
+                vals.add(r.l_partkey)
+        for v in vals:
+            hx = hashlib.md5(str(v).encode()).hexdigest()
+            bucket = int(hx[:2], 16)
+            stripped = hx[2:15].lstrip("0")
+            if not stripped:
+                rho = 53
+            else:
+                nib = int(stripped[0], 16)
+                extra = 3 if nib == 1 else 2 if nib < 4 else 1 if nib < 8 else 0
+                rho = 4 * (13 - len(stripped)) + extra + 1
+            regs[bucket] = max(regs.get(bucket, 0), rho)
+        return regs, vals
+
+    in_a = lambda r: r.l_partkey % 3 < 2
+    in_b = lambda r: r.l_partkey % 2 == 0
+    ra, va = regs_for(in_a)
+    rb, vb = regs_for(in_b)
+    ru, vu = regs_for(lambda r: in_a(r) or in_b(r))
+    # register-max merge == registers of the union set
+    merged = {
+        k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)
+    }
+    assert merged == ru
+
+    def est(regs):
+        import math
+
+        m = 256
+        ss = sum(2 ** (53 - v) for v in regs.values())
+        v_empty = m - len(regs)
+        raw = (
+            (0.7213 / (1.0 + 1.079 / m)) * m * m * 9007199254740992.0
+        ) / float(ss + v_empty * 9007199254740992)
+        if raw <= 2.5 * m and v_empty > 0:
+            return m * math.log(m / float(v_empty))
+        return raw
+
+    [row] = QUERIES["sketch_hll_setops"](spark, sf_dir).collect()
+    assert row.est_union == round(est(ru), 4)
+    assert row.exact_union == len(vu)
+    assert row.exact_intersect == len(va & vb)
+    # intersection via inclusion-exclusion: 3 estimates' errors compound;
+    # allow 3 x 3 x std-error of the smallest set
+    # errors of the three estimates compound and scale with the UNION
+    # size, not the intersection size
+    tol = 9 * 1.04 / (256 ** 0.5) * max(len(vu), 1)
+    assert abs(row.est_intersect - len(va & vb)) < tol
