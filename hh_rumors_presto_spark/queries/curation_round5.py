@@ -500,3 +500,95 @@ def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("double") / F.sum("n_words"), 6
         ).alias("fertility"),
     )
+
+
+# --------------------------------------------------------------------------
+# text_collocations_pmi
+# --------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5  # support floor (PMI is unstable on rare pairs)
+_PMI_TOP_K = 50
+
+
+@query(
+    "text_collocations_pmi",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    uni AS (
+        SELECT unnest(t) AS w FROM toks
+    ),
+    ucnt AS (SELECT w, count(*) AS n FROM uni GROUP BY w),
+    utot AS (SELECT sum(n) AS t FROM ucnt),
+    big AS (
+        SELECT t[i] AS w1, t[i+1] AS w2
+        FROM toks, unnest(generate_series(1, len(t) - 1)) AS r(i)
+    ),
+    bcnt AS (SELECT w1, w2, count(*) AS n_ab FROM big GROUP BY w1, w2),
+    btot AS (SELECT sum(n_ab) AS b FROM bcnt)
+    SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+           round(ln((CAST(n_ab AS DOUBLE) / b)
+                    / ((CAST(u1.n AS DOUBLE) / t) * (CAST(u2.n AS DOUBLE) / t))),
+                 6) AS pmi
+    FROM bcnt
+    JOIN ucnt u1 ON u1.w = w1
+    JOIN ucnt u2 ON u2.w = w2, utot, btot
+    WHERE n_ab >= {_PMI_MIN_COUNT}
+    ORDER BY ln((CAST(n_ab AS DOUBLE) / b)
+                / ((CAST(u1.n AS DOUBLE) / t) * (CAST(u2.n AS DOUBLE) / t)))
+             DESC, w1, w2
+    LIMIT {_PMI_TOP_K}
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information: the top
+    bigrams whose co-occurrence beats chance — the standard
+    phrase-mining / vocabulary-induction pass (precedes multi-word token
+    merges in tokenizer training). PMI = ln(p(ab) / (p(a) p(b))) over
+    adjacent-pair and unigram counts with a support floor.
+
+    Shape at scale: two keyed integer aggregates (unigrams, bigrams) —
+    both map-side combined; the unigram table joins back twice as a
+    broadcast (|vocab|-sized); the two totals are one-row broadcasts;
+    the final top-k is a TakeOrderedAndProject (partial top-k per
+    partition, no global sort). All counts integer-exact; the single ln
+    sits at the projection boundary with identical operand doubles in
+    both engines."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("t"))
+    uni = toks.select(F.explode("t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("n"))
+    utot = ucnt.agg(F.sum("n").alias("t"))
+    t = F.col("t")
+    big = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bcnt = big.groupBy("w1", "w2").agg(F.count("*").alias("n_ab"))
+    btot = bcnt.agg(F.sum("n_ab").alias("b"))
+    u1 = ucnt.select(F.col("w").alias("w1"), F.col("n").alias("n1"))
+    u2 = ucnt.select(F.col("w").alias("w2"), F.col("n").alias("n2"))
+    pmi = F.log(
+        (F.col("n_ab").cast("double") / F.col("b"))
+        / (
+            (F.col("n1").cast("double") / F.col("t"))
+            * (F.col("n2").cast("double") / F.col("t"))
+        )
+    )
+    return (
+        bcnt.filter(F.col("n_ab") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+        .withColumn("pmi_raw", pmi)
+        .orderBy(F.col("pmi_raw").desc(), "w1", "w2")
+        .limit(_PMI_TOP_K)
+        .select("w1", "w2", "n_ab", F.round("pmi_raw", 6).alias("pmi"))
+    )

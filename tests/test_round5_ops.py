@@ -589,3 +589,45 @@ def test_hll_setops_union_is_register_max(spark, sf_dir):
     # size, not the intersection size
     tol = 9 * 1.04 / (256 ** 0.5) * max(len(vu), 1)
     assert abs(row.est_intersect - len(va & vb)) < tol
+
+
+def test_pmi_matches_bruteforce(spark, sf_dir):
+    """Top-k collocations must equal a plain-Python PMI computation."""
+    import math
+
+    from hh_rumors_presto_spark.queries.curation_round5 import (
+        _PMI_MIN_COUNT,
+        _PMI_TOP_K,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    uni: dict[str, int] = {}
+    big: dict[tuple[str, str], int] = {}
+    for r in docs:
+        t = r.text.split(" ")
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(t, t[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    T = sum(uni.values())
+    B = sum(big.values())
+    scored = [
+        (
+            math.log((n / B) / ((uni[a] / T) * (uni[b] / T))),
+            a,
+            b,
+            n,
+        )
+        for (a, b), n in big.items()
+        if n >= _PMI_MIN_COUNT
+    ]
+    scored.sort(key=lambda x: (-x[0], x[1], x[2]))
+    want = [
+        (a, b, n, round(p, 6)) for p, a, b, n in scored[:_PMI_TOP_K]
+    ]
+    got = [
+        (r.w1, r.w2, r.n_ab, r.pmi)
+        for r in QUERIES["text_collocations_pmi"](spark, sf_dir).collect()
+    ]
+    assert got == want
+    assert want, "no collocations above the support floor — vacuous"

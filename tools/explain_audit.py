@@ -328,6 +328,10 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "join_hinted": [
         (r"ShuffledHashJoin", "SHUFFLE_HASH hint honored over the broadcast default"),
     ],
+    "text_collocations_pmi": [
+        (r"TakeOrderedAndProject", "top-k collocations as partial top-k, no global sort"),
+        (r"BroadcastHashJoin", "unigram table broadcast back over bigram counts"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -380,7 +384,9 @@ FORBIDDEN = (
       # ml_logreg_gd chains ONE-ROW weight/gradient tables through the
       # iterations — 3 doubles of broadcast state per pass over the data;
       # emb_pca_power broadcasts its ONE-ROW norm scalar per iteration
-      "ml_logreg_gd", "emb_pca_power"}),
+      "ml_logreg_gd", "emb_pca_power",
+      # text_collocations_pmi broadcasts its ONE-ROW unigram/bigram totals
+      "text_collocations_pmi"}),
 )
 
 
