@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.queries.extensions_dedup import _jaccard_pairs_sql
 from hh_rumors_presto_spark.registry import query
 
 _SCALE = 1_000_000_000_000  # fixed-point 1.0
@@ -473,3 +474,92 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("src").agg(
         F.count("*").cast("long").alias("core_deg")
     ).withColumnRenamed("src", "node")
+
+
+@query(
+    "graph_link_predict",
+    oracle=(
+        _jaccard_pairs_sql()
+        + """
+    , bidir AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (SELECT a AS node, count(*) AS n FROM bidir GROUP BY a),
+    wedge AS (
+        SELECT x.a AS u, y.b AS v, count(*) AS n_common
+        FROM bidir x JOIN bidir y ON x.b = y.a AND x.a < y.b
+        GROUP BY x.a, y.b
+    ),
+    cand AS (
+        SELECT u, v, n_common FROM wedge
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pairs p WHERE p.doc_a = wedge.u AND p.doc_b = wedge.v
+        )
+    )
+    SELECT c.u AS doc_a, c.v AS doc_b,
+           CAST(c.n_common AS BIGINT) AS n_common,
+           round(CAST(c.n_common AS DOUBLE)
+                 / (du.n + dv.n - c.n_common), 6) AS neighbor_jaccard
+    FROM cand c
+    JOIN deg du ON du.node = c.u
+    JOIN deg dv ON dv.node = c.v
+    """
+    ),
+)
+def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the near-dup graph by common-neighbor Jaccard:
+    unconnected node pairs at distance 2, scored by
+    |N(u) ∩ N(v)| / |N(u) ∪ N(v)| — the classic similarity-completion
+    signal ("these two docs share most of their near-dups but were never
+    paired — the blocking probably missed them"), i.e. a RECALL auditor
+    for the pair-generation stage.
+
+    Shape at scale: common neighbors come from the wedge equi-join
+    (x.b = y.a) — work is sum of squared degrees, never all-pairs; the
+    existing-edge exclusion is a left-anti join; degrees broadcast back.
+    All counts integer, the one division at the projection boundary."""
+    from hh_rumors_presto_spark.queries.extensions_dedup import (
+        dedup_ngram_jaccard,
+    )
+
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    bidir = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionAll(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    deg = bidir.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").alias("n")
+    )
+    x = bidir.select(F.col("a").alias("u"), F.col("b").alias("mid"))
+    y = bidir.select(F.col("a").alias("mid2"), F.col("b").alias("v"))
+    wedge = (
+        x.join(y, (F.col("mid") == F.col("mid2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_common"))
+    )
+    cand = wedge.join(
+        pairs,
+        (wedge.u == pairs.doc_a) & (wedge.v == pairs.doc_b),
+        "left_anti",
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("n").alias("nu"))
+    dv = deg.select(F.col("node").alias("v"), F.col("n").alias("nv"))
+    return (
+        cand.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.col("u").alias("doc_a"),
+            F.col("v").alias("doc_b"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("nu") + F.col("nv") - F.col("n_common")),
+                6,
+            ).alias("neighbor_jaccard"),
+        )
+    )

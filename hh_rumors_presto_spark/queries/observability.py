@@ -349,3 +349,52 @@ def dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_abs_gap"),
     )
+
+
+_FRESH_SLA_MIN = 120  # staleness budget per feed, minutes
+
+
+@query(
+    "dq_freshness",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    per_feed AS (
+        SELECT event_type, max(ts) AS last_ts FROM e GROUP BY event_type
+    ),
+    ref AS (SELECT max(ts) AS global_max FROM e)
+    SELECT p.event_type, p.last_ts,
+           CAST(floor(CAST(epoch_us(r.global_max) - epoch_us(p.last_ts)
+                           AS DOUBLE) / 60000000.0) AS BIGINT) AS lag_minutes,
+           (epoch_us(r.global_max) - epoch_us(p.last_ts)
+            > {_FRESH_SLA_MIN * 60000000}) AS sla_breach
+    FROM per_feed p, ref r
+    """,
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-freshness SLA audit: every feed's (event_type's) last event
+    time, its staleness against the newest event anywhere, and whether it
+    breaches the staleness budget — the first page of any pipeline
+    health dashboard, and the gate a training-data ingest checks before
+    admitting a source's latest partition.
+
+    Shape at scale: one keyed max aggregate (map-side combined) + a
+    ONE-ROW global-max broadcast; staleness in exact integer
+    microseconds, so the floor-divide to minutes and the breach compare
+    are bit-deterministic."""
+    ev = io.load_table(spark, sf_dir, "events").select("event_type", "ts")
+    per_feed = ev.groupBy("event_type").agg(F.max("ts").alias("last_ts"))
+    ref = ev.agg(F.max("ts").alias("global_max"))
+    lag_us = F.unix_micros("global_max") - F.unix_micros("last_ts")
+    return (
+        per_feed.crossJoin(F.broadcast(ref))
+        .select(
+            "event_type",
+            "last_ts",
+            F.floor(lag_us.cast("double") / 60000000.0)
+            .cast("bigint")
+            .alias("lag_minutes"),
+            (lag_us > _FRESH_SLA_MIN * 60000000).alias("sla_breach"),
+        )
+    )

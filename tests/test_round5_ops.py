@@ -631,3 +631,51 @@ def test_pmi_matches_bruteforce(spark, sf_dir):
     ]
     assert got == want
     assert want, "no collocations above the support floor — vacuous"
+
+
+def test_link_predict_matches_bruteforce(spark, sf_dir):
+    """Wedge-join link prediction must equal brute-force neighbor-set
+    Jaccard over unconnected distance-2 pairs."""
+    from hh_rumors_presto_spark.registry import QUERIES as Q
+
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in Q["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    neigh: dict[int, set] = {}
+    for a, b in pairs:
+        neigh.setdefault(a, set()).add(b)
+        neigh.setdefault(b, set()).add(a)
+    want = {}
+    nodes = sorted(neigh)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1 :]:
+            if (u, v) in pairs:
+                continue
+            common = neigh[u] & neigh[v]
+            if common:
+                want[(u, v)] = (
+                    len(common),
+                    round(len(common) / len(neigh[u] | neigh[v]), 6),
+                )
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, r.neighbor_jaccard)
+        for r in QUERIES["graph_link_predict"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want, "no distance-2 candidates on fixture — vacuous"
+
+
+def test_freshness_lags_are_exact(spark, sf_dir):
+    rows = QUERIES["dq_freshness"](spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    per = {}
+    for r in ev:
+        t = r.ts
+        per[r.event_type] = max(per.get(r.event_type, t), t)
+    gmax = max(per.values())
+    assert {r.event_type for r in rows} == set(per)
+    for r in rows:
+        lag_us = int((gmax - per[r.event_type]).total_seconds() * 1_000_000)
+        assert r.lag_minutes == lag_us // 60_000_000
+        assert r.sla_breach == (lag_us > 120 * 60_000_000)
