@@ -592,3 +592,110 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PMI_TOP_K)
         .select("w1", "w2", "n_ab", F.round("pmi_raw", 6).alias("pmi"))
     )
+
+
+# --------------------------------------------------------------------------
+# pipeline_tokenize_pack
+# --------------------------------------------------------------------------
+
+_TP_SHARDS = 8
+_TP_CTX = 512
+_TP_SPECIAL = 2  # BOS + EOS per document
+
+
+@query(
+    "pipeline_tokenize_pack",
+    oracle=f"""
+    WITH cleaned AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+                   x -> x <> ''
+               ) AS words
+        FROM documents
+    ),
+    tokenized AS (
+        SELECT doc_id,
+               CAST(coalesce(list_sum(list_transform(
+                   words, x -> {_bpe_sql_word_expr('x')}
+               )), 0) + {_TP_SPECIAL} AS BIGINT) AS n_tokens
+        FROM cleaned
+        WHERE len(words) >= 5
+    ),
+    sharded AS (
+        SELECT doc_id, doc_id % {_TP_SHARDS} AS shard, n_tokens
+        FROM tokenized
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor(CAST(cum_excl AS DOUBLE) / {_TP_CTX}.0) AS BIGINT)
+               AS pack_id,
+           CAST(cum_excl % {_TP_CTX} AS BIGINT) AS pack_offset
+    FROM (
+        SELECT doc_id, shard, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_excl
+        FROM sharded
+    )
+    """,
+)
+def pipeline_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenize -> pack capstone: admission filter (>= 5 clean
+    words), REAL BPE token counts (the text_bpe_encode merge chain, not
+    a whitespace proxy) plus BOS/EOS overhead, then GPT-style
+    concat-and-chunk packing into CTX-token sequences per shard — i.e.
+    the numbers a pretraining job actually schedules, end to end in one
+    plan.
+
+    Shape at scale: the tokenizer stage is the zero-shuffle HOF chain;
+    packing is a per-shard cumulative window (shards pack independently
+    — no global window); everything before the one window shuffle
+    pipelines into the scan. Counts are exact BIGINTs throughout."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", ""), " "),
+        lambda x: x != F.lit(""),
+    )
+
+    def word_tokens(x):
+        merged = F.trim(F.regexp_replace(x, "(.)", "$1 "))
+        for pat, rep in _BPE_MERGES:
+            merged = F.replace(merged, F.lit(pat), F.lit(rep))
+        return F.size(F.split(merged, " "))
+
+    tokenized = (
+        docs.select("doc_id", words.alias("w"))
+        .filter(F.size("w") >= 5)
+        .select(
+            "doc_id",
+            (
+                F.aggregate(
+                    F.transform(F.col("w"), word_tokens),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                )
+                + _TP_SPECIAL
+            ).alias("n_tokens"),
+        )
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        tokenized.select(
+            "doc_id", (F.col("doc_id") % _TP_SHARDS).alias("shard"), "n_tokens"
+        )
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            F.floor(cum_excl.cast("double") / float(_TP_CTX))
+            .cast("bigint")
+            .alias("pack_id"),
+            (cum_excl % _TP_CTX).cast("bigint").alias("pack_offset"),
+        )
+    )

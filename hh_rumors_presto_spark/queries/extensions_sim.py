@@ -696,3 +696,95 @@ def emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", F.floor(F.col("cos") * 10).cast("int").alias("bin"))
         .agg(F.count("*").cast("long").alias("n_pairs"))
     )
+
+
+# --------------------------------------------------------------------------
+# emb_quantize_error
+# --------------------------------------------------------------------------
+
+
+@query(
+    "emb_quantize_error",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    scaled AS (
+        SELECT vec_id, label, v,
+               list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+        FROM e
+    ),
+    recon AS (
+        SELECT vec_id, label, v, s,
+               list_transform(v, x -> floor(x / s + 0.5) * s) AS r
+        FROM scaled WHERE s > 0
+    ),
+    per_vec AS (
+        SELECT label,
+               list_sum(list_transform(range(1, len(v) + 1),
+                        i -> (v[i] - r[i]) * (v[i] - r[i])))
+                   / len(v) AS mse,
+               list_inner_product(v, r)
+                 / nullif(sqrt(list_inner_product(v, v))
+                          * sqrt(list_inner_product(r, r)), 0.0) AS cos_vr
+        FROM recon
+    )
+    SELECT label,
+           round(avg(mse), 9) AS mean_mse,
+           round(min(cos_vr), 6) AS worst_cosine,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM per_vec
+    GROUP BY label
+    """,
+)
+def emb_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured int8 quantization-error floor per label: symmetric
+    per-vector scaling (s = max|x| / 127), explicit floor(x/s + 0.5)
+    quantizer (deterministic and identical in both engines — no
+    round-half-even ambiguity), then reconstruction MSE and worst-case
+    cosine between original and reconstruction. This is the evidence an
+    embedding-compression rollout needs BEFORE switching the ANN index
+    to int8 — the fourth measured quality floor alongside the ANN/LSH/
+    IVF-PQ recall floors.
+
+    Shape at scale: pure per-row higher-order functions (quantize,
+    reconstruct, MSE fold) in one scan; one keyed aggregate. The only
+    doubles crossing a reduction are per-vector scalars rounded at the
+    output boundary."""
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    v = F.col("v")
+    s = F.col("s")
+    r = F.col("r")
+    scaled = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).select(
+        "vec_id",
+        "label",
+        "v",
+        (
+            F.array_max(F.transform(v, lambda x: F.abs(x))) / 127.0
+        ).alias("s"),
+    )
+    recon = scaled.filter(s > 0).select(
+        "vec_id",
+        "label",
+        "v",
+        F.transform(v, lambda x: F.floor(x / s + 0.5) * s).alias("r"),
+    )
+    diff2 = F.zip_with(v, r, lambda a, b: (a - b) * (a - b))
+    mse = (
+        F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x) / F.size(v)
+    )
+    per_vec = recon.select(
+        "label",
+        mse.alias("mse"),
+        cosine_similarity(v, r).alias("cos_vr"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.round(F.avg("mse"), 9).alias("mean_mse"),
+        F.round(F.min("cos_vr"), 6).alias("worst_cosine"),
+        F.count("*").cast("bigint").alias("n_vectors"),
+    )

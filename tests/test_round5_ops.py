@@ -679,3 +679,70 @@ def test_freshness_lags_are_exact(spark, sf_dir):
         lag_us = int((gmax - per[r.event_type]).total_seconds() * 1_000_000)
         assert r.lag_minutes == lag_us // 60_000_000
         assert r.sla_breach == (lag_us > 120 * 60_000_000)
+
+
+def test_tokenize_pack_invariants(spark, sf_dir):
+    """Packs fill contiguously per shard: offsets advance by n_tokens
+    modulo CTX, every doc carries the +2 special-token overhead, and the
+    admission filter dropped short docs."""
+    from hh_rumors_presto_spark.queries.curation_round5 import (
+        _TP_CTX,
+        _TP_SHARDS,
+        _TP_SPECIAL,
+    )
+    import re
+
+    rows = QUERIES["pipeline_tokenize_pack"](spark, sf_dir).collect()
+    docs = {r.doc_id: r.text for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()}
+    n_clean = {
+        d: len([w for w in re.sub(r"[^a-z ]", "", t.lower()).split(" ") if w])
+        for d, t in docs.items()
+    }
+    assert {r.doc_id for r in rows} == {
+        d for d, n in n_clean.items() if n >= 5
+    }
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert r.shard == r.doc_id % _TP_SHARDS
+        assert r.n_tokens > _TP_SPECIAL
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in shard_rows:
+            assert r.pack_id == cum // _TP_CTX
+            assert r.pack_offset == cum % _TP_CTX
+            cum += r.n_tokens
+
+
+def test_quantize_error_matches_numpy(spark, sf_dir):
+    """Per-label mean MSE and worst cosine must equal a numpy replay of
+    the same explicit quantizer, and the error floor must be tight (int8
+    on unit-scale vectors: cosine stays ~1)."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    per_label: dict[int, list] = {}
+    for r in emb:
+        v = np.array([float(x) for x in r.embedding])
+        s = np.abs(v).max() / 127.0
+        if s <= 0:
+            continue
+        q = np.floor(v / s + 0.5) * s
+        mse = float(np.mean((v - q) ** 2))
+        cos = float(
+            np.dot(v, q) / (np.linalg.norm(v) * np.linalg.norm(q))
+        )
+        per_label.setdefault(r.label, []).append((mse, cos))
+    got = {
+        r.label: (r.mean_mse, r.worst_cosine, r.n_vectors)
+        for r in QUERIES["emb_quantize_error"](spark, sf_dir).collect()
+    }
+    for label, vals in per_label.items():
+        mean_mse = round(sum(m for m, _ in vals) / len(vals), 9)
+        worst = round(min(c for _, c in vals), 6)
+        gm, gw, gn = got[label]
+        assert gn == len(vals)
+        assert abs(gm - mean_mse) < 2e-9
+        assert abs(gw - worst) < 2e-6
+        assert gw > 0.999, "int8 reconstruction should stay near-parallel"
