@@ -420,3 +420,71 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         smooth, "user_id long, event_id long, level double, trend double"
     )
+
+
+# --------------------------------------------------------------------------
+# dim_calendar_join
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dim_calendar_join",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(o_orderdate) AS dmin, max(o_orderdate) AS dmax FROM orders
+    ),
+    cal AS (
+        SELECT unnest(generate_series(dmin, dmax, INTERVAL 1 DAY))::DATE AS d
+        FROM bounds
+    ),
+    daily AS (
+        SELECT o_orderdate AS d, count(*) AS n_orders FROM orders GROUP BY 1
+    )
+    SELECT cal.d AS cal_date,
+           CAST(isodow(cal.d) AS INT) AS iso_dow,
+           CAST(month(cal.d) AS INT) AS month,
+           CAST(quarter(cal.d) AS INT) AS quarter,
+           (isodow(cal.d) >= 6) AS is_weekend,
+           CAST(coalesce(daily.n_orders, 0) AS BIGINT) AS n_orders
+    FROM cal LEFT JOIN daily ON daily.d = cal.d
+    """,
+)
+def dim_calendar_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar dimension generation + conformed join: a dense date spine
+    from the fact table's own bounds, decorated with ISO weekday /
+    month / quarter / weekend attributes, left-joined to daily order
+    counts with zero-fill — the standard warehouse pattern that makes
+    day-over-day reports gap-free (a missing sales day must appear as 0,
+    not vanish). ISO weekday is derived from Spark's Sunday-based
+    dayofweek via ((dow + 5) % 7) + 1 so both engines agree exactly.
+
+    Shape at scale: the spine generates from a ONE-ROW bounds aggregate
+    (sequence + explode — rows proportional to days, not facts); daily
+    counts are one keyed aggregate; the join is spine-sized."""
+    orders = io.load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_orderdate").alias("dmin"), F.max("o_orderdate").alias("dmax")
+    )
+    cal = bounds.select(
+        F.explode(
+            F.sequence("dmin", "dmax", F.expr("interval 1 day"))
+        ).alias("cal_date")
+    )
+    daily = orders.groupBy(F.col("o_orderdate").alias("cal_date")).agg(
+        F.count("*").alias("n_orders")
+    )
+    iso_dow = ((F.dayofweek("cal_date") + 5) % 7 + 1).cast("int")
+    # sequence over a day-time interval yields timestamps; the dimension
+    # key is a DATE
+    cal = cal.select(F.col("cal_date").cast("date").alias("cal_date"))
+    return (
+        cal.join(daily, "cal_date", "left")
+        .select(
+            "cal_date",
+            iso_dow.alias("iso_dow"),
+            F.month("cal_date").cast("int").alias("month"),
+            F.quarter("cal_date").cast("int").alias("quarter"),
+            (iso_dow >= 6).alias("is_weekend"),
+            F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+        )
+    )

@@ -373,3 +373,42 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("_corrupt").cast("long").alias("n_corrupt"),
         F.sum(F.coalesce("val", F.lit(0))).cast("long").alias("val_sum"),
     )
+
+
+@query(
+    "scan_provenance",
+    oracle="""
+    SELECT 'orders.parquet' AS file_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    """,
+)
+def scan_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-provenance scan via the hidden ``_metadata`` struct: every row
+    is attributed to its physical input file, then per-file lineage stats
+    roll up — row count and key range per file, the audit a lakehouse
+    ingest emits so a bad file can be traced and re-ingested. At this
+    fixture scale each table is one file, so the oracle pins the
+    basename as a literal; the Spark side genuinely derives it from
+    ``_metadata.file_path`` (the mechanics under test). The metadata
+    column is generated per-split at scan time — no extra I/O, no
+    shuffle beyond the per-file aggregate."""
+    import os
+
+    df = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", F.col("_metadata.file_path").alias("fp")
+    )
+    return (
+        df.select(
+            F.regexp_extract("fp", r"([^/]+)$", 1).alias("file_name"),
+            "o_orderkey",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+    )

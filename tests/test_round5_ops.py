@@ -746,3 +746,42 @@ def test_quantize_error_matches_numpy(spark, sf_dir):
         assert abs(gm - mean_mse) < 2e-9
         assert abs(gw - worst) < 2e-6
         assert gw > 0.999, "int8 reconstruction should stay near-parallel"
+
+
+def test_calendar_join_dense_and_zero_filled(spark, sf_dir):
+    """The calendar spine must be gap-free from min to max order date,
+    weekend flags must match Python's weekday(), and zero-fill days must
+    exist (or every day had orders — then the test asserts density only)."""
+    rows = {r.cal_date: r for r in QUERIES["dim_calendar_join"](spark, sf_dir).collect()}
+    import datetime
+
+    dmin, dmax = min(rows), max(rows)
+    d = dmin
+    while d <= dmax:
+        assert d in rows, f"gap at {d}"
+        r = rows[d]
+        iso = d.isoweekday()
+        assert r.iso_dow == iso
+        assert r.is_weekend == (iso >= 6)
+        d += datetime.timedelta(days=1)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    per_day: dict = {}
+    import datetime as _dt
+
+    for o in orders:
+        # older fixtures store o_orderdate as a midnight timestamp
+        d0 = (
+            o.o_orderdate.date()
+            if isinstance(o.o_orderdate, _dt.datetime)
+            else o.o_orderdate
+        )
+        per_day[d0] = per_day.get(d0, 0) + 1
+    for d, r in rows.items():
+        assert r.n_orders == per_day.get(d, 0)
+
+
+def test_provenance_counts_match_file(spark, sf_dir):
+    [row] = QUERIES["scan_provenance"](spark, sf_dir).collect()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert row.file_name == "orders.parquet"
+    assert row.n_rows == orders.count()
