@@ -398,3 +398,138 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (lag_us > _FRESH_SLA_MIN * 60000000).alias("sla_breach"),
         )
     )
+
+
+@query(
+    "dq_join_skew",
+    oracle="""
+    WITH k AS (
+        SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY o_custkey
+    ),
+    stats AS (
+        SELECT count(*) AS n_keys,
+               sum(n) AS n_rows,
+               max(n) AS max_n,
+               CAST(sum(n) AS DOUBLE) / count(*) AS mean_n,
+               quantile_cont(n, 0.99) AS p99_n
+        FROM k
+    ),
+    topk AS (
+        SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rn FROM k
+    )
+    SELECT CAST(s.n_keys AS BIGINT) AS n_keys,
+           CAST(s.n_rows AS BIGINT) AS n_rows,
+           CAST(s.max_n AS BIGINT) AS max_n,
+           round(s.max_n / s.mean_n, 6) AS skew_ratio,
+           round(s.p99_n, 6) AS p99_n,
+           CAST((SELECT key FROM topk WHERE rn = 1) AS BIGINT) AS hottest_key
+    FROM stats s
+    """,
+)
+def dq_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnostic for a join key: per-key frequencies ->
+    key count, max/mean hot-key ratio, p99 frequency, and the hottest
+    key itself — the numbers that decide BEFORE a big join whether to
+    salt, broadcast, or let AQE's skew-join handle it (the decision
+    input for join_salted). One keyed count + a constant-size stats
+    aggregate; the hottest key via partial top-1, no global sort."""
+    k = (
+        io.load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count("*").alias("n"))
+    )
+    stats = k.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+        (F.sum("n").cast("double") / F.count("*")).alias("mean_n"),
+        F.expr("percentile(n, 0.99)").alias("p99_n"),
+    )
+    hottest = (
+        k.orderBy(F.col("n").desc(), "key")
+        .limit(1)
+        .select(F.col("key").alias("hottest_key"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(hottest))
+        .select(
+            F.col("n_keys").cast("bigint").alias("n_keys"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("max_n").cast("bigint").alias("max_n"),
+            F.round(F.col("max_n") / F.col("mean_n"), 6).alias("skew_ratio"),
+            F.round("p99_n", 6).alias("p99_n"),
+            F.col("hottest_key").cast("bigint").alias("hottest_key"),
+        )
+    )
+
+
+@query(
+    "dq_embedding_drift",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               vec_id % 2 AS half
+        FROM embeddings
+    ),
+    lng AS (
+        SELECT label, half, i AS dim, v[i] AS val
+        FROM e, unnest(generate_series(1, 64)) AS r(i)
+    ),
+    cent AS (
+        SELECT label, half, dim, avg(val) AS mu
+        FROM lng GROUP BY label, half, dim
+    ),
+    shift AS (
+        SELECT a.label,
+               sum((a.mu - b.mu) * (a.mu - b.mu)) AS d2,
+               count(*) AS n_dims
+        FROM cent a JOIN cent b
+          ON b.label = a.label AND b.dim = a.dim
+         AND a.half = 0 AND b.half = 1
+        GROUP BY a.label
+    )
+    SELECT label, round(sqrt(d2), 6) AS centroid_shift,
+           CAST(n_dims AS INT) AS n_dims
+    FROM shift
+    """,
+)
+def dq_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: per label, the L2 distance between the
+    centroid of one half of the corpus and the other (split by a stable
+    hash of the id) — the embedding-space analog of dq_drift_psi, and the
+    alarm that fires when an upstream encoder silently changes. Per-dim
+    means are a keyed aggregate (label x half x 64 rows out, map-side
+    combined); the two halves join on (label, dim) — centroid-sized, not
+    corpus-sized. Fixture halves are same-distribution, so the shift is
+    the sampling-noise floor; a real drift dwarfs it."""
+    e = io.load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    lng = e.select(
+        "label", "half", F.posexplode("v").alias("pos", "val")
+    ).select("label", "half", (F.col("pos") + 1).alias("dim"), "val")
+    cent = lng.groupBy("label", "half", "dim").agg(F.avg("val").alias("mu"))
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("mu").alias("mu_a")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("mu").alias("mu_b")
+    )
+    return (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        (F.col("mu_a") - F.col("mu_b"))
+                        * (F.col("mu_a") - F.col("mu_b"))
+                    )
+                ),
+                6,
+            ).alias("centroid_shift"),
+            F.count("*").cast("int").alias("n_dims"),
+        )
+    )

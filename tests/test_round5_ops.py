@@ -785,3 +785,46 @@ def test_provenance_counts_match_file(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     assert row.file_name == "orders.parquet"
     assert row.n_rows == orders.count()
+
+
+def test_join_skew_stats_match_bruteforce(spark, sf_dir):
+    [row] = QUERIES["dq_join_skew"](spark, sf_dir).collect()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    freq: dict[int, int] = {}
+    for o in orders:
+        freq[o.o_custkey] = freq.get(o.o_custkey, 0) + 1
+    assert row.n_keys == len(freq)
+    assert row.n_rows == len(orders)
+    assert row.max_n == max(freq.values())
+    assert row.skew_ratio == round(
+        max(freq.values()) / (len(orders) / len(freq)), 6
+    )
+    hottest = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    assert row.hottest_key == hottest
+
+
+def test_embedding_drift_is_noise_floor(spark, sf_dir):
+    """Same-distribution halves: the measured shift must equal the
+    brute-force centroid distance and sit well below the raw embedding
+    scale (it is a noise floor, not real drift)."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    halves: dict[tuple[int, int], list] = {}
+    for r in emb:
+        halves.setdefault((r.label, r.vec_id % 2), []).append(
+            np.array([float(x) for x in r.embedding])
+        )
+    got = {
+        r.label: (r.centroid_shift, r.n_dims)
+        for r in QUERIES["dq_embedding_drift"](spark, sf_dir).collect()
+    }
+    labels = {l for l, _ in halves}
+    for label in labels:
+        a = np.mean(halves[(label, 0)], axis=0)
+        b = np.mean(halves[(label, 1)], axis=0)
+        want = round(float(np.linalg.norm(a - b)), 6)
+        shift, n_dims = got[label]
+        assert n_dims == 64
+        assert abs(shift - want) < 2e-6
+        assert shift < 1.0, "same-distribution halves should not 'drift'"
