@@ -104,3 +104,36 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("island")
     )
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(o_orderkey) AS BIGINT) AS first_key
+    FROM orders
+    WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (spark.sql(..., args={...})): the injection-safe
+    binding API every SQL-facing service should use instead of string
+    interpolation — values arrive as TYPED literals through the parser,
+    never as concatenated text. The oracle pins that a bound :threshold /
+    :status produce exactly the literal-query plan and results."""
+    io.load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_param"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               CAST(min(o_orderkey) AS BIGINT) AS first_key
+        FROM orders_param
+        WHERE o_totalprice > :threshold AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"threshold": 150000.0, "status": "O"},
+    )
