@@ -42,6 +42,28 @@ _HLL_SCALE_SQL = (
 )
 
 
+
+def _hll_bucket_rho(hexd):
+    """(bucket, rho) column pair from an md5-hex column — the ONE
+    Spark-side definition of the register machinery, shared by
+    sketch_hll_det and sketch_hll_setops (the SQL twin is
+    _hll_ranked_sql / the ranked CTE)."""
+    stripped = F.regexp_replace(
+        F.substring(hexd, 3, _HLL_RANK_HEX), "^0+", ""
+    )
+    nib = F.substring(stripped, 1, 1)
+    rho = F.when(stripped == "", 4 * _HLL_RANK_HEX + 1).otherwise(
+        4 * (_HLL_RANK_HEX - F.length(stripped))
+        + F.when(nib == "1", 3)
+        .when(nib.isin("2", "3"), 2)
+        .when(nib.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+        + 1
+    )
+    bucket = F.conv(F.substring(hexd, 1, 2), 16, 10).cast("long")
+    return bucket, rho
+
+
 @query(
     "sketch_hll_det",
     oracle=f"""
@@ -125,21 +147,10 @@ def sketch_hll_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = io.load_table(spark, sf_dir, "lineitem")
     hexd = F.md5(F.col("l_partkey").cast("string"))
-    stripped = F.regexp_replace(
-        F.substring(hexd, 3, _HLL_RANK_HEX), "^0+", ""
-    )
-    nib = F.substring(stripped, 1, 1)
-    rho = F.when(stripped == "", 4 * _HLL_RANK_HEX + 1).otherwise(
-        4 * (_HLL_RANK_HEX - F.length(stripped))
-        + F.when(nib == "1", 3)
-        .when(nib.isin("2", "3"), 2)
-        .when(nib.isin("4", "5", "6", "7"), 1)
-        .otherwise(0)
-        + 1
-    )
+    bucket, rho = _hll_bucket_rho(hexd)
     ranked = li.select(
         F.col("l_returnflag").alias("grp"),
-        F.conv(F.substring(hexd, 1, 2), 16, 10).cast("long").alias("bucket"),
+        bucket.alias("bucket"),
         rho.alias("rho"),
     )
     regs = ranked.groupBy("grp", "bucket").agg(F.max("rho").alias("m_j"))
@@ -728,26 +739,13 @@ def sketch_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ride along as the quality floor."""
     li = io.load_table(spark, sf_dir, "lineitem")
     hexd = F.md5(F.col("l_partkey").cast("string"))
-    stripped = F.regexp_replace(
-        F.substring(hexd, 3, _HLL_RANK_HEX), "^0+", ""
-    )
-    nib = F.substring(stripped, 1, 1)
-    rho = F.when(stripped == "", 4 * _HLL_RANK_HEX + 1).otherwise(
-        4 * (_HLL_RANK_HEX - F.length(stripped))
-        + F.when(nib == "1", 3)
-        .when(nib.isin("2", "3"), 2)
-        .when(nib.isin("4", "5", "6", "7"), 1)
-        .otherwise(0)
-        + 1
-    )
+    bucket, rho = _hll_bucket_rho(hexd)
     sets = [("A", F.expr(_HLL_SET_A)), ("B", F.expr(_HLL_SET_B))]
     ranked = None
     for tag, pred in sets:
         part = li.filter(pred).select(
             F.lit(tag).alias("grp"),
-            F.conv(F.substring(hexd, 1, 2), 16, 10)
-            .cast("long")
-            .alias("bucket"),
+            bucket.alias("bucket"),
             rho.alias("rho"),
         )
         ranked = part if ranked is None else ranked.unionAll(part)

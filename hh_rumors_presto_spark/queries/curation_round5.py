@@ -179,6 +179,26 @@ _BPE_MERGES = [
 ]
 
 
+
+def _clean_words():
+    """Normalized word array column: lowercase, letters+spaces only,
+    empty tokens dropped — THE tokenizer input, shared by every BPE key
+    so the cleaning spec cannot drift between them."""
+    return F.filter(
+        F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", ""), " "),
+        lambda x: x != F.lit(""),
+    )
+
+
+def _word_tokens(x):
+    """Token count of one word under the merge chain (Spark mirror of
+    _bpe_sql_word_expr)."""
+    merged = F.trim(F.regexp_replace(x, "(.)", "$1 "))
+    for pat, rep in _BPE_MERGES:
+        merged = F.replace(merged, F.lit(pat), F.lit(rep))
+    return F.size(F.split(merged, " "))
+
+
 def _bpe_sql_word_expr(var: str) -> str:
     """DuckDB expression: token count of one word after the merge chain."""
     spread = f"trim(regexp_replace({var}, '(.)', '\\1 ', 'g'))"
@@ -221,22 +241,13 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     at _BPE_MERGES), hence the value-hash DuckDB oracle.
     """
     docs = io.load_table(spark, sf_dir, "documents")
-    words = F.filter(
-        F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", ""), " "),
-        lambda x: x != F.lit(""),
-    )
-
-    def word_tokens(x):
-        merged = F.trim(F.regexp_replace(x, "(.)", "$1 "))
-        for pat, rep in _BPE_MERGES:
-            merged = F.replace(merged, F.lit(pat), F.lit(rep))
-        return F.size(F.split(merged, " "))
+    words = _clean_words()
 
     return docs.select(
         "doc_id",
         F.size(words).alias("n_words"),
         F.aggregate(
-            F.transform(words, word_tokens),
+            F.transform(words, _word_tokens),
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         ).alias("n_tokens"),
@@ -473,22 +484,13 @@ def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     one keyed integer aggregate; the ratio is derived from exact BIGINT
     sums, so it is bit-deterministic."""
     docs = io.load_table(spark, sf_dir, "documents")
-    words = F.filter(
-        F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", ""), " "),
-        lambda x: x != F.lit(""),
-    )
-
-    def word_tokens(x):
-        merged = F.trim(F.regexp_replace(x, "(.)", "$1 "))
-        for pat, rep in _BPE_MERGES:
-            merged = F.replace(merged, F.lit(pat), F.lit(rep))
-        return F.size(F.split(merged, " "))
+    words = _clean_words()
 
     per_doc = docs.select(
         "lang",
         F.size(words).alias("n_words"),
         F.aggregate(
-            F.transform(words, word_tokens),
+            F.transform(words, _word_tokens),
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         ).alias("n_tokens"),
@@ -653,16 +655,7 @@ def pipeline_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     — no global window); everything before the one window shuffle
     pipelines into the scan. Counts are exact BIGINTs throughout."""
     docs = io.load_table(spark, sf_dir, "documents")
-    words = F.filter(
-        F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", ""), " "),
-        lambda x: x != F.lit(""),
-    )
-
-    def word_tokens(x):
-        merged = F.trim(F.regexp_replace(x, "(.)", "$1 "))
-        for pat, rep in _BPE_MERGES:
-            merged = F.replace(merged, F.lit(pat), F.lit(rep))
-        return F.size(F.split(merged, " "))
+    words = _clean_words()
 
     tokenized = (
         docs.select("doc_id", words.alias("w"))
@@ -671,7 +664,7 @@ def pipeline_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             (
                 F.aggregate(
-                    F.transform(F.col("w"), word_tokens),
+                    F.transform(F.col("w"), _word_tokens),
                     F.lit(0).cast("bigint"),
                     lambda acc, x: acc + x,
                 )

@@ -731,7 +731,10 @@ def emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM recon
     )
     SELECT label,
-           round(avg(mse), 9) AS mean_mse,
+           -- per-vector MSEs quantized to exact femto-units so the mean
+           -- is an integer sum under any reduction order
+           round(CAST(sum(CAST(floor(mse * 1e15 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 1e15, 9) AS mean_mse,
            round(min(cos_vr), 6) AS worst_cosine,
            CAST(count(*) AS BIGINT) AS n_vectors
     FROM per_vec
@@ -783,8 +786,11 @@ def emb_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         mse.alias("mse"),
         cosine_similarity(v, r).alias("cos_vr"),
     )
+    mse_q = F.floor(F.col("mse") * 1e15 + 0.5).cast("long")
     return per_vec.groupBy("label").agg(
-        F.round(F.avg("mse"), 9).alias("mean_mse"),
+        F.round(
+            F.sum(mse_q).cast("double") / F.count("*") / 1e15, 9
+        ).alias("mean_mse"),
         F.round(F.min("cos_vr"), 6).alias("worst_cosine"),
         F.count("*").cast("bigint").alias("n_vectors"),
     )

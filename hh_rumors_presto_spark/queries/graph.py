@@ -28,7 +28,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hh_rumors_presto_spark import io
-from hh_rumors_presto_spark.queries.extensions_dedup import _jaccard_pairs_sql
+from hh_rumors_presto_spark.queries.extensions_dedup import (
+    _jaccard_pairs_sql,
+    dedup_ngram_jaccard,
+)
 from hh_rumors_presto_spark.registry import query
 
 _SCALE = 1_000_000_000_000  # fixed-point 1.0
@@ -290,7 +293,10 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _triangles_oracle() -> str:
-    from hh_rumors_presto_spark.queries.extensions_dedup import _jaccard_pairs_sql
+    from hh_rumors_presto_spark.queries.extensions_dedup import (
+    _jaccard_pairs_sql,
+    dedup_ngram_jaccard,
+)
 
     return (
         _jaccard_pairs_sql()
@@ -324,8 +330,6 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (wedge a->b->c closed by a->c) — the standard degree-bounded triangle
     join, never an all-pairs product. The pair list is localCheckpointed
     once and reused by all three join legs."""
-    from hh_rumors_presto_spark.queries.extensions_dedup import dedup_ngram_jaccard
-
     e = (
         dedup_ngram_jaccard(spark, sf_dir)
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
@@ -520,10 +524,6 @@ def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     (x.b = y.a) — work is sum of squared degrees, never all-pairs; the
     existing-edge exclusion is a left-anti join; degrees broadcast back.
     All counts integer, the one division at the projection boundary."""
-    from hh_rumors_presto_spark.queries.extensions_dedup import (
-        dedup_ngram_jaccard,
-    )
-
     pairs = (
         dedup_ngram_jaccard(spark, sf_dir)
         .select("doc_a", "doc_b")

@@ -472,23 +472,29 @@ def dq_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     ),
     lng AS (
-        SELECT label, half, i AS dim, v[i] AS val
-        FROM e, unnest(generate_series(1, 64)) AS r(i)
+        -- dim bound derived from the actual array length (fixture
+        -- regeneration with a different dimensionality stays correct);
+        -- values quantized to exact BIGINT micro-units so the centroid
+        -- sums are reduction-order-free
+        SELECT label, half, i AS dim,
+               CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) AS val_q
+        FROM e, unnest(generate_series(1, len(v))) AS r(i)
     ),
     cent AS (
-        SELECT label, half, dim, avg(val) AS mu
+        SELECT label, half, dim,
+               CAST(sum(val_q) AS DOUBLE) / count(*) AS mu_q
         FROM lng GROUP BY label, half, dim
     ),
     shift AS (
         SELECT a.label,
-               sum((a.mu - b.mu) * (a.mu - b.mu)) AS d2,
+               sum((a.mu_q - b.mu_q) * (a.mu_q - b.mu_q)) AS d2_q,
                count(*) AS n_dims
         FROM cent a JOIN cent b
           ON b.label = a.label AND b.dim = a.dim
          AND a.half = 0 AND b.half = 1
         GROUP BY a.label
     )
-    SELECT label, round(sqrt(d2), 6) AS centroid_shift,
+    SELECT label, round(sqrt(d2_q) / 1000000.0, 6) AS centroid_shift,
            CAST(n_dims AS INT) AS n_dims
     FROM shift
     """,
@@ -507,15 +513,24 @@ def dq_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % 2).alias("half"),
         F.col("embedding").cast("array<double>").alias("v"),
     )
+    # fixed-point quantization (micro-units) makes the centroid sums exact
+    # BIGINTs — no reduction-order drift (the emb_pca_power discipline)
     lng = e.select(
         "label", "half", F.posexplode("v").alias("pos", "val")
-    ).select("label", "half", (F.col("pos") + 1).alias("dim"), "val")
-    cent = lng.groupBy("label", "half", "dim").agg(F.avg("val").alias("mu"))
+    ).select(
+        "label",
+        "half",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("val") * 1000000 + 0.5).cast("long").alias("val_q"),
+    )
+    cent = lng.groupBy("label", "half", "dim").agg(
+        (F.sum("val_q").cast("double") / F.count("*")).alias("mu_q")
+    )
     a = cent.filter(F.col("half") == 0).select(
-        "label", "dim", F.col("mu").alias("mu_a")
+        "label", "dim", F.col("mu_q").alias("mu_a")
     )
     b = cent.filter(F.col("half") == 1).select(
-        "label", "dim", F.col("mu").alias("mu_b")
+        "label", "dim", F.col("mu_q").alias("mu_b")
     )
     return (
         a.join(b, ["label", "dim"])
@@ -527,7 +542,8 @@ def dq_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (F.col("mu_a") - F.col("mu_b"))
                         * (F.col("mu_a") - F.col("mu_b"))
                     )
-                ),
+                )
+                / 1000000.0,
                 6,
             ).alias("centroid_shift"),
             F.count("*").cast("int").alias("n_dims"),

@@ -524,7 +524,7 @@ def test_bpe_fertility_consistent_with_encode(spark, sf_dir):
         nw, nt = want[r.lang]
         assert (r.total_words, r.total_tokens) == (nw, nt)
         assert r.fertility == round(nt / nw, 6)
-        assert r.fertility < 1.0 or nt >= nw  # sanity: ratio well-formed
+        assert r.fertility >= 1.0  # every word is at least one token
 
 
 def test_hll_setops_union_is_register_max(spark, sf_dir):
@@ -821,9 +821,11 @@ def test_embedding_drift_is_noise_floor(spark, sf_dir):
     }
     labels = {l for l, _ in halves}
     for label in labels:
-        a = np.mean(halves[(label, 0)], axis=0)
-        b = np.mean(halves[(label, 1)], axis=0)
-        want = round(float(np.linalg.norm(a - b)), 6)
+        qa = [np.floor(v * 1e6 + 0.5) for v in halves[(label, 0)]]
+        qb = [np.floor(v * 1e6 + 0.5) for v in halves[(label, 1)]]
+        a = np.mean(qa, axis=0)
+        b = np.mean(qb, axis=0)
+        want = round(float(np.linalg.norm(a - b)) / 1e6, 6)
         shift, n_dims = got[label]
         assert n_dims == 64
         assert abs(shift - want) < 2e-6

@@ -386,7 +386,11 @@ FORBIDDEN = (
       # emb_pca_power broadcasts its ONE-ROW norm scalar per iteration
       "ml_logreg_gd", "emb_pca_power",
       # text_collocations_pmi broadcasts its ONE-ROW unigram/bigram totals
-      "text_collocations_pmi"}),
+      "text_collocations_pmi",
+      # dq_join_skew crossJoins its ONE-ROW stats with the partial top-1
+      # hottest key; sketch_hll_setops crossJoins four ONE-ROW estimate/
+      # truth aggregates
+      "dq_join_skew", "sketch_hll_setops"}),
 )
 
 
