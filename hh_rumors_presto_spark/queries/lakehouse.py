@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hh_rumors_presto_spark import io
-from hh_rumors_presto_spark.registry import query
+from hh_rumors_presto_spark.registry import ORACLES, query
 
 
 @query(
@@ -345,3 +345,36 @@ def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("tot", 2).cast("double").alias("total"),
         )
     )
+
+
+_SCD2_ASOF_DATE = "1997-06-01"
+
+
+@query(
+    "scd2_asof_lookup",
+    oracle=f"""
+    SELECT c_custkey, round(bal, 2) AS bal, valid_from
+    FROM ({ORACLES["scd2_merge"]}) v
+    WHERE valid_from <= DATE '{_SCD2_ASOF_DATE}'
+      AND (valid_to IS NULL OR DATE '{_SCD2_ASOF_DATE}' < valid_to)
+    """,
+)
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The READ side of SCD type-2: reconstruct the dimension AS OF a
+    business date from the versioned table scd2_merge builds — the query
+    every point-in-time report and every leakage-free ML backfill runs
+    against a slowly-changing dimension. Version validity is the
+    half-open [valid_from, valid_to) interval, NULL valid_to = current;
+    exactly one version matches per key (asserted in tests). Composes
+    the scd2_merge plan directly (Spark side calls it; the oracle embeds
+    its SQL), so build and lookup can never drift apart.
+
+    Shape at scale: the lookup is a narrow filter over the versioned
+    dimension — with the table partitioned on valid_from date ranges it
+    becomes partition pruning, no shuffle at all."""
+    d = F.lit(_SCD2_ASOF_DATE).cast("date")
+    versions = scd2_merge(spark, sf_dir)
+    return versions.filter(
+        (F.col("valid_from") <= d)
+        & (F.col("valid_to").isNull() | (d < F.col("valid_to")))
+    ).select("c_custkey", F.round("bal", 2).alias("bal"), "valid_from")

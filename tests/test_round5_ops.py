@@ -830,3 +830,27 @@ def test_embedding_drift_is_noise_floor(spark, sf_dir):
         assert n_dims == 64
         assert abs(shift - want) < 2e-6
         assert shift < 1.0, "same-distribution halves should not 'drift'"
+
+
+def test_scd2_asof_exactly_one_version_per_key(spark, sf_dir):
+    """The AS-OF reconstruction must return exactly one version per
+    customer, and it must be the version whose interval contains the
+    lookup date in the full version table."""
+    import datetime
+
+    d = datetime.date(1997, 6, 1)
+    versions = QUERIES["scd2_merge"](spark, sf_dir).collect()
+    want = {}
+    for v in versions:
+        vf = v.valid_from
+        vt = v.valid_to
+        if vf <= d and (vt is None or d < vt):
+            assert v.c_custkey not in want, "overlapping versions"
+            want[v.c_custkey] = (round(v.bal, 2), vf)
+    got = {
+        r.c_custkey: (r.bal, r.valid_from)
+        for r in QUERIES["scd2_asof_lookup"](spark, sf_dir).collect()
+    }
+    assert got == want
+    all_keys = {v.c_custkey for v in versions}
+    assert set(got) == all_keys, "a customer vanished from the as-of view"
