@@ -488,3 +488,108 @@ def dim_calendar_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ts_forecast_backtest
+# --------------------------------------------------------------------------
+
+_FB_SEASON = 24  # seasonal-naive lag, hours
+_FB_HOLDOUT = 48  # backtest window, hours
+
+
+@query(
+    "ts_forecast_backtest",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket
+        FROM events
+    ),
+    bounds AS (SELECT min(bucket) AS tmin, max(bucket) AS tmax FROM e),
+    grid AS (
+        SELECT t.event_type, g.bucket
+        FROM (SELECT DISTINCT event_type FROM e) t,
+             (SELECT unnest(generate_series(tmin, tmax, INTERVAL 1 HOUR))
+                  AS bucket FROM bounds) g
+    ),
+    counts AS (
+        SELECT event_type, bucket, count(*) AS n FROM e GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT g.event_type, g.bucket, coalesce(c.n, 0) AS n,
+               row_number() OVER (
+                   PARTITION BY g.event_type ORDER BY g.bucket
+               ) AS idx,
+               count(*) OVER (PARTITION BY g.event_type) AS n_hours
+        FROM grid g LEFT JOIN counts c
+          ON c.event_type = g.event_type AND c.bucket = g.bucket
+    ),
+    scored AS (
+        SELECT event_type, bucket, n,
+               lag(n, {_FB_SEASON}) OVER (
+                   PARTITION BY event_type ORDER BY bucket
+               ) AS forecast
+        FROM series
+        WHERE idx > n_hours - {_FB_HOLDOUT + _FB_SEASON}
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(abs(n - forecast)) AS BIGINT) AS abs_err_total,
+           round(CAST(sum(abs(n - forecast)) AS DOUBLE) / count(*), 6)
+               AS mae,
+           round(CAST(sum(abs(n - forecast)) AS DOUBLE)
+                 / nullif(sum(n), 0), 6) AS wape
+    FROM scored
+    WHERE forecast IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each of the last 48
+    hours as "same hour yesterday" (lag 24 on the densified hourly
+    series) and score MAE and WAPE per event_type — the baseline every
+    fancier forecaster must beat, with the honest backtest protocol
+    (holdout at the end of the series, forecast never sees its target).
+
+    Shape at scale: densified grid (as ts_seasonal_decompose), keyed lag
+    window over |keys| x 72 tail rows only (the WHERE prunes the series
+    before the window), integer counts so the error sums are exact."""
+    ev = io.load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    )
+    bounds = ev.agg(
+        F.min("bucket").alias("tmin"), F.max("bucket").alias("tmax")
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("tmin", "tmax", F.expr("interval 1 hour"))
+        ).alias("bucket")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(hours))
+    counts = ev.groupBy("event_type", "bucket").agg(F.count("*").alias("n"))
+    w_idx = Window.partitionBy("event_type").orderBy("bucket")
+    w_all = Window.partitionBy("event_type")
+    series = (
+        grid.join(counts, ["event_type", "bucket"], "left")
+        .select(
+            "event_type", "bucket", F.coalesce("n", F.lit(0)).alias("n")
+        )
+        .withColumn("idx", F.row_number().over(w_idx))
+        .withColumn("n_hours", F.count("*").over(w_all))
+        .filter(F.col("idx") > F.col("n_hours") - (_FB_HOLDOUT + _FB_SEASON))
+    )
+    scored = series.withColumn(
+        "forecast", F.lag("n", _FB_SEASON).over(w_idx)
+    ).filter(F.col("forecast").isNotNull())
+    abs_err = F.abs(F.col("n") - F.col("forecast"))
+    return scored.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.sum(abs_err).cast("bigint").alias("abs_err_total"),
+        F.round(F.sum(abs_err).cast("double") / F.count("*"), 6).alias("mae"),
+        F.round(
+            F.sum(abs_err).cast("double")
+            / F.nullif(F.sum("n").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("wape"),
+    )

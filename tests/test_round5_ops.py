@@ -854,3 +854,45 @@ def test_scd2_asof_exactly_one_version_per_key(spark, sf_dir):
     assert got == want
     all_keys = {v.c_custkey for v in versions}
     assert set(got) == all_keys, "a customer vanished from the as-of view"
+
+
+def test_forecast_backtest_matches_bruteforce(spark, sf_dir):
+    """MAE/WAPE must equal a brute-force seasonal-naive backtest on the
+    densified hourly series, and the forecast must never peek forward."""
+    import datetime
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+
+    def hour(ts):
+        return ts.replace(minute=0, second=0, microsecond=0)
+
+    counts: dict[tuple[str, object], int] = {}
+    for r in ev:
+        k = (r.event_type, hour(r.ts))
+        counts[k] = counts.get(k, 0) + 1
+    tmin = hour(min(r.ts for r in ev))
+    tmax = hour(max(r.ts for r in ev))
+    types = {r.event_type for r in ev}
+    want = {}
+    for t in types:
+        series = []
+        cur = tmin
+        while cur <= tmax:
+            series.append(counts.get((t, cur), 0))
+            cur += datetime.timedelta(hours=1)
+        tail = series[-(48 + 24):]
+        errs = [
+            abs(tail[i] - tail[i - 24]) for i in range(24, len(tail))
+        ]
+        actual = [tail[i] for i in range(24, len(tail))]
+        want[t] = (
+            len(errs),
+            sum(errs),
+            round(sum(errs) / len(errs), 6),
+            round(sum(errs) / sum(actual), 6) if sum(actual) else None,
+        )
+    got = {
+        r.event_type: (r.n_points, r.abs_err_total, r.mae, r.wape)
+        for r in QUERIES["ts_forecast_backtest"](spark, sf_dir).collect()
+    }
+    assert got == want
