@@ -55,12 +55,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #   take the never-evaluated remainder in registration order (graph/
 #   strings/scans/sinks/sql/win/stream/dq/breadth leftovers), 50 at a
 #   time, until every key has a driver row. The round-3 continuation
-#   added 19 more never-evaluated keys to that remainder: dedup_semantic
-#   text_bpe_encode curation_pipeline_e2e text_containment
-#   ts_seasonal_decompose feat_target_encode join_pit_multi
-#   ts_holt_winters sketch_hll_det corpus_ccnet_buckets aqp_sample_mean
-#   scan_xml sql_pipe_syntax sql_scripting ml_logreg_gd emb_pca_power
-#   join_hinted stream_join_outer text_bpe_fertility.
+#   grew the registry from 291 to 323 keys — all 32 additions are
+#   never-driver-evaluated and enter the remainder automatically
+#   (`python tools/rotation_check.py` lists them; every one is locally
+#   green at sf0.001/0.01/0.1 and under VERIFY_EXACT_FLOATS).
 FRONT_KEYS = [
     # round-3 additions (composed page extractor, HTTP crawl contract,
     # multi-table ANN + measured recall) + the resume-cursor scan
