@@ -229,7 +229,7 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((count(*) * sum(x * y) - sum(x) * sum(y))
                  / nullif(sqrt(count(*) * sum(x * x) - sum(x) * sum(x))
                           * sqrt(count(*) * sum(y * y) - sum(y) * sum(y)), 0.0), 6)
-               AS lag1_corr
+               + 0.0 AS lag1_corr
     FROM joined
     """,
 )
@@ -267,7 +267,7 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy), F.lit(0.0)
     )
     return joined.agg(
-        n.cast("long").alias("n"), F.round(corr, 6).alias("lag1_corr")
+        n.cast("long").alias("n"), (F.round(corr, 6) + F.lit(0.0)).alias("lag1_corr")
     )
 
 
@@ -439,7 +439,7 @@ _SLOPE_WIN = 20
     oracle=f"""
     SELECT event_id, user_id,
            CASE WHEN n >= 5 AND n * sxx - sx * sx <> 0
-                THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0
            END AS slope
     FROM (
         SELECT event_id, user_id,
@@ -489,7 +489,7 @@ def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     denom = n * sxx - sx * sx
     slope = F.when(
         (n >= 5) & (denom != 0),
-        F.round((n * sxy - sx * sy) / denom, 6),
+        F.round((n * sxy - sx * sy) / denom, 6) + F.lit(0.0),
     )
     return based.select("event_id", "user_id", slope.alias("slope"))
 

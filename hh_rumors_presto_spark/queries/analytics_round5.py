@@ -93,7 +93,7 @@ _SD_HALF = 12  # centered moving average half-width (25-hour window)
                AS seasonal,
            round(t.n - CAST(t.trend_num AS DOUBLE) / {2 * _SD_HALF + 1}
                  - CAST(s.s_num AS DOUBLE) / ({2 * _SD_HALF + 1} * s.s_cnt), 6)
-               AS resid
+               + 0.0 AS resid
     FROM trended t
     JOIN seasonal s
       ON s.event_type = t.event_type AND s.hod = extract(hour FROM t.bucket)
@@ -169,7 +169,7 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n"),
             F.round(trend, 6).alias("trend"),
             F.round(seas, 6).alias("seasonal"),
-            F.round(F.col("n") - trend - seas, 6).alias("resid"),
+            (F.round(F.col("n") - trend - seas, 6) + F.lit(0.0)).alias("resid"),
         )
     )
 

@@ -180,7 +180,7 @@ _ZWIN = 20
 @query(
     "win_anomaly_zscore",
     oracle=f"""
-    SELECT event_id, user_id, round(z, 4) AS z, is_anomaly
+    SELECT event_id, user_id, round(z, 4) + 0.0 AS z, is_anomaly
     FROM (
         SELECT event_id, user_id,
                CASE WHEN n >= 5 AND sd > 0 THEN (value - mu) / sd ELSE NULL END AS z,
@@ -231,7 +231,7 @@ def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.round(z, 4).alias("z"),
+        (F.round(z, 4) + F.lit(0.0)).alias("z"),
         F.coalesce(
             (n >= 5) & (sd > 0) & (F.abs((F.col("value") - mu) / sd) > 3.0),
             F.lit(False),
@@ -244,9 +244,9 @@ def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(n AS BIGINT) AS n,
-           round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0), 6) AS slope,
+           round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0), 6) + 0.0 AS slope,
            round((sy - ((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)) * sx) / n, 6)
-               AS intercept
+               + 0.0 AS intercept
     FROM (
         SELECT event_type,
                CAST(count(*) AS DOUBLE) AS n,
@@ -281,8 +281,10 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         "event_type",
         F.col("n").cast("long").alias("n"),
-        F.round(slope, 6).alias("slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+        (F.round(slope, 6) + F.lit(0.0)).alias("slope"),
+        (F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+        ) + F.lit(0.0)).alias(
             "intercept"
         ),
     )
@@ -292,7 +294,7 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_entropy",
     oracle="""
     SELECT doc_id,
-           round(-sum(p * ln(p)), 6) AS token_entropy,
+           round(-sum(p * ln(p)) + 0.0, 6) AS token_entropy,
            CAST(count(*) AS BIGINT) AS n_distinct
     FROM (
         SELECT doc_id, CAST(cnt AS DOUBLE) / n AS p
@@ -329,7 +331,13 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.select("doc_id", p.alias("p"))
         .groupBy("doc_id")
         .agg(
-            F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("token_entropy"),
+            # + 0.0 folds IEEE negative zero (all-same-token doc:
+            # -sum(1*ln 1) = -0.0) to +0.0 in BOTH engines — they
+            # disagree on the sign of zero after round(), which the
+            # value-hash sees as "-0" vs "0" (found by tools/fuzz_verify)
+            F.round(
+                -F.sum(F.col("p") * F.log("p")) + F.lit(0.0), 6
+            ).alias("token_entropy"),
             F.count("*").alias("n_distinct"),
         )
     )

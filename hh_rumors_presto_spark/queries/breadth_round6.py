@@ -397,7 +397,8 @@ def _gd_oracle() -> str:
         prev = f"w{i}"
     return (
         "WITH " + ",\n    ".join(ctes) + f"""
-    SELECT round(w1, 6) AS w1, round(w2, 6) AS w2, round(w3, 6) AS w3,
+    SELECT round(w1, 6) + 0.0 AS w1, round(w2, 6) + 0.0 AS w2,
+           round(w3, 6) + 0.0 AS w3,
            round(avg(CASE WHEN (((w1*x1 + w2*x2) + w3*x3) >= 0)
                                = (y = 1.0)
                           THEN 1.0 ELSE 0.0 END), 6) AS train_acc,
@@ -461,9 +462,9 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
         )
         .select(
-            F.round("w1", 6).alias("w1"),
-            F.round("w2", 6).alias("w2"),
-            F.round("w3", 6).alias("w3"),
+            (F.round("w1", 6) + F.lit(0.0)).alias("w1"),
+            (F.round("w2", 6) + F.lit(0.0)).alias("w2"),
+            (F.round("w3", 6) + F.lit(0.0)).alias("w3"),
             "train_acc",
             F.col("n_rows").cast("bigint").alias("n_rows"),
         )
@@ -718,7 +719,7 @@ _HLL_EST_SQL = (
     )
     SELECT round(a.e, 4) AS est_a, round(b.e, 4) AS est_b,
            round(u.e, 4) AS est_union,
-           round(a.e + b.e - u.e, 4) AS est_intersect,
+           round(a.e + b.e - u.e, 4) + 0.0 AS est_intersect,
            CAST(t.exact_union AS BIGINT) AS exact_union,
            CAST(t.exact_intersect AS BIGINT) AS exact_intersect,
            round(abs(u.e - t.exact_union) / t.exact_union, 6)
@@ -800,9 +801,10 @@ def sketch_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("ea", 4).alias("est_a"),
             F.round("eb", 4).alias("est_b"),
             F.round("e", 4).alias("est_union"),
-            F.round(F.col("ea") + F.col("eb") - F.col("e"), 4).alias(
-                "est_intersect"
-            ),
+            (
+                F.round(F.col("ea") + F.col("eb") - F.col("e"), 4)
+                + F.lit(0.0)
+            ).alias("est_intersect"),
             F.col("exact_union").cast("bigint").alias("exact_union"),
             F.col("exact_intersect").cast("bigint").alias("exact_intersect"),
             F.round(

@@ -532,7 +532,7 @@ _PMI_TOP_K = 50
     SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
            round(ln((CAST(n_ab AS DOUBLE) / b)
                     / ((CAST(u1.n AS DOUBLE) / t) * (CAST(u2.n AS DOUBLE) / t))),
-                 6) AS pmi
+                 6) + 0.0 AS pmi
     FROM bcnt
     JOIN ucnt u1 ON u1.w = w1
     JOIN ucnt u2 ON u2.w = w2, utot, btot
@@ -592,7 +592,7 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pmi_raw", pmi)
         .orderBy(F.col("pmi_raw").desc(), "w1", "w2")
         .limit(_PMI_TOP_K)
-        .select("w1", "w2", "n_ab", F.round("pmi_raw", 6).alias("pmi"))
+        .select("w1", "w2", "n_ab", (F.round("pmi_raw", 6) + F.lit(0.0)).alias("pmi"))
     )
 
 

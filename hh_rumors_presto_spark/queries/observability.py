@@ -226,7 +226,7 @@ def dq_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(n AS DOUBLE) / total, 6) AS observed_p,
            round(ln(1.0 + 1.0 / d) / ln(10.0), 6) AS benford_p,
            round(CAST(n AS DOUBLE) / total - ln(1.0 + 1.0 / d) / ln(10.0), 6)
-               AS deviation
+               + 0.0 AS deviation
     FROM counts, tot
     """,
 )
@@ -264,7 +264,7 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n"),
             F.round(p, 6).alias("observed_p"),
             F.round(benford, 6).alias("benford_p"),
-            F.round(p - benford, 6).alias("deviation"),
+            (F.round(p - benford, 6) + F.lit(0.0)).alias("deviation"),
         )
     )
 

@@ -1,0 +1,252 @@
+"""Differential fixture fuzzer: regenerate the documents / events /
+embeddings fixtures with ADVERSARIAL-but-in-contract content and re-run
+the Spark-vs-DuckDB differ over the keys that consume them.
+
+Why: the driver regenerates fixtures between rounds, and the latent
+divergences that have bitten before (ADVICE.md r2: median-boundary
+microseconds, Benford's cast rounding, NULL weighted-sample keys; this
+round: the BPE 'ther' merge) were all *fixture-shaped* — invisible at
+one fixture, fatal at another. This harness samples that space on
+purpose: duplicate texts, shared n-gram spans, single-token and
+unicode/punctuation/long-word tokens, multi-space runs, duplicate
+timestamps (tiebreak stress), exact rounding-boundary money values,
+duplicate and ZERO embedding vectors (cosine-NULL paths).
+
+Usage:
+    python tools/fuzz_verify.py [--seeds 2] [key ...]
+
+Exit code 0 iff every (seed, key) passes its oracle.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import shutil
+import subprocess
+import sys
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, "/root/repo")
+
+BASE_SF = "/root/testdata/sf0.001"
+COPY_TABLES = (
+    "region nation customer supplier part orders lineitem".split()
+)
+
+DOC_KEYS = """
+dedup_exact dedup_prefix text_tokens text_quality text_entropy
+text_fingerprint text_chunk text_ngram_freq agg_heavy_hitters
+inverted_index text_langid text_lm_score text_readability
+text_code_detect text_pii_mask text_repetition text_gopher_rules
+corpus_length_histogram text_bpe_encode text_bpe_fertility
+text_collocations_pmi curation_pipeline_e2e text_containment
+text_decontaminate corpus_ccnet_buckets text_segment_dedup
+corpus_domain_cap text_blocklist sample_stratified
+""".split()
+
+EVENT_KEYS = """
+ts_sessionize ts_ohlc ts_ewma agg_session_window ts_peak_concurrency
+ts_interval_coverage win_rank win_laglead win_ffill agg_weighted_median
+dq_freshness ts_seasonal_decompose ts_forecast_backtest join_pit_multi
+ts_holt_winters
+""".split()
+
+EMB_KEYS = """
+emb_normalize sim_topk emb_kmeans_assign dedup_semantic dedup_embedding
+emb_cosine_histogram emb_pca_power emb_quantize_error dq_embedding_drift
+emb_random_projection
+""".split()
+
+DEFAULT_KEYS = DOC_KEYS + EVENT_KEYS + EMB_KEYS
+
+_VOCAB = (
+    "the fast key order sort table scan merge part window small hash "
+    "join batch stream spark dup filter agg limit café naïve 42 a.b,c x1 "
+    "zz"
+).split()
+_EDGE_TOKENS = [
+    "x" * 50,  # very long word
+    "a",  # single char
+    "Ω",  # non-latin
+    "e@mail.com",  # PII-shaped
+    "555-0100",  # phone-shaped
+    "{code}",  # punctuation-dense
+]
+
+
+def gen_documents(rng: random.Random) -> pa.Table:
+    rows = []
+    shared_span = "alpha beta gamma delta epsilon zeta"  # cross-doc 5-gram
+    for doc_id in range(500):
+        kind = rng.random()
+        if kind < 0.05:
+            text = rng.choice(_VOCAB)  # single-token doc
+        elif kind < 0.10:
+            # duplicate family: exact dup of a low doc_id text (filled later)
+            text = None
+        else:
+            n = rng.randint(5, 60)
+            toks = [
+                rng.choice(_VOCAB + _EDGE_TOKENS)
+                if rng.random() < 0.15
+                else rng.choice(_VOCAB)
+                for _ in range(n)
+            ]
+            if rng.random() < 0.2:
+                # splice the shared span in (containment/decontaminate)
+                pos = rng.randint(0, len(toks))
+                toks[pos:pos] = shared_span.split()
+            text = " ".join(toks)
+            if rng.random() < 0.1:
+                text = text.replace(" ", "  ", 1)  # double-space run
+        rows.append(text)
+    # resolve duplicate family AFTER generation so targets exist
+    for doc_id in range(500):
+        if rows[doc_id] is None:
+            rows[doc_id] = rows[rng.randint(0, max(1, doc_id - 1))] or "dup"
+    langs = ["en", "es", "de", "fr"]
+    return pa.table(
+        {
+            "doc_id": pa.array(range(500), pa.int64()),
+            "text": pa.array(rows, pa.string()),
+            "lang": pa.array(
+                [langs[rng.randint(0, 3)] for _ in range(500)], pa.string()
+            ),
+            "source": pa.array(
+                [f"src{rng.randint(0, 19)}" for _ in range(500)], pa.string()
+            ),
+            "n_chars": pa.array([len(t) for t in rows], pa.int64()),
+        }
+    )
+
+
+def gen_events(rng: random.Random) -> pa.Table:
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    n = 2000
+    ts = []
+    for _ in range(n):
+        t = base + datetime.timedelta(
+            seconds=rng.randint(0, 29 * 24 * 3600),
+            microseconds=rng.randint(0, 999_999),
+        )
+        ts.append(t)
+    # inject duplicate timestamps across DIFFERENT event_ids (tiebreaks)
+    for _ in range(50):
+        i, j = rng.randrange(n), rng.randrange(n)
+        ts[j] = ts[i]
+    vals = []
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.05:
+            vals.append(0.0)
+        elif r < 0.10:
+            vals.append(round(rng.randint(0, 999) + 0.005, 3))  # boundary
+        elif r < 0.15:
+            vals.append(rng.randint(0, 999) + 0.125)  # exact dyadic
+        else:
+            vals.append(round(rng.uniform(0, 1000), 2))
+    types = ["click", "view", "purchase", "signup", "error"]
+    return pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(
+                [rng.randint(0, 30) for _ in range(n)], pa.int64()
+            ),
+            "event_type": pa.array(
+                [types[rng.randint(0, 4)] for _ in range(n)], pa.string()
+            ),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array(
+                ['{"k": %d}' % rng.randint(0, 99) for _ in range(n)],
+                pa.string(),
+            ),
+        }
+    )
+
+
+def gen_embeddings(rng: random.Random) -> pa.Table:
+    vecs = []
+    for vec_id in range(500):
+        v = [rng.uniform(-0.6, 0.6) for _ in range(64)]
+        vecs.append(v)
+    # a duplicated pair (near-dup paths) and one ZERO vector (cosine NULL)
+    vecs[123] = list(vecs[45])
+    vecs[321] = [0.0] * 64
+    return pa.table(
+        {
+            "vec_id": pa.array(range(500), pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in v] for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(
+                [rng.randint(0, 9) for _ in range(500)], pa.int32()
+            ),
+        }
+    )
+
+
+def build_fixture(seed: int, out_dir: str) -> None:
+    rng = random.Random(seed)
+    for t in COPY_TABLES:
+        shutil.copy(
+            os.path.join(BASE_SF, f"{t}.parquet"),
+            os.path.join(out_dir, f"{t}.parquet"),
+        )
+    pq.write_table(
+        gen_documents(rng), os.path.join(out_dir, "documents.parquet")
+    )
+    pq.write_table(gen_events(rng), os.path.join(out_dir, "events.parquet"))
+    pq.write_table(
+        gen_embeddings(rng), os.path.join(out_dir, "embeddings.parquet")
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=2)
+    ap.add_argument("keys", nargs="*", default=None)
+    args = ap.parse_args()
+    keys = args.keys or DEFAULT_KEYS
+
+    any_fail = False
+    for seed in range(args.seeds):
+        out_dir = tempfile.mkdtemp(prefix=f"hh_fuzz_s{seed}_")
+        build_fixture(seed, out_dir)
+        print(f"=== seed {seed}: fixture at {out_dir}", flush=True)
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(os.path.dirname(__file__), "verify_local.py"),
+                "--sf",
+                out_dir,
+                *keys,
+            ],
+            capture_output=True,
+            text=True,
+        )
+        tail = [
+            line
+            for line in proc.stdout.splitlines()
+            if line.startswith(("PASS", "FAIL", "ONLY"))
+            or " fail" in line
+        ]
+        fails = [l for l in tail if l.startswith("FAIL")]
+        print("\n".join(fails or tail[-1:]), flush=True)
+        if fails or proc.returncode != 0:
+            any_fail = True
+        else:
+            shutil.rmtree(out_dir, ignore_errors=True)
+    return 1 if any_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
