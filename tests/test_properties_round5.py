@@ -85,3 +85,37 @@ def test_rho_boundary_values():
     assert _rho_via_hex((1 << 52) - 1) == 1
     assert _rho_via_hex(1 << 51) == 1
     assert _rho_via_hex(1 << 50) == 2
+
+
+def test_decimal_cast_portability_edge_is_out_of_contract():
+    """Documents a real cross-engine edge found by probing fuzz_verify
+    with 3-decimal money: Spark casts double->DECIMAL(28,2) through the
+    SHORTEST DECIMAL STRING (437421.005 -> '437421.005' -> HALF_UP ->
+    .01) while DuckDB rounds the BINARY VALUE (437421.004999... -> .00).
+    For IN-CONTRACT money (doubles that are nearest-to-2-decimal), both
+    engines agree — this test pins the contract boundary so nobody
+    widens the fixture generator past it without noticing."""
+    import duckdb
+
+    # out-of-contract: engines disagree on this value's DECIMAL(28,2)
+    from decimal import Decimal
+
+    v = 437421.005
+    assert repr(v) == "437421.005"  # shortest repr shows .005
+    # the BINARY value sits strictly below the semantic 437421.005
+    assert Decimal(v) < Decimal("437421.005")
+    got = duckdb.sql(
+        f"SELECT CAST(CAST({v!r} AS DOUBLE) AS DECIMAL(28,2))"
+    ).fetchone()[0]
+    assert str(got) == "437421.00"  # DuckDB: value-mediated (rounds down)
+    # (Spark yields 437421.01 for the same input — string-mediated; not
+    # asserted here to keep this test Spark-free, but verified in-session)
+
+    # in-contract: nearest-double-to-2-decimals is cast identically
+    for k in (12345, 99999, 437421):
+        for cents in (44, 45, 99):
+            w = round(k + cents / 100, 2)
+            got = duckdb.sql(
+                f"SELECT CAST(CAST({w!r} AS DOUBLE) AS DECIMAL(28,2))"
+            ).fetchone()[0]
+            assert float(got) == w

@@ -34,9 +34,7 @@ import pyarrow.parquet as pq
 sys.path.insert(0, "/root/repo")
 
 BASE_SF = "/root/testdata/sf0.001"
-COPY_TABLES = (
-    "region nation customer supplier part orders lineitem".split()
-)
+COPY_TABLES = "region nation customer supplier part".split()
 
 DOC_KEYS = """
 dedup_exact dedup_prefix text_tokens text_quality text_entropy
@@ -56,13 +54,27 @@ dq_freshness ts_seasonal_decompose ts_forecast_backtest join_pit_multi
 ts_holt_winters
 """.split()
 
+# orders/lineitem consumers: keys are PRESERVED from the base fixture
+# (referential integrity), value columns are re-rolled with boundary
+# content (x.005 / x.125 prices, duplicate dates, re-mixed flags)
+TPCH_KEYS = """
+agg_basic agg_filtered_q6 agg_conditional agg_argmax agg_stats agg_corr
+agg_mad agg_moments agg_mode agg_histogram agg_percentile_exact
+dq_benford dq_reconciliation feat_target_encode scd2_merge
+scd2_asof_lookup aqp_sample_mean sketch_hll_det sketch_hll_setops
+layout_range_cluster layout_zorder win_ntile dq_join_skew
+agg_share_of_total global_row_number join_star sql_tpch_q3 sql_tpch_q4
+sql_tpch_q12 sql_tpch_q19 dim_calendar_join ml_logreg_gd table_checksum
+agg_pivot agg_rollup
+""".split()
+
 EMB_KEYS = """
 emb_normalize sim_topk emb_kmeans_assign dedup_semantic dedup_embedding
 emb_cosine_histogram emb_pca_power emb_quantize_error dq_embedding_drift
 emb_random_projection
 """.split()
 
-DEFAULT_KEYS = DOC_KEYS + EVENT_KEYS + EMB_KEYS
+DEFAULT_KEYS = DOC_KEYS + EVENT_KEYS + EMB_KEYS + TPCH_KEYS
 
 _VOCAB = (
     "the fast key order sort table scan merge part window small hash "
@@ -194,6 +206,105 @@ def gen_embeddings(rng: random.Random) -> pa.Table:
     )
 
 
+def _boundary_price(rng: random.Random) -> float:
+    """Money stays IN-CONTRACT: exactly-2-decimal doubles (the fixture
+    generator's own shape), plus whole amounts. Probing with 3-decimal
+    x.005 values found a REAL engine edge — Spark's double->DECIMAL cast
+    is string-mediated (shortest repr "x.005" HALF_UPs to .01) while
+    DuckDB's is value-mediated (the double sits below .005 and rounds to
+    .00) — but such values cannot appear in a generated fixture, so the
+    edge is pinned in tests/test_properties_round5.py instead of fuzzed
+    here."""
+    r = rng.random()
+    if r < 0.10:
+        return float(rng.randint(1, 500000))  # whole
+    if r < 0.20:
+        return rng.randint(1, 500000) + 0.25  # exact dyadic 2-decimal
+    return round(rng.uniform(1.0, 500000.0), 2)
+
+
+def fuzz_orders(rng: random.Random, out_dir: str) -> None:
+    import datetime
+
+    base = pq.read_table(os.path.join(BASE_SF, "orders.parquet"))
+    n = base.num_rows
+    statuses = ["O", "F", "P"]
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    d0 = datetime.datetime(1995, 1, 1)
+    dates = [
+        d0 + datetime.timedelta(days=rng.randint(0, 2400)) for _ in range(n)
+    ]
+    t = base.set_column(
+        base.schema.get_field_index("o_orderstatus"),
+        "o_orderstatus",
+        pa.array([statuses[rng.randint(0, 2)] for _ in range(n)], pa.string()),
+    )
+    t = t.set_column(
+        t.schema.get_field_index("o_totalprice"),
+        "o_totalprice",
+        pa.array([_boundary_price(rng) for _ in range(n)], pa.float64()),
+    )
+    t = t.set_column(
+        t.schema.get_field_index("o_orderdate"),
+        "o_orderdate",
+        pa.array(dates, base.schema.field("o_orderdate").type),
+    )
+    t = t.set_column(
+        t.schema.get_field_index("o_orderpriority"),
+        "o_orderpriority",
+        pa.array([prios[rng.randint(0, 4)] for _ in range(n)], pa.string()),
+    )
+    pq.write_table(t, os.path.join(out_dir, "orders.parquet"))
+
+
+def fuzz_lineitem(rng: random.Random, out_dir: str) -> None:
+    import datetime
+
+    base = pq.read_table(os.path.join(BASE_SF, "lineitem.parquet"))
+    n = base.num_rows
+    d0 = datetime.datetime(1995, 1, 1)
+
+    def setcol(t, name, values, typ):
+        return t.set_column(
+            t.schema.get_field_index(name), name, pa.array(values, typ)
+        )
+
+    t = base
+    t = setcol(
+        t, "l_quantity",
+        [float(rng.randint(1, 50)) for _ in range(n)], pa.float64(),
+    )
+    t = setcol(
+        t, "l_extendedprice",
+        [_boundary_price(rng) for _ in range(n)], pa.float64(),
+    )
+    t = setcol(
+        t, "l_discount",
+        [rng.randint(0, 10) / 100.0 for _ in range(n)], pa.float64(),
+    )
+    t = setcol(
+        t, "l_tax", [rng.randint(0, 8) / 100.0 for _ in range(n)],
+        pa.float64(),
+    )
+    t = setcol(
+        t, "l_returnflag",
+        [rng.choice("ANR") for _ in range(n)], pa.string(),
+    )
+    t = setcol(
+        t, "l_linestatus",
+        [rng.choice("OF") for _ in range(n)], pa.string(),
+    )
+    t = setcol(
+        t, "l_shipdate",
+        [
+            d0 + datetime.timedelta(days=rng.randint(0, 2400))
+            for _ in range(n)
+        ],
+        base.schema.field("l_shipdate").type,
+    )
+    pq.write_table(t, os.path.join(out_dir, "lineitem.parquet"))
+
+
 def build_fixture(seed: int, out_dir: str) -> None:
     rng = random.Random(seed)
     for t in COPY_TABLES:
@@ -208,6 +319,8 @@ def build_fixture(seed: int, out_dir: str) -> None:
     pq.write_table(
         gen_embeddings(rng), os.path.join(out_dir, "embeddings.parquet")
     )
+    fuzz_orders(rng, out_dir)
+    fuzz_lineitem(rng, out_dir)
 
 
 def main() -> int:
