@@ -89,25 +89,28 @@ def test_rho_boundary_values():
 
 def test_decimal_cast_portability_edge_is_out_of_contract():
     """Documents a real cross-engine edge found by probing fuzz_verify
-    with 3-decimal money: Spark casts double->DECIMAL(28,2) through the
-    SHORTEST DECIMAL STRING (437421.005 -> '437421.005' -> HALF_UP ->
-    .01) while DuckDB rounds the BINARY VALUE (437421.004999... -> .00).
-    For IN-CONTRACT money (doubles that are nearest-to-2-decimal), both
-    engines agree — this test pins the contract boundary so nobody
+    with 3-decimal money: for 437421.005, Spark's double->DECIMAL(28,2)
+    goes through the SHORTEST DECIMAL STRING ('437421.005' -> HALF_UP ->
+    .01) while DuckDB rescales the BINARY VALUE and rounds HALF-TO-EVEN
+    at the resulting exact midpoint (43742100.5 -> .00) — different
+    answers from the same stored double. For IN-CONTRACT money (doubles nearest to an
+    exactly-2-decimal value) the rescale error is ~1e-9 of a cent, so
+    both engines agree — this test pins that contract boundary so nobody
     widens the fixture generator past it without noticing."""
     import duckdb
-
-    # out-of-contract: engines disagree on this value's DECIMAL(28,2)
     from decimal import Decimal
 
     v = 437421.005
     assert repr(v) == "437421.005"  # shortest repr shows .005
-    # the BINARY value sits strictly below the semantic 437421.005
-    assert Decimal(v) < Decimal("437421.005")
+    # the binary value is NOT the semantic .005 (it sits ~4.7e-9 above);
+    # its double rescale lands on an exact midpoint, where DuckDB rounds
+    # HALF-TO-EVEN (down to .00) and Spark's string path HALF-UP (.01)
+    assert Decimal(v) != Decimal("437421.005")
+    assert v * 100 == 43742100.5  # exact representable midpoint
     got = duckdb.sql(
         f"SELECT CAST(CAST({v!r} AS DOUBLE) AS DECIMAL(28,2))"
     ).fetchone()[0]
-    assert str(got) == "437421.00"  # DuckDB: value-mediated (rounds down)
+    assert str(got) == "437421.00"  # DuckDB: half-even at the midpoint
     # (Spark yields 437421.01 for the same input — string-mediated; not
     # asserted here to keep this test Spark-free, but verified in-session)
 
