@@ -692,3 +692,143 @@ def pipeline_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cum_excl % _TP_CTX).cast("bigint").alias("pack_offset"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_build_e2e
+# --------------------------------------------------------------------------
+
+_E2E_MIN_WORDS = 5
+_E2E_SHARDS = 4
+_E2E_CTX = 512
+_E2E_VAL_PCT = 10  # doc-hash % 100 < 10 -> validation split
+
+
+@query(
+    "corpus_build_e2e",
+    oracle=f"""
+    WITH cleaned AS (
+        SELECT doc_id, text,
+               list_filter(
+                   string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+                   x -> x <> ''
+               ) AS words
+        FROM documents
+    ),
+    admitted AS (
+        SELECT * FROM cleaned WHERE len(words) >= {_E2E_MIN_WORDS}
+    ),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY md5(text) ORDER BY doc_id
+            ) AS rn_exact
+            FROM admitted
+        ) WHERE rn_exact = 1
+    ),
+    head_deduped AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY md5(substring(text, 1, 32)) ORDER BY doc_id
+            ) AS rn_head
+            FROM deduped
+        ) WHERE rn_head = 1
+    ),
+    tokenized AS (
+        SELECT doc_id,
+               CASE WHEN CAST(('0x' || substring(md5('split:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+                        < {_E2E_VAL_PCT}
+                    THEN 'val' ELSE 'train' END AS split,
+               doc_id % {_E2E_SHARDS} AS shard,
+               CAST(coalesce(list_sum(list_transform(
+                   words, x -> {_bpe_sql_word_expr('x')}
+               )), 0) + 2 AS BIGINT) AS n_tokens,
+               -- fingerprints bounded mod 2^40 so the additive checksum
+               -- stays in BIGINT under any corpus size seen here (DuckDB
+               -- would silently widen to HUGEINT; Spark ANSI overflows)
+               CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT)
+                   % 1099511627776 AS doc_fp
+        FROM head_deduped
+    )
+    SELECT split, CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST((sum(n_tokens) + {_E2E_CTX - 1}) // {_E2E_CTX} AS BIGINT)
+               AS n_packs,
+           CAST(sum(doc_fp) AS BIGINT) AS content_checksum
+    FROM tokenized
+    GROUP BY split, shard
+    """,
+)
+def corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE corpus build, end to end in ONE plan: admission filter (>= 5
+    clean words) -> exact dedup (md5 text, first wins) -> boilerplate
+    head dedup (md5 of the first 32 chars — the cheap stand-in for the
+    minhash path, which exists as its own keys) -> salted-hash
+    train/val split -> real BPE token counts (+BOS/EOS) -> per-shard
+    delivery stats: docs, tokens, 512-token pack count, and an
+    order-insensitive additive content checksum. This is the manifest a
+    training job consumes, with every number exact-BIGINT.
+
+    Shape at scale: the filter and tokenizer are narrow codegen stages
+    pipelined into the scan; the two dedups are keyed first-win windows
+    (WindowGroupLimit); split/shard assignment is hash arithmetic; the
+    final rollup is one map-side-combined aggregate over |splits| x
+    |shards| groups. No collect, nothing global, no non-keyed window."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    words = _clean_words()
+    admitted = docs.select("doc_id", "text", words.alias("w")).filter(
+        F.size("w") >= _E2E_MIN_WORDS
+    )
+    w_exact = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        admitted.withColumn("rn_exact", F.row_number().over(w_exact))
+        .filter(F.col("rn_exact") == 1)
+    )
+    w_head = Window.partitionBy(
+        F.md5(F.substring("text", 1, 32))
+    ).orderBy("doc_id")
+    head_deduped = (
+        deduped.withColumn("rn_head", F.row_number().over(w_head))
+        .filter(F.col("rn_head") == 1)
+    )
+    split_hash = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    doc_fp = (
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+        % 1099511627776
+    )
+    tokenized = head_deduped.select(
+        F.when(split_hash < _E2E_VAL_PCT, "val").otherwise("train").alias(
+            "split"
+        ),
+        (F.col("doc_id") % _E2E_SHARDS).alias("shard"),
+        (
+            F.aggregate(
+                F.transform(F.col("w"), _word_tokens),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            + 2
+        ).alias("n_tokens"),
+        doc_fp.alias("doc_fp"),
+    )
+    return tokenized.groupBy("split", F.col("shard").cast("bigint").alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.floor(
+            (F.sum("n_tokens") + (_E2E_CTX - 1)) / float(_E2E_CTX)
+        ).cast("bigint").alias("n_packs"),
+        F.sum("doc_fp").cast("bigint").alias("content_checksum"),
+    )

@@ -896,3 +896,64 @@ def test_forecast_backtest_matches_bruteforce(spark, sf_dir):
         for r in QUERIES["ts_forecast_backtest"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_corpus_build_e2e_matches_bruteforce(spark, sf_dir):
+    """The one-plan corpus build must equal a plain-Python replay of
+    every stage: admission, exact dedup, head dedup, salted split, BPE
+    token counts, shard stats."""
+    import hashlib
+    import re
+
+    from hh_rumors_presto_spark.queries.curation_round5 import (
+        _E2E_CTX,
+        _E2E_MIN_WORDS,
+        _E2E_SHARDS,
+        _E2E_VAL_PCT,
+    )
+
+    docs = sorted(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").collect(),
+        key=lambda r: r.doc_id,
+    )
+    seen_exact, seen_head = set(), set()
+    agg: dict[tuple[str, int], list[int]] = {}
+    for r in docs:
+        wlist = [
+            w for w in re.sub(r"[^a-z ]", "", r.text.lower()).split(" ") if w
+        ]
+        if len(wlist) < _E2E_MIN_WORDS:
+            continue
+        fp_exact = hashlib.md5(r.text.encode()).hexdigest()
+        if fp_exact in seen_exact:
+            continue
+        seen_exact.add(fp_exact)
+        fp_head = hashlib.md5(r.text[:32].encode()).hexdigest()
+        if fp_head in seen_head:
+            continue
+        seen_head.add(fp_head)
+        sh = int(
+            hashlib.md5(f"split:{r.doc_id}".encode()).hexdigest()[:15], 16
+        ) % 100
+        split = "val" if sh < _E2E_VAL_PCT else "train"
+        n_tok = sum(len(_bpe_encode_word(w)) for w in wlist) + 2
+        doc_fp = int(fp_exact[:15], 16) % 1099511627776
+        acc = agg.setdefault((split, r.doc_id % _E2E_SHARDS), [0, 0, 0])
+        acc[0] += 1
+        acc[1] += n_tok
+        acc[2] += doc_fp
+    want = {
+        k: (v[0], v[1], (v[1] + _E2E_CTX - 1) // _E2E_CTX, v[2])
+        for k, v in agg.items()
+    }
+    got = {
+        (r.split, r.shard): (
+            r.n_docs,
+            r.total_tokens,
+            r.n_packs,
+            r.content_checksum,
+        )
+        for r in QUERIES["corpus_build_e2e"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(want) > 1 and any(k[0] == "val" for k in want)

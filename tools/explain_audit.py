@@ -332,6 +332,10 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"TakeOrderedAndProject", "top-k collocations as partial top-k, no global sort"),
         (r"BroadcastHashJoin", "unigram table broadcast back over bigram counts"),
     ],
+    "corpus_build_e2e": [
+        (r"WindowGroupLimit", "both dedup stages as per-partition group limits"),
+        (r"partial_sum", "shard manifest rollup map-side combined"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
