@@ -378,3 +378,108 @@ def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("valid_from") <= d)
         & (F.col("valid_to").isNull() | (d < F.col("valid_to")))
     ).select("c_custkey", F.round("bal", 2).alias("bal"), "valid_from")
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+    WITH src AS (
+        SELECT CASE WHEN o_custkey % 10 = 0
+                    THEN o_custkey + 10000000 ELSE o_custkey END AS key,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,10))), 2)
+                    AS DOUBLE) AS spend
+        FROM orders
+        GROUP BY 1
+    ),
+    merged AS (
+        SELECT c.c_custkey AS tgt_key, c.c_name, c.c_acctbal,
+               s.key AS src_key, s.n_orders, s.spend
+        FROM customer c FULL OUTER JOIN src s ON c.c_custkey = s.key
+    )
+    SELECT coalesce(tgt_key, src_key) AS c_custkey,
+           CASE WHEN tgt_key IS NULL THEN 'NEW#' || CAST(src_key AS VARCHAR)
+                ELSE c_name END AS c_name,
+           CASE WHEN tgt_key IS NULL THEN spend
+                WHEN src_key IS NULL THEN c_acctbal
+                ELSE CAST(CAST(c_acctbal AS DECIMAL(18,2))
+                          + CAST(spend AS DECIMAL(18,2)) AS DOUBLE)
+           END AS bal,
+           CASE WHEN tgt_key IS NULL THEN 'insert'
+                WHEN src_key IS NULL THEN 'keep'
+                ELSE 'update' END AS op
+    FROM merged
+    WHERE NOT (tgt_key IS NOT NULL AND src_key IS NOT NULL
+               AND n_orders >= 15)
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-clause MERGE INTO (the full Delta/Iceberg upsert contract —
+    reference analog: the per-tag replace-or-append the scraper performs
+    when re-crawling a page, fetchRumors.js:126-138) expressed as ONE
+    full outer join:
+
+      WHEN MATCHED AND src.n_orders >= 15 THEN DELETE
+      WHEN MATCHED                        THEN UPDATE SET bal += spend
+      WHEN NOT MATCHED                    THEN INSERT (key, 'NEW#key', spend)
+      (NOT MATCHED BY SOURCE rows pass through unchanged, op='keep')
+
+    The source is the per-customer order rollup with every 10th key
+    shifted out of the dimension's key space so all four branches are
+    exercised. Balance arithmetic stays in DECIMAL(18,2) (exact add,
+    then one cast to double) so Spark and DuckDB agree bit-for-bit.
+
+    Shape at scale: unlike the three-branch scd2_merge (join + anti-join
+    + union = two passes over the dimension), this is a SINGLE keyed
+    full outer join — one shuffle of each side on the merge key, with
+    update/delete/insert/keep resolved per-row by CASE. On a real table
+    format the same plan drives file rewrites: the join output carries
+    the op tag a writer needs to group rows into rewritten files."""
+    cust = io.load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("tgt_key"), "c_name", "c_acctbal"
+    )
+    src = (
+        io.load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.when(
+                F.col("o_custkey") % 10 == 0, F.col("o_custkey") + 10000000
+            )
+            .otherwise(F.col("o_custkey"))
+            .alias("key")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(28,10)")), 2)
+            .cast("double")
+            .alias("spend"),
+        )
+    )
+    merged = cust.join(src, cust.tgt_key == src.key, "full_outer")
+    tgt_null = F.col("tgt_key").isNull()
+    src_null = F.col("key").isNull()
+    return (
+        merged.filter(
+            ~(~tgt_null & ~src_null & (F.col("n_orders") >= 15))
+        )
+        .select(
+            F.coalesce("tgt_key", "key").alias("c_custkey"),
+            F.when(
+                tgt_null, F.concat(F.lit("NEW#"), F.col("key").cast("string"))
+            )
+            .otherwise(F.col("c_name"))
+            .alias("c_name"),
+            F.when(tgt_null, F.col("spend"))
+            .when(src_null, F.col("c_acctbal"))
+            .otherwise(
+                (
+                    F.col("c_acctbal").cast("decimal(18,2)")
+                    + F.col("spend").cast("decimal(18,2)")
+                ).cast("double")
+            )
+            .alias("bal"),
+            F.when(tgt_null, "insert")
+            .when(src_null, "keep")
+            .otherwise("update")
+            .alias("op"),
+        )
+    )

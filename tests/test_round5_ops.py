@@ -957,3 +957,52 @@ def test_corpus_build_e2e_matches_bruteforce(spark, sf_dir):
     }
     assert got == want
     assert len(want) > 1 and any(k[0] == "val" for k in want)
+
+
+def test_merge_upsert_four_branch_semantics(spark, sf_dir):
+    """Replay the three-clause MERGE in plain Python from the raw
+    fixtures: matched+hot -> deleted, matched -> exact decimal add,
+    source-only -> insert with spend balance, target-only -> keep."""
+    from decimal import Decimal
+
+    cust = {
+        r.c_custkey: (r.c_name, r.c_acctbal)
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    }
+    src = {}
+    for r in spark.read.parquet(f"{sf_dir}/orders.parquet").collect():
+        key = r.o_custkey + 10000000 if r.o_custkey % 10 == 0 else r.o_custkey
+        n, tot = src.get(key, (0, Decimal(0)))
+        src[key] = (n + 1, tot + Decimal(repr(r.o_totalprice)))
+    want = {}
+    for key, (name, bal) in cust.items():
+        if key in src:
+            n, tot = src[key]
+            if n >= 15:
+                continue  # WHEN MATCHED AND hot THEN DELETE
+            spend = float(
+                tot.quantize(Decimal("0.01"), rounding="ROUND_HALF_EVEN")
+            )
+            new_bal = float(
+                Decimal(repr(round(bal, 2))) + Decimal(repr(spend))
+            )
+            want[key] = (name, new_bal, "update")
+        else:
+            want[key] = (name, bal, "keep")
+    for key, (n, tot) in src.items():
+        if key not in cust:
+            spend = float(
+                tot.quantize(Decimal("0.01"), rounding="ROUND_HALF_EVEN")
+            )
+            want[key] = (f"NEW#{key}", spend, "insert")
+    got = {
+        r.c_custkey: (r.c_name, r.bal, r.op)
+        for r in QUERIES["merge_upsert"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for key in want:
+        gn, gb, gop = got[key]
+        wn, wb, wop = want[key]
+        assert (gn, gop) == (wn, wop), key
+        assert abs(gb - wb) < 1e-9, (key, gb, wb)
+    assert {op for _, _, op in got.values()} == {"insert", "update", "keep"}
