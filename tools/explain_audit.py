@@ -336,6 +336,11 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"WindowGroupLimit", "both dedup stages as per-partition group limits"),
         (r"partial_sum", "shard manifest rollup map-side combined"),
     ],
+    "merge_upsert": [
+        (r"SortMergeJoin.*FullOuter|ShuffledHashJoin.*FullOuter",
+         "three-clause merge as ONE keyed full outer join"),
+        (r"partial_count", "source rollup map-side combined"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
