@@ -164,3 +164,33 @@ def test_outer_join_withholds_unproven_tail(spark, sf_dir):
     assert provable < naive_nulls, (
         "no tail click was withheld — the eviction boundary is untested"
     )
+
+
+def test_stream_merge_upsert_tombstones_and_latest_wins(spark, sf_dir):
+    """Brute-force CDC replay: per user the (ts, event_id)-latest record
+    wins; users whose latest record is an 'error' tombstone are absent;
+    every surviving row carries exactly that winning record."""
+    from hh_rumors_presto_spark.registry import QUERIES, load_all_queries
+
+    load_all_queries()
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    ).collect()
+    latest = {}
+    for r in events:
+        key = (r.ts, r.event_id)
+        if r.user_id not in latest or key > (latest[r.user_id].ts, latest[r.user_id].event_id):
+            latest[r.user_id] = r
+    want = {
+        u: (r.event_id, r.event_type, r.ts)
+        for u, r in latest.items()
+        if r.event_type != "error"
+    }
+    deleted = {u for u, r in latest.items() if r.event_type == "error"}
+    got = {
+        r.user_id: (r.last_event_id, r.last_type, r.last_ts)
+        for r in QUERIES["stream_merge_upsert"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert deleted, "no user ended on a tombstone — the delete path is untested"
+    assert deleted.isdisjoint(got)
