@@ -51,7 +51,7 @@ EVENT_KEYS = """
 ts_sessionize ts_ohlc ts_ewma agg_session_window ts_peak_concurrency
 ts_interval_coverage win_rank win_laglead win_ffill agg_weighted_median
 dq_freshness ts_seasonal_decompose ts_forecast_backtest join_pit_multi
-ts_holt_winters
+ts_holt_winters stream_merge_upsert
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
@@ -65,7 +65,7 @@ scd2_asof_lookup aqp_sample_mean sketch_hll_det sketch_hll_setops
 layout_range_cluster layout_zorder win_ntile dq_join_skew
 agg_share_of_total global_row_number join_star sql_tpch_q3 sql_tpch_q4
 sql_tpch_q12 sql_tpch_q19 dim_calendar_join ml_logreg_gd table_checksum
-agg_pivot agg_rollup
+agg_pivot agg_rollup merge_upsert
 """.split()
 
 EMB_KEYS = """
