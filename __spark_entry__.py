@@ -55,8 +55,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #   take the never-evaluated remainder in registration order (graph/
 #   strings/scans/sinks/sql/win/stream/dq/breadth leftovers), 50 at a
 #   time, until every key has a driver row. The round-3 continuation
-#   grew the registry from 291 to 323 keys — all 32 additions are
-#   never-driver-evaluated and enter the remainder automatically
+#   grew the registry from 291 to 326 keys (32 breadth additions, the
+#   corpus_build_e2e capstone, then merge_upsert + stream_merge_upsert)
+#   — all never-driver-evaluated and entering the remainder automatically
 #   (`python tools/rotation_check.py` lists them; every one is locally
 #   green at sf0.001/0.01/0.1 and under VERIFY_EXACT_FLOATS).
 FRONT_KEYS = [
