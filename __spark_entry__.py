@@ -26,46 +26,65 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # correctness row. Rotate per round until every oracle-backed key has gone
 # green at least once; keys not listed follow in registration order.
 #
-# Round-3 window (all never-driver-evaluated): the four round-3 additions
-# (extract_page_items, scan_http_crawl, sim_ann_multitable, sim_ann_recall)
-# + scan_paged_resume, the §2.B keys VERDICT r2 named directly (strings/
-# dates/scans/sinks remainder, tpch q4/q12/q22, streaming remainder,
-# lakehouse trio, win_time_range), and the corpus/curation §2.B block.
-# All 50 were schema-audited (no array/map/struct/decimal outputs — the
-# driver canonicalizer rejects those) and pass tools/verify_local.py.
-#
-# ROUND-4 ROTATION PLAN — the exact 50-key window, pre-validated against
-# tools/rotation_check.py (all registered, none driver-evaluated, no
-# dupes). Swap FRONT_KEYS to THIS list once r3 rows land green:
-#   sql_tpch_q2 sql_tpch_q9 sql_tpch_q11 sql_tpch_q16 sql_tpch_q20
-#   dedup_minhash_recall sim_ivfpq_recall sim_pq_assign sim_ivfpq_search
-#   sim_ivfpq_probe3 emb_random_projection emb_cosine_histogram
-#   dedup_lsh_bucket_stats ts_ewma join_spatial_grid mm_phash_dedup
-#   curation_skyline ts_multires_rollup stream_rollup_merge
-#   stream_checkpoint_resume ivm_join_delta graph_sssp_weighted
-#   graph_kcore ts_interval_coverage ts_peak_concurrency mm_scene_cut
-#   agg_attribution text_langid_accuracy dq_reconciliation
-#   pipeline_eval_split ts_rate_limit agg_mom_change sketch_hist_quantile
-#   sample_bottomk_merge scan_file_skipping scan_csv_malformed
-#   sink_csv_roundtrip corpus_shard_manifest corpus_length_histogram
-#   ts_ohlc json_malformed sim_ivf dedup_best_of text_bm25
-#   ts_resample_interp agg_bitwise str_codec sink_compact
-#   emb_kmeans_iterate graph_pagerank
+# ROUND-4 window (the plan staged at the end of round 3, validated by
+# tools/rotation_check.py: all registered, no dupes, none with a green
+# driver row). Composition:
+#   - stream_stateful: the ONE red r3 row. Root-caused and fixed this
+#     round (GroupState.get is a property — calling it crashed on the
+#     second micro-batch — and the update-mode sink is now deduped to
+#     the final state per key, so the answer is batching-invariant; see
+#     tests/test_streaming.py::test_stream_stateful_multibatch_invariant).
+#   - the remaining tpch queries (q2/q9/q11/q16/q20), the PQ/ANN recall
+#     ladder, streaming rollup/checkpoint/ivm, graph sssp/kcore, the
+#     ts/mm/dq/corpus breadth block, and the scans/sinks remainder.
+#   - ts_ohlc yielded its staged slot to stream_stateful (its streaming
+#     twin stream_ohlc went green in r3, so it carries the least new
+#     information); it rotates into round 5.
+# All 50 schema-audited (no array/map/struct/decimal output columns —
+# the driver canonicalizer rejects those) and green under
+# tools/verify_local.py.
 # ROUND-5+: run `python tools/rotation_check.py` after each round and
-#   take the never-evaluated remainder in registration order (graph/
-#   strings/scans/sinks/sql/win/stream/dq/breadth leftovers), 50 at a
-#   time, until every key has a driver row. The round-3 continuation
-#   grew the registry from 291 to 326 keys (32 breadth additions, the
-#   corpus_build_e2e capstone, then merge_upsert + stream_merge_upsert)
-#   — all never-driver-evaluated and entering the remainder automatically
-#   (`python tools/rotation_check.py` lists them; every one is locally
-#   green at sf0.001/0.01/0.1 and under VERIFY_EXACT_FLOATS).
+#   take the never-evaluated remainder in registration order, 50 at a
+#   time, until every oracle-backed key has a driver row. See the
+#   staged ROUND-5 / ROUND-6 lists at the bottom of this file.
 FRONT_KEYS = [
-    # round-3 additions (composed page extractor, HTTP crawl contract,
-    # multi-table ANN + measured recall) + the resume-cursor scan
+    # the r3 red, fixed this round — highest-priority green to reclaim
+    "stream_stateful",
+    # remaining TPC-H coverage
+    "sql_tpch_q2", "sql_tpch_q9", "sql_tpch_q11", "sql_tpch_q16",
+    "sql_tpch_q20",
+    # ANN / PQ recall ladder + embedding ops
+    "dedup_minhash_recall", "sim_ivfpq_recall", "sim_pq_assign",
+    "sim_ivfpq_search", "sim_ivfpq_probe3", "emb_random_projection",
+    "emb_cosine_histogram", "dedup_lsh_bucket_stats",
+    # ts / spatial / multimodal / curation breadth
+    "ts_ewma", "join_spatial_grid", "mm_phash_dedup", "curation_skyline",
+    "ts_multires_rollup", "stream_rollup_merge", "stream_checkpoint_resume",
+    "ivm_join_delta", "graph_sssp_weighted", "graph_kcore",
+    "ts_interval_coverage", "ts_peak_concurrency", "mm_scene_cut",
+    "agg_attribution", "text_langid_accuracy", "dq_reconciliation",
+    "pipeline_eval_split", "ts_rate_limit", "agg_mom_change",
+    "sketch_hist_quantile",
+    # scans / sinks / corpus remainder
+    "sample_bottomk_merge", "scan_file_skipping", "scan_csv_malformed",
+    "sink_csv_roundtrip", "corpus_shard_manifest", "corpus_length_histogram",
+    # round-1-era keys that never got a driver row
+    "json_malformed", "sim_ivf", "dedup_best_of", "text_bm25",
+    "ts_resample_interp", "agg_bitwise", "str_codec", "sink_compact",
+    "emb_kmeans_iterate", "graph_pagerank",
+]
+
+
+# Keys with a driver CORRECTNESS row from rounds 1-3 (green, or the
+# declared rows-only approximates). They sort LAST so that, if the driver's
+# window is ever wider than 50, the extra slots go to keys that have never
+# had a driver correctness row rather than re-proving known-green ones.
+# (stream_stateful also has an r3 row — red — so it rides in FRONT_KEYS,
+# which takes precedence over this set.)
+_DRIVER_EVALUATED = frozenset({
+    # round-3 window (all green in CORRECTNESS_r03)
     "extract_page_items", "scan_http_crawl", "flagship_from_html",
     "sim_ann_multitable", "sim_ann_recall", "scan_paged_resume",
-    # §2.B keys named directly by VERDICT r2 task 1
     "str_clean", "str_extract_date", "str_escape", "date_arith",
     "math_basic", "json_extract", "limit_offset", "join_cross",
     "scan_paged_pushdown", "sink_json", "join_null_safe",
@@ -73,23 +92,13 @@ FRONT_KEYS = [
     "sql_tpch_q4", "sql_tpch_q12", "sql_tpch_q22",
     "stream_sliding", "stream_dedup", "stream_stateful", "stream_ohlc",
     "win_time_range", "cdc_compact", "snapshot_diff", "agg_partial_merge",
-    # §2.B corpus/curation block (driver-untested since round 1)
     "sample_stratified", "text_blocklist", "text_ngram_freq", "dedup_prefix",
     "emb_normalize", "agg_moments", "agg_two_stage", "text_decontaminate",
     "dedup_levenshtein", "agg_mode", "text_gopher_rules", "text_repetition",
     "corpus_domain_cap", "pipeline_pack", "emb_kmeans_assign",
     "agg_heavy_hitters", "sink_orc_roundtrip", "text_segment_dedup",
     "curation_quality_rank",
-]
-# corpus_length_histogram yielded its r3 slot to flagship_from_html;
-# it rotates into the round-4 window.
-
-
-# Keys with a driver CORRECTNESS row from rounds 1-2 (green, or the
-# declared rows-only approximates). They sort LAST so that, if the driver's
-# window is ever wider than 50, the extra slots go to keys that have never
-# had a driver correctness row rather than re-proving known-green ones.
-_DRIVER_EVALUATED = frozenset({
+    # rounds 1-2
     "agg_approx_distinct", "agg_approx_quantile", "agg_argmax", "agg_basic",
     "agg_collect", "agg_conditional", "agg_corr", "agg_cube", "agg_distinct",
     "agg_filtered_q6", "agg_grouping_sets", "agg_histogram",
@@ -146,3 +155,52 @@ def oracle_sql() -> dict[str, str]:
     driver checks rows-only."""
     load_all_queries()
     return _ordered(ORACLES)
+
+
+# STAGED ROTATION WINDOWS (registration-order remainder as of the round-4
+# rotation; regenerate with `python tools/rotation_check.py` if the
+# registry grows — new keys append to the END of whichever window has
+# room, so these prefixes stay stable). After round 7 every oracle-backed
+# key has a driver correctness row.
+#
+# ROUND-5 window (50):
+#   sketch_hll_merge win_ntile sketch_countmin win_running_distinct
+#   win_drawdown ts_cross_correlation ts_cusum agg_mad agg_gini
+#   win_rolling_slope ts_seasonal_decompose feat_target_encode
+#   join_pit_multi ts_holt_winters dim_calendar_join ts_forecast_backtest
+#   array_hof inverted_index global_row_number table_checksum
+#   emb_mean_pool win_pattern_match dedup_url text_pii_mask
+#   scan_binaryfile join_interval_bin udf_arrow_batch agg_share_of_total
+#   json_variant try_fns win_rolling_median emb_knn_graph
+#   win_anomaly_zscore agg_regression text_entropy text_lm_score
+#   agg_weighted_median sql_recursive_paths agg_grouping_id sql_pivot
+#   sql_unpivot sketch_hll_det corpus_ccnet_buckets aqp_sample_mean
+#   ml_logreg_gd emb_pca_power sketch_hll_setops cache_reuse
+#   sql_function_registry hint_rebalance
+# ROUND-6 window (50):
+#   scan_xml sql_pipe_syntax sql_scripting agg_session_window
+#   sample_weighted layout_range_cluster pipeline_sft_format layout_zorder
+#   dedup_semantic text_bpe_encode curation_pipeline_e2e text_containment
+#   text_bpe_fertility text_collocations_pmi pipeline_tokenize_pack
+#   corpus_build_e2e ts_ohlc dedup_substring corpus_token_budget
+#   dedup_incremental emb_outlier emb_quantize_error text_readability
+#   text_code_detect text_bpe_merges udaf_arrow_grouped graph_degree
+#   graph_bfs graph_triangles graph_link_predict join_nearest join_hinted
+#   unpivot_stack scd2_asof_lookup merge_upsert agg_bool str_slugify_fast
+#   sink_partitioned profile_table mm_meta_extract mm_audio_window
+#   mm_resize_plan debug_counters dq_drift_psi dq_impute dq_benford
+#   dq_freshness dq_join_skew dq_embedding_drift set_intersect_all
+# ROUND-7 window (39 + any registry additions):
+#   set_except_all array_explode str_sanitize_html scan_partition_pruned
+#   join_bloom_pruned pipeline_rlhf_pairs corpus_mix_weights
+#   sink_parquet_roundtrip scan_paged_dsv2 map_ops sink_text_roundtrip
+#   scan_provenance sql_lateral_topk win_gaps_islands sql_parameterized
+#   stream_watermark stream_join stream_foreach_batch stream_join_outer
+#   stream_merge_upsert str_like str_misc null_fns sql_tpch_q5 sql_tpch_q8
+#   sql_tpch_q13 sql_tpch_q15 sql_tpch_q17 sql_tpch_q19 sql_tpch_q21
+#   sql_tpch_q10 sql_tpch_q14 sql_tpch_q18 filter_disjunctive
+#   win_distribution array_set_ops sql_tpch_q7 udtf_native
+#   explode_outer_preserve
+#   plus the two oracle graduations whose only driver rows predate their
+#   oracles (r1 err=no_oracle — supersede with a green value row):
+#   sim_ann_lsh agg_approx_distinct

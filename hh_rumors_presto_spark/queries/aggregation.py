@@ -118,16 +118,42 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # rows-only: HLL sketches differ per engine
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(1 AS BIGINT) AS within_rsd
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++). No oracle: the sketch estimate
-    is engine-specific; the driver's rows-only check applies. At 100 TB this
-    replaces exact distinct wherever a ±2% answer is acceptable — no
-    per-distinct-value shuffle."""
+    """approx_count_distinct (HyperLogLog++). At 100 TB this replaces exact
+    distinct wherever a ±2% answer is acceptable — no per-distinct-value
+    shuffle.
+
+    The raw sketch estimate is engine-specific, so instead of emitting it
+    (which forced a rows-only driver check through round 3) the query
+    emits the QUALITY CONTRACT as a value: ``within_rsd`` = 1 iff the
+    HLL++ estimate sits within 3x the requested 2% relative standard
+    deviation of the exact count (computed in the same plan). The oracle
+    side states the contract as a literal, so an estimator regression —
+    wrong rsd plumbing, a broken hash — flips a value-hashed column
+    instead of hiding behind rows-only. Same pattern as sketch_hll_det /
+    aqp_sample_mean."""
     orders = io.load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", 0.02).alias("approx_cust"),
         F.count("*").alias("n_orders"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", 0.02)
+                - F.countDistinct("o_custkey")
+            )
+            <= 0.06 * F.countDistinct("o_custkey")
+        )
+        .cast("bigint")
+        .alias("within_rsd"),
     )
 
 

@@ -385,7 +385,7 @@ def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH src AS (
         SELECT CASE WHEN o_custkey % 10 = 0
-                    THEN o_custkey + 10000000 ELSE o_custkey END AS key,
+                    THEN -o_custkey ELSE o_custkey END AS key,
                CAST(count(*) AS BIGINT) AS n_orders,
                CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,10))), 2)
                     AS DOUBLE) AS spend
@@ -425,8 +425,11 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
       (NOT MATCHED BY SOURCE rows pass through unchanged, op='keep')
 
     The source is the per-customer order rollup with every 10th key
-    shifted out of the dimension's key space so all four branches are
-    exercised. Balance arithmetic stays in DECIMAL(18,2) (exact add,
+    negated out of the dimension's key space so all four branches are
+    exercised (c_custkey is always positive, so the negative key space
+    is collision-free at EVERY scale factor — an additive shift like
+    +10M would silently collide once the customer table passes the
+    shift, around sf 67). Balance arithmetic stays in DECIMAL(18,2) (exact add,
     then one cast to double) so Spark and DuckDB agree bit-for-bit.
 
     Shape at scale: unlike the three-branch scd2_merge (join + anti-join
@@ -441,9 +444,7 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
         io.load_table(spark, sf_dir, "orders")
         .groupBy(
-            F.when(
-                F.col("o_custkey") % 10 == 0, F.col("o_custkey") + 10000000
-            )
+            F.when(F.col("o_custkey") % 10 == 0, -F.col("o_custkey"))
             .otherwise(F.col("o_custkey"))
             .alias("key")
         )

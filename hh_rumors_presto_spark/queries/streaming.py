@@ -22,6 +22,7 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from hh_rumors_presto_spark.registry import query
 from hh_rumors_presto_spark.streaming import (
@@ -193,7 +194,9 @@ def _running_totals(
     carried in GroupState across batches."""
     import numpy as np
 
-    n, cents = state.get() if state.exists else (0, 0)
+    # GroupState.get is a property (pyspark.sql.streaming.state) — calling
+    # it crashes on the second micro-batch, the only time state.exists holds.
+    n, cents = state.get if state.exists else (0, 0)
     for pdf in batches:
         n += len(pdf)
         cents += int(
@@ -218,7 +221,15 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     per-user running totals in explicit GroupState. Exact integer
     arithmetic, so the final state equals the batch aggregate and the
-    oracle checks values even for this arbitrary-state path."""
+    oracle checks values even for this arbitrary-state path.
+
+    Batching invariance: in ``update`` output mode the memory sink holds
+    one row per key per micro-batch in which the key updated, so the raw
+    sink contents depend on how the runner batched the source (one batch
+    locally, possibly several under a different driver). Only the FINAL
+    state per key is the operator's answer; ``n_events`` is strictly
+    monotone across batches, so the max-``n_events`` row per user is
+    exactly that final state regardless of batch boundaries."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     ev = read_events_stream(spark, sf_dir)
@@ -233,7 +244,15 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    return run_stream_to_df(out, output_mode="update")
+    sink = run_stream_to_df(out, output_mode="update")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("n_events").desc(), F.col("total_cents").desc()
+    )
+    return (
+        sink.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 @query(

@@ -6,6 +6,7 @@ windowed aggregation that production pipelines lean on).
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -361,8 +362,9 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         partial = latest_per_key(batch_df)
-        if state["path"] is not None:
-            old = batch_df.sparkSession.read.parquet(state["path"])
+        prev = state["path"]
+        if prev is not None:
+            old = batch_df.sparkSession.read.parquet(prev)
             partial = latest_per_key(
                 old.unionByName(partial.select(old.columns))
             )
@@ -370,24 +372,45 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_path = os.path.join(out_dir, f"state_v{state['version']}")
         partial.write.parquet(new_path)
         state["path"] = new_path
+        # The new version fully supersedes the old one; dropping it here
+        # keeps exactly one state version on disk at any time (repeated
+        # verify/fuzz sweeps would otherwise accumulate every version).
+        if prev is not None:
+            shutil.rmtree(prev, ignore_errors=True)
 
-    for half in (0, 1):
-        ev = read_events_stream(spark, sf_dir).filter(
-            F.col("event_id") % 2 == half
-        ).select("user_id", "event_id", "event_type", "ts")
-        q = (
-            ev.writeStream.foreachBatch(merge_batch)
-            .trigger(availableNow=True)
-            .option(
-                "checkpointLocation", os.path.join(out_dir, f"_chk{half}")
+    try:
+        for half in (0, 1):
+            ev = read_events_stream(spark, sf_dir).filter(
+                F.col("event_id") % 2 == half
+            ).select("user_id", "event_id", "event_type", "ts")
+            q = (
+                ev.writeStream.foreachBatch(merge_batch)
+                .trigger(availableNow=True)
+                .option(
+                    "checkpointLocation", os.path.join(out_dir, f"_chk{half}")
+                )
+                .start()
             )
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
+
+        if state["path"] is None:
+            # No micro-batch ever fired (empty source): empty final state.
+            final = spark.createDataFrame(
+                [], "user_id bigint, event_id bigint, event_type string, "
+                "ts timestamp"
+            )
+        else:
+            # Materialize off the temp dir (block manager) so the whole
+            # out_dir — final state included — can be removed in finally
+            # while the returned DataFrame stays readable.
+            final = spark.read.parquet(state["path"]).localCheckpoint(
+                eager=True
+            )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
     return (
-        spark.read.parquet(state["path"])
-        .filter(F.col("event_type") != "error")
+        final.filter(F.col("event_type") != "error")
         .select(
             "user_id",
             F.col("event_id").alias("last_event_id"),

@@ -27,11 +27,14 @@ def test_readme_key_count_matches_registry():
 
 
 def test_every_key_has_oracle_or_is_declared_rows_only():
+    # agg_approx_distinct graduated to a value-verified bound-check oracle
+    # in round 4 (same pattern as sketch_hll_det).
     declared_rows_only = {
-        "agg_approx_distinct",
         "agg_approx_quantile",
         "sketch_hll_merge",
         "stream_watermark",
     }
     missing = set(QUERIES) - set(ORACLES) - declared_rows_only
     assert not missing, f"keys without oracle nor declaration: {sorted(missing)}"
+    assert declared_rows_only <= set(QUERIES)
+    assert not declared_rows_only & set(ORACLES)

@@ -971,7 +971,7 @@ def test_merge_upsert_four_branch_semantics(spark, sf_dir):
     }
     src = {}
     for r in spark.read.parquet(f"{sf_dir}/orders.parquet").collect():
-        key = r.o_custkey + 10000000 if r.o_custkey % 10 == 0 else r.o_custkey
+        key = -r.o_custkey if r.o_custkey % 10 == 0 else r.o_custkey
         n, tot = src.get(key, (0, Decimal(0)))
         src[key] = (n + 1, tot + Decimal(repr(r.o_totalprice)))
     want = {}
@@ -981,7 +981,7 @@ def test_merge_upsert_four_branch_semantics(spark, sf_dir):
             if n >= 15:
                 continue  # WHEN MATCHED AND hot THEN DELETE
             spend = float(
-                tot.quantize(Decimal("0.01"), rounding="ROUND_HALF_EVEN")
+                tot.quantize(Decimal("0.01"), rounding="ROUND_HALF_UP")
             )
             new_bal = float(
                 Decimal(repr(round(bal, 2))) + Decimal(repr(spend))
@@ -992,7 +992,7 @@ def test_merge_upsert_four_branch_semantics(spark, sf_dir):
     for key, (n, tot) in src.items():
         if key not in cust:
             spend = float(
-                tot.quantize(Decimal("0.01"), rounding="ROUND_HALF_EVEN")
+                tot.quantize(Decimal("0.01"), rounding="ROUND_HALF_UP")
             )
             want[key] = (f"NEW#{key}", spend, "insert")
     got = {

@@ -170,11 +170,15 @@ def test_stream_merge_upsert_tombstones_and_latest_wins(spark, sf_dir):
     """Brute-force CDC replay: per user the (ts, event_id)-latest record
     wins; users whose latest record is an 'error' tombstone are absent;
     every surviving row carries exactly that winning record."""
+    from hh_rumors_presto_spark import io
     from hh_rumors_presto_spark.registry import QUERIES, load_all_queries
 
     load_all_queries()
-    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id", "event_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    # io.load_events handles both fixture vintages (nanos-as-long bigint
+    # vs native micros); a bare cast('timestamp') would misread the bigint
+    # vintage as seconds and make this replay spuriously diverge.
+    events = io.load_events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "ts"
     ).collect()
     latest = {}
     for r in events:
@@ -194,3 +198,71 @@ def test_stream_merge_upsert_tombstones_and_latest_wins(spark, sf_dir):
     assert got == want
     assert deleted, "no user ended on a tombstone — the delete path is untested"
     assert deleted.isdisjoint(got)
+
+
+def test_stream_stateful_multibatch_invariant(spark, sf_dir, tmp_path):
+    """stream_stateful's answer must not depend on micro-batch boundaries.
+
+    The fixture is a single parquet file, so ordinary runs see exactly one
+    batch and never exercise the state-carry path (state.exists is False
+    until batch 2). Split the events into 5 files and stream them with
+    maxFilesPerTrigger=1: the update-mode sink then holds one row per
+    user per batch it updated in, and the final-state dedup (max
+    n_events, monotone) must still equal the plain batch aggregate."""
+    from pyspark.sql import Window as W
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from hh_rumors_presto_spark import io
+    from hh_rumors_presto_spark.queries.streaming import (
+        _OUT_SCHEMA,
+        _running_totals,
+    )
+    from hh_rumors_presto_spark.streaming import run_stream_to_df
+
+    ev = io.load_events(spark, sf_dir)
+    split_dir = str(tmp_path / "evsplit")
+    ev.repartition(5).write.parquet(split_dir)
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(split_dir)
+    )
+    out = (
+        src.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType="n bigint, cents bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink = run_stream_to_df(out, output_mode="update")
+    n_users = ev.select("user_id").distinct().count()
+    assert sink.count() > n_users, (
+        "sink holds one row per user — the run collapsed to a single "
+        "micro-batch and the state-carry path went untested"
+    )
+    w = W.partitionBy("user_id").orderBy(
+        F.col("n_events").desc(), F.col("total_cents").desc()
+    )
+    final = (
+        sink.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    expected = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")).alias(
+            "total_cents"
+        ),
+    )
+    got = {
+        r.user_id: (r.n_events, r.total_cents) for r in final.collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.total_cents) for r in expected.collect()
+    }
+    assert got == want
