@@ -201,6 +201,8 @@ def oracle_sql() -> dict[str, str]:
 #   sql_tpch_q10 sql_tpch_q14 sql_tpch_q18 filter_disjunctive
 #   win_distribution array_set_ops sql_tpch_q7 udtf_native
 #   explode_outer_preserve
-#   plus the two oracle graduations whose only driver rows predate their
-#   oracles (r1 err=no_oracle — supersede with a green value row):
-#   sim_ann_lsh agg_approx_distinct
+#   plus the oracle graduations whose only driver rows predate their
+#   oracles (err=no_oracle — supersede with a green value row):
+#   sim_ann_lsh agg_approx_distinct agg_approx_quantile
+#   (sketch_hll_merge's graduation is covered by its staged r5 slot)
+#   plus the round-4 addition: graph_wcc

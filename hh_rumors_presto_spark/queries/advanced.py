@@ -155,30 +155,85 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_quantile")  # rows-only: sketch-based estimates
+@query(
+    "agg_approx_quantile",
+    oracle="""
+    WITH g AS (
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(q AS DOUBLE) AS q, n,
+           CAST(1 AS BIGINT) AS within_rank_tol
+    FROM g CROSS JOIN (VALUES (0.5), (0.95), (0.99)) AS qs(q)
+    """,
+)
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (KLL-style sketch): engine-specific estimates, so
-    rows-only. The 100 TB replacement for exact quantiles — mergeable
-    sketches, no global sort.
+    """approx_percentile (KLL-style sketch). The 100 TB replacement for
+    exact quantiles — mergeable sketches, no global sort.
 
-    Output is one scalar row per (group, quantile) — the driver's
-    canonicalizer cannot sort array-typed cells (r1 err), so the quantile
-    array is posexploded into q/value rows."""
-    li = io.load_table(spark, sf_dir, "lineitem")
+    The estimate itself is engine-specific, so through round 3 this was
+    rows-only (its r1 array output also crashed the driver canonicalizer).
+    Graduated via the published accuracy contract instead: with
+    accuracy=10000, percentile_approx returns a DATASET ELEMENT whose
+    rank is within n/10000 of the target rank. ``within_rank_tol`` = 1
+    iff the target rank q*n falls inside the returned value's rank
+    interval [count(<v)+1, count(<=v)] widened by that tolerance (+1 for
+    target-rank rounding). The verification pass joins the 3-row-per-group
+    quantile table back to the fact table as a broadcast and counts — one
+    extra fact scan, no sort. The oracle states the contract as a
+    literal, so a sketch regression flips a value-hashed column."""
+    li = io.load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
     qs = [0.5, 0.95, 0.99]
     agged = li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", qs, 10000).alias("price_quantiles"),
+        F.percentile_approx(
+            "l_extendedprice", qs, 10000
+        ).alias("price_quantiles"),
         F.count("*").alias("n"),
     )
-    return agged.select(
+    approx = agged.select(
         "l_returnflag",
-        F.posexplode("price_quantiles").alias("qpos", "price_quantile"),
+        F.posexplode("price_quantiles").alias("qpos", "v"),
         "n",
     ).select(
         "l_returnflag",
-        F.element_at(F.array(*[F.lit(q) for q in qs]), F.col("qpos") + 1).alias("q"),
-        "price_quantile",
+        F.element_at(
+            F.array(*[F.lit(q) for q in qs]), F.col("qpos") + 1
+        ).alias("q"),
+        "v",
         "n",
+    )
+    ranks = (
+        li.join(
+            F.broadcast(approx.select("l_returnflag", "q", "v")),
+            "l_returnflag",
+        )
+        .groupBy("l_returnflag", "q")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") < F.col("v")).cast("bigint")
+            ).alias("cnt_lt"),
+            F.sum(
+                (F.col("l_extendedprice") <= F.col("v")).cast("bigint")
+            ).alias("cnt_le"),
+        )
+    )
+    target = F.ceil(F.col("q") * F.col("n")).cast("bigint")
+    tol = (F.col("n") / 10000 + 1).cast("bigint")
+    return (
+        approx.join(ranks, ["l_returnflag", "q"])
+        .select(
+            "l_returnflag",
+            "q",
+            "n",
+            (
+                (target >= F.col("cnt_lt") + 1 - tol)
+                & (target <= F.col("cnt_le") + tol)
+            )
+            .cast("bigint")
+            .alias("within_rank_tol"),
+        )
     )
 
 

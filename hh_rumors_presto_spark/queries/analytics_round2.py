@@ -279,24 +279,56 @@ def str_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_hll_merge")  # rows-only: sketch estimates are engine-specific
+@query(
+    "sketch_hll_merge",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custkeys,
+           CAST(1 AS BIGINT) AS within_err
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
 def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Apache DataSketches via hll_sketch_agg):
     per-shard sketches built independently, merged with hll_union_agg, then
     estimated — the incremental-rollup path for distinct counts at 100 TB
     (shards/partitions/days sketch independently; merges are tiny and
-    associative). No oracle: the sketch binary is Spark-specific; the
-    driver's rows-only check applies."""
+    associative).
+
+    The sketch binary and its estimate are Spark-specific, so through
+    round 3 this was rows-only. Graduated the same way as
+    agg_approx_distinct: the emitted columns are the exact distinct count
+    (engine-neutral) and ``within_err`` = 1 iff the MERGED-sketch
+    estimate lands within 5% of it (~3x the lgConfigK=12 RSD) — so a
+    broken merge (double counting, dropped shards, register corruption)
+    flips a value-hashed column instead of hiding behind rows-only. The
+    merge path stays fully exercised: the estimate used in the check
+    comes from the 8-shard union, never from a direct sketch."""
     orders = io.load_table(spark, sf_dir, "orders")
     shards = orders.groupBy(
         "o_orderstatus", (F.col("o_orderkey") % 8).alias("shard")
     ).agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    exact = orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_custkeys")
+    )
+    merged = shards.groupBy("o_orderstatus").agg(
+        F.hll_union_agg("sk").alias("merged")
+    )
     return (
-        shards.groupBy("o_orderstatus")
-        .agg(F.hll_union_agg("sk").alias("merged"))
+        merged.join(exact, "o_orderstatus")
         .select(
             "o_orderstatus",
-            F.hll_sketch_estimate("merged").alias("approx_custkeys"),
+            "exact_custkeys",
+            (
+                F.abs(
+                    F.hll_sketch_estimate("merged")
+                    - F.col("exact_custkeys")
+                )
+                <= 0.05 * F.col("exact_custkeys")
+            )
+            .cast("bigint")
+            .alias("within_err"),
         )
     )
 

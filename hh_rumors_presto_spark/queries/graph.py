@@ -563,3 +563,143 @@ def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("neighbor_jaccard"),
         )
     )
+
+
+@query(
+    "graph_wcc",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT o.o_custkey * 2 AS c_node, l.l_suppkey * 2 + 1 AS s_node
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey = s.s_nationkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ),
+    bidir AS (
+        SELECT c_node AS a, s_node AS b FROM pairs
+        UNION ALL
+        SELECT s_node, c_node FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM bidir),
+    reach AS (
+        SELECT a, b FROM bidir
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a
+    ),
+    lab AS (
+        SELECT n.node, least(n.node, min(r.b)) AS component
+        FROM nodes n JOIN reach r ON r.a = n.node
+        GROUP BY n.node
+    )
+    SELECT component,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_customers,
+           CAST(sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_suppliers
+    FROM lab
+    GROUP BY component
+    """,
+)
+def graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly connected components over the REPEAT-TRADE graph: an edge
+    per (customer, supplier) pair that traded on >= 2 line items AND
+    shares a nation. Min-label propagation to the fixpoint (the same
+    driver-coordinated loop as dedup_clusters — one equi-join + one hash
+    agg per round, O(diameter) rounds, localCheckpoint truncating the
+    iterative lineage); the answer is the per-component census
+    (n_nodes / n_customers / n_suppliers), all-integer and therefore
+    bit-deterministic under any partitioning.
+
+    Component ids are the min node id in each component. The nation
+    blocking is what makes the recursive-CTE oracle tractable: components
+    cannot span nations, so the closure's quadratic blowup is bounded by
+    the largest within-nation trading cluster (Σ block², never n²) — the
+    same bound argument the blocked dedup family relies on. At cluster
+    scale the edge list is built once (one shuffle), checkpointed, and
+    every round touches only |V| label rows; the two-hop double-step
+    halves the rounds' checkpoint overhead without changing the fixpoint
+    (min-label propagation is monotone, so no oscillation)."""
+    li = io.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = io.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = io.load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = io.load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+        )
+        .count()
+        .filter(F.col("count") >= 2)
+        .select("c_node", "s_node")
+    )
+    edges = (
+        pairs.select(F.col("c_node").alias("a"), F.col("s_node").alias("b"))
+        .unionAll(
+            pairs.select(
+                F.col("s_node").alias("a"), F.col("c_node").alias("b")
+            )
+        )
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint()
+    )
+
+    def propagate(lbl: DataFrame) -> DataFrame:
+        neigh = (
+            edges.join(lbl, edges.b == lbl.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("component").alias("neigh_min"))
+        )
+        return (
+            lbl.withColumnRenamed("component", "prev")
+            .join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("prev"),
+                    F.coalesce(F.col("neigh_min"), F.col("prev")),
+                ).alias("component"),
+            )
+        )
+
+    for _ in range(12):  # bounded fixpoint, 2 hops per materialization
+        stepped = propagate(propagate(labels.select("node", "component")))
+        merged = (
+            labels.select("node", F.col("component").alias("old_label"))
+            .join(stepped, "node")
+            .select("node", "old_label", "component")
+            .localCheckpoint()
+        )
+        labels = merged.select("node", "component")
+        if (
+            merged.filter(F.col("component") != F.col("old_label"))
+            .limit(1)
+            .count()
+            == 0
+        ):
+            break
+    return labels.groupBy("component").agg(
+        F.count("*").alias("n_nodes"),
+        F.sum((F.col("node") % 2 == 0).cast("bigint")).alias("n_customers"),
+        F.sum((F.col("node") % 2 == 1).cast("bigint")).alias("n_suppliers"),
+    )

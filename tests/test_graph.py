@@ -67,3 +67,79 @@ def test_triangles_match_bruteforce(spark, sf_dir):
                     expect[n] = expect.get(n, 0) + 1
     got = {r.doc_id: r.n_tri for r in graph_triangles(spark, sf_dir).collect()}
     assert got == expect
+
+
+def test_wcc_matches_union_find(spark, sf_dir):
+    """Component census equals a driver-side union-find over the same
+    filtered edge list, and no component spans two nations (the blocking
+    invariant the oracle's closure-size bound depends on)."""
+    from pyspark.sql import functions as F
+
+    from hh_rumors_presto_spark import io
+    from hh_rumors_presto_spark.queries.graph import graph_wcc
+
+    li = io.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = io.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = io.load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = io.load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+            F.col("c_nationkey").alias("nation"),
+        )
+        .count()
+        .filter(F.col("count") >= 2)
+        .collect()
+    )
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    node_nation: dict[int, set] = {}
+    for r in pairs:
+        ra, rb = find(r.a), find(r.b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+        node_nation.setdefault(r.a, set()).add(r.nation)
+        node_nation.setdefault(r.b, set()).add(r.nation)
+
+    comps: dict[int, list[int]] = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    want = {
+        min(members): (
+            len(members),
+            sum(1 for m in members if m % 2 == 0),
+            sum(1 for m in members if m % 2 == 1),
+        )
+        for members in comps.values()
+    }
+    got = {
+        r.component: (r.n_nodes, r.n_customers, r.n_suppliers)
+        for r in graph_wcc(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(got) > 1, "degenerate: the whole graph is one component"
+    # blocking invariant: every component's nodes share one nation
+    for members in comps.values():
+        nations = set()
+        for m in members:
+            nations |= node_nation[m]
+        assert len(nations) == 1
