@@ -353,6 +353,7 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     additive checksum means shard manifests can also be merged upward
     into a corpus-level manifest without re-reading."""
     import os
+    import shutil
     import tempfile
 
     docs = io.load_table(spark, sf_dir, "documents")
@@ -361,20 +362,23 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"hh_shards_{os.path.basename(sf_dir)}"
         f"_{spark.sparkContext.applicationId}",
     )
-    (
-        docs.withColumn("shard", F.col("doc_id") % 8)
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(out_dir)
-    )
-    written = spark.read.parquet(out_dir)
-    h = (
-        F.conv(F.substring(F.md5("text"), 1, 10), 16, 10)
-        .cast("decimal(38,0)")
-    )
-    return written.groupBy("shard").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
-        F.sum(F.length("text")).cast("long").alias("n_chars"),
-        F.sum(h).cast("decimal(38,0)").cast("string").alias("checksum"),
-    )
+    try:
+        (
+            docs.withColumn("shard", F.col("doc_id") % 8)
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(out_dir)
+        )
+        written = spark.read.parquet(out_dir)
+        h = (
+            F.conv(F.substring(F.md5("text"), 1, 10), 16, 10)
+            .cast("decimal(38,0)")
+        )
+        return written.groupBy("shard").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+            F.sum(h).cast("decimal(38,0)").cast("string").alias("checksum"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

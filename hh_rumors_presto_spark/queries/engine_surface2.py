@@ -43,40 +43,46 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at scale: XML read is a distributed file-per-split scan like
     any text source; the explicit schema keeps it single-pass. The
     applicationId-keyed path prevents two concurrent sessions racing on
-    overwrite-then-read."""
+    overwrite-then-read; the tiny aggregate is materialized off the temp
+    dir so it can be removed before returning (no per-session buildup)."""
+    import shutil
+
     docs = io.load_table(spark, sf_dir, "documents")
     out_dir = os.path.join(
         tempfile.gettempdir(),
         f"hh_sink_xml_{os.path.basename(sf_dir)}"
         f"_{spark.sparkContext.applicationId}",
     )
-    (
-        docs.select("doc_id", "text", "lang", "source", "n_chars")
-        .write.mode("overwrite")
-        .format("xml")
-        .option("rowTag", "doc")
-        .save(out_dir)
-    )
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("source", T.StringType()),
-            T.StructField("n_chars", T.LongType()),
-        ]
-    )
-    back = (
-        spark.read.format("xml")
-        .option("rowTag", "doc")
-        .schema(schema)
-        .load(out_dir)
-    )
-    return back.groupBy("lang", "source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_chars").alias("sum_chars"),
-        F.sum(F.length("text")).alias("sum_len"),
-    )
+    try:
+        (
+            docs.select("doc_id", "text", "lang", "source", "n_chars")
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rowTag", "doc")
+            .save(out_dir)
+        )
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("source", T.StringType()),
+                T.StructField("n_chars", T.LongType()),
+            ]
+        )
+        back = (
+            spark.read.format("xml")
+            .option("rowTag", "doc")
+            .schema(schema)
+            .load(out_dir)
+        )
+        return back.groupBy("lang", "source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.length("text")).alias("sum_len"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 @query(

@@ -187,24 +187,30 @@ def sink_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    import shutil
+
     region = io.load_table(spark, sf_dir, "region")
     # applicationId keys the path per session: two concurrent runs against
-    # same-named fixture dirs must not race on overwrite-then-read.
+    # same-named fixture dirs must not race on overwrite-then-read. The
+    # re-read rows are materialized so the dir can go before returning.
     out_dir = os.path.join(
         tempfile.gettempdir(),
         f"hh_sink_text_{os.path.basename(sf_dir)}"
         f"_{spark.sparkContext.applicationId}",
     )
-    (
-        region.select(
-            F.concat_ws(
-                "|", F.col("r_regionkey").cast("string"), F.col("r_name")
-            ).alias("value")
+    try:
+        (
+            region.select(
+                F.concat_ws(
+                    "|", F.col("r_regionkey").cast("string"), F.col("r_name")
+                ).alias("value")
+            )
+            .write.mode("overwrite")
+            .text(out_dir)
         )
-        .write.mode("overwrite")
-        .text(out_dir)
-    )
-    return spark.read.text(out_dir)
+        return spark.read.text(out_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 @query(
@@ -230,21 +236,31 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_regionkey").cast("string"),
         ).alias("note"),
     )
+    import shutil
+
     out_dir = os.path.join(
         tempfile.gettempdir(),
         f"hh_sink_csv_{os.path.basename(sf_dir)}"
         f"_{spark.sparkContext.applicationId}",
     )
-    nat.write.mode("overwrite").option("header", True).csv(out_dir)
-    schema = T.StructType(
-        [
-            T.StructField("n_nationkey", T.LongType()),
-            T.StructField("n_name", T.StringType()),
-            T.StructField("n_regionkey", T.LongType()),
-            T.StructField("note", T.StringType()),
-        ]
-    )
-    return spark.read.schema(schema).option("header", True).csv(out_dir)
+    try:
+        nat.write.mode("overwrite").option("header", True).csv(out_dir)
+        schema = T.StructType(
+            [
+                T.StructField("n_nationkey", T.LongType()),
+                T.StructField("n_name", T.StringType()),
+                T.StructField("n_regionkey", T.LongType()),
+                T.StructField("note", T.StringType()),
+            ]
+        )
+        return (
+            spark.read.schema(schema)
+            .option("header", True)
+            .csv(out_dir)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 @query(
@@ -272,12 +288,14 @@ def scan_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: a 100 TB table's manifest is a few thousand rows; pruning
     happens before any data I/O. The oracle is the plain filtered scan —
     skipping must be invisible to results."""
+    import shutil
+
     base_dir = os.path.join(
         tempfile.gettempdir(),
         f"hh_fileskip_{os.path.basename(sf_dir)}"
         f"_{spark.sparkContext.applicationId}",
     )
-    if not os.path.exists(os.path.join(base_dir, "_SUCCESS")):
+    try:
         orders = io.load_table(spark, sf_dir, "orders")
         (
             orders.withColumn(
@@ -288,38 +306,41 @@ def scan_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("month")
             .parquet(base_dir)
         )
-    # the manifest: per file-group min/max of the skip column
-    manifest = [
-        (r.month, r.min_d, r.max_d)
-        for r in spark.read.parquet(base_dir)
-        .groupBy("month")
-        .agg(
-            F.min(F.col("o_orderdate").cast("date")).alias("min_d"),
-            F.max(F.col("o_orderdate").cast("date")).alias("max_d"),
-        )
-        .collect()
-    ]
-    from datetime import date
+        # the manifest: per file-group min/max of the skip column
+        manifest = [
+            (r.month, r.min_d, r.max_d)
+            for r in spark.read.parquet(base_dir)
+            .groupBy("month")
+            .agg(
+                F.min(F.col("o_orderdate").cast("date")).alias("min_d"),
+                F.max(F.col("o_orderdate").cast("date")).alias("max_d"),
+            )
+            .collect()
+        ]
+        from datetime import date
 
-    lo, hi = date(1997, 6, 1), date(1997, 9, 1)
-    live = sorted(m for m, mn, mx in manifest if mx >= lo and mn < hi)
-    assert len(live) < len(manifest), "skipping must prune something"
-    pruned = spark.read.parquet(
-        *[os.path.join(base_dir, f"month={m}") for m in live]
-    )
-    return (
-        pruned.filter(
-            (F.col("o_orderdate").cast("date") >= F.lit(lo))
-            & (F.col("o_orderdate").cast("date") < F.lit(hi))
+        lo, hi = date(1997, 6, 1), date(1997, 9, 1)
+        live = sorted(m for m, mn, mx in manifest if mx >= lo and mn < hi)
+        assert len(live) < len(manifest), "skipping must prune something"
+        pruned = spark.read.parquet(
+            *[os.path.join(base_dir, f"month={m}") for m in live]
         )
-        .groupBy("o_orderstatus")
-        .agg(
-            F.count("*").cast("long").alias("n"),
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(28,10)")), 2)
-            .cast("double")
-            .alias("total"),
+        return (
+            pruned.filter(
+                (F.col("o_orderdate").cast("date") >= F.lit(lo))
+                & (F.col("o_orderdate").cast("date") < F.lit(hi))
+            )
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(28,10)")), 2)
+                .cast("double")
+                .alias("total"),
+            )
+            .localCheckpoint(eager=True)
         )
-    )
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
 
 
 @query(
@@ -349,30 +370,35 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("event_id") % 100).cast("string")
         ),
     )
+    import shutil
+
     out_dir = os.path.join(
         tempfile.gettempdir(),
         f"hh_badcsv_{os.path.basename(sf_dir)}"
         f"_{spark.sparkContext.applicationId}",
     )
-    ev.select(line.alias("value")).write.mode("overwrite").text(out_dir)
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("val", T.IntegerType()),
-            T.StructField("_corrupt", T.StringType()),
-        ]
-    )
-    read = (
-        spark.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt")
-        .csv(out_dir)
-    )
-    return read.agg(
-        F.count("*").cast("long").alias("n_rows"),
-        F.count("_corrupt").cast("long").alias("n_corrupt"),
-        F.sum(F.coalesce("val", F.lit(0))).cast("long").alias("val_sum"),
-    )
+    try:
+        ev.select(line.alias("value")).write.mode("overwrite").text(out_dir)
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("val", T.IntegerType()),
+                T.StructField("_corrupt", T.StringType()),
+            ]
+        )
+        read = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .csv(out_dir)
+        )
+        return read.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.count("_corrupt").cast("long").alias("n_corrupt"),
+            F.sum(F.coalesce("val", F.lit(0))).cast("long").alias("val_sum"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 @query(

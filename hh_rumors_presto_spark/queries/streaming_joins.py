@@ -91,18 +91,25 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     ev = read_events_stream(spark, sf_dir).select("event_id", "event_type")
-    q = (
-        ev.writeStream.foreachBatch(write_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(out_dir, "_chk"))
-        .start()
-    )
-    q.awaitTermination()
-    return (
-        spark.read.parquet(os.path.join(out_dir, "epoch=*"))
-        .groupBy("event_type")
-        .agg(F.count("*").alias("n"))
-    )
+    try:
+        q = (
+            ev.writeStream.foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(out_dir, "_chk"))
+            .start()
+        )
+        q.awaitTermination()
+        # Materialize the tiny aggregate off the temp dir so the whole
+        # sink+checkpoint tree can be removed before returning (repeated
+        # verify/fuzz sweeps would otherwise accumulate a dir per call).
+        return (
+            spark.read.parquet(os.path.join(out_dir, "epoch=*"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 @query(
@@ -141,8 +148,9 @@ def stream_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.sum(F.col("value").cast("decimal(28,10)")).alias("tot"),
         )
-        if state["path"] is not None:
-            old = batch_df.sparkSession.read.parquet(state["path"])
+        prev = state["path"]
+        if prev is not None:
+            old = batch_df.sparkSession.read.parquet(prev)
             partial = (
                 old.unionByName(partial.select(old.columns))
                 .groupBy("event_type", "bucket")
@@ -154,22 +162,40 @@ def stream_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             new_path
         )
         state["path"] = new_path
+        # the new version fully supersedes the old one — keep exactly one
+        if prev is not None:
+            shutil.rmtree(prev, ignore_errors=True)
 
-    for half in (0, 1):
-        ev = read_events_stream(spark, sf_dir).filter(
-            F.col("event_id") % 2 == half
-        )
-        q = (
-            ev.writeStream.foreachBatch(merge_batch)
-            .trigger(availableNow=True)
-            .option(
-                "checkpointLocation", os.path.join(out_dir, f"_chk{half}")
+    try:
+        for half in (0, 1):
+            ev = read_events_stream(spark, sf_dir).filter(
+                F.col("event_id") % 2 == half
             )
-            .start()
-        )
-        q.awaitTermination()
+            q = (
+                ev.writeStream.foreachBatch(merge_batch)
+                .trigger(availableNow=True)
+                .option(
+                    "checkpointLocation", os.path.join(out_dir, f"_chk{half}")
+                )
+                .start()
+            )
+            q.awaitTermination()
 
-    return spark.read.parquet(state["path"]).select(
+        if state["path"] is None:
+            final = spark.createDataFrame(
+                [],
+                "event_type string, bucket timestamp, n bigint, "
+                "tot decimal(28,10)",
+            )
+        else:
+            # materialize off the temp dir so finally can remove it all
+            final = spark.read.parquet(state["path"]).localCheckpoint(
+                eager=True
+            )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    return final.select(
         "event_type",
         "bucket",
         F.col("n").cast("long").alias("n"),
@@ -207,26 +233,34 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.path.join(out_dir, "data")
             )
 
-    for run in (1, 2):
-        ev = read_events_stream(spark, sf_dir).select("event_id", "event_type")
-        q = (
-            ev.writeStream.foreachBatch(write_batch)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", chk)
-            .start()
+    try:
+        for run in (1, 2):
+            ev = read_events_stream(spark, sf_dir).select(
+                "event_id", "event_type"
+            )
+            q = (
+                ev.writeStream.foreachBatch(write_batch)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", chk)
+                .start()
+            )
+            q.awaitTermination()
+            if run == 1:
+                assert calls["nonempty"] >= 1, "first run must process data"
+                after_first = calls["nonempty"]
+        assert calls["nonempty"] == after_first, (
+            "checkpoint resume reprocessed data — exactly-once broken"
         )
-        q.awaitTermination()
-        if run == 1:
-            assert calls["nonempty"] >= 1, "first run must process data"
-            after_first = calls["nonempty"]
-    assert calls["nonempty"] == after_first, (
-        "checkpoint resume reprocessed data — exactly-once broken"
-    )
-    return (
-        spark.read.parquet(os.path.join(out_dir, "data"))
-        .groupBy("event_type")
-        .agg(F.count("*").cast("long").alias("n"))
-    )
+        # materialize the tiny aggregate so the sink + checkpoint tree can
+        # be removed before returning
+        return (
+            spark.read.parquet(os.path.join(out_dir, "data"))
+            .groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 @query(
