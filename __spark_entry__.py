@@ -205,4 +205,4 @@ def oracle_sql() -> dict[str, str]:
 #   oracles (err=no_oracle — supersede with a green value row):
 #   sim_ann_lsh agg_approx_distinct agg_approx_quantile
 #   (sketch_hll_merge's graduation is covered by its staged r5 slot)
-#   plus the round-4 addition: graph_wcc
+#   plus the round-4 additions: graph_wcc dedup_simhash_recall

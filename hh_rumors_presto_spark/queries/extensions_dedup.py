@@ -692,3 +692,187 @@ def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "candidate_pairs"
         ),
     )
+
+
+def _bigram_jaccard_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground-truth near-dup pairs: bigram-Jaccard >= 0.5, via the
+    inverted-index intersection join (rational threshold form
+    2*|A∩B| >= |A∪B| — no float compare on the boundary). Quadratic only
+    in the per-shingle posting lists; at corpus scale the recall keys
+    run this on a sample."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh = (
+        docs.select("doc_id", bigram_shingles(toks).alias("shingles"))
+        .localCheckpoint(eager=False)
+    )
+    counts = sh.select("doc_id", F.size("shingles").alias("n"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca, cb = counts.alias("ca"), counts.alias("cb")
+    return (
+        inter.join(F.broadcast(ca), F.col("ca.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(cb), F.col("cb.doc_id") == F.col("doc_b"))
+        .filter(
+            2 * F.col("n_common")
+            >= F.col("ca.n") + F.col("cb.n") - F.col("n_common")
+        )
+        .select("doc_a", "doc_b")
+    )
+
+
+_SIMHASH_HAMMING_MAX = 3
+
+
+@query(
+    "dedup_simhash_recall",
+    oracle=f"""
+    WITH bits AS (
+        SELECT doc_id,
+           {_SIMHASH_BITS_SQL}
+        FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+              FROM documents)
+        GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id,
+               ({" + ".join(f"bit{b}" for b in range(N_SIMHASH_BITS))}) AS simhash
+        FROM bits
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band, simhash % 256 AS bucket FROM sig
+        UNION ALL
+        SELECT doc_id, 1, simhash // 256 FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    close AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b
+        WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {_SIMHASH_HAMMING_MAX}
+    ),
+    sh AS ({_ALLDOC_BIGRAM_SQL}),
+    counts AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM inv a JOIN inv b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN counts ca ON ca.doc_id = i.doc_a
+        JOIN counts cb ON cb.doc_id = i.doc_b
+        WHERE 2 * i.n_common >= ca.n + cb.n - i.n_common
+    )
+    SELECT 'simhash_2x8_h{_SIMHASH_HAMMING_MAX}' AS method,
+           CAST((SELECT count(*) FROM close) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM close c
+                 JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+                AS BIGINT) AS n_hits,
+           CAST((SELECT count(*) FROM close c
+                 JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS DOUBLE)
+               / (SELECT count(*) FROM truth) AS recall
+    """,
+)
+def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured quality floor for the SIMHASH dedup path — the missing
+    twin of dedup_minhash_recall, so BOTH approximate dedup families are
+    regression-gated on candidate quality, not just row counts.
+
+    Candidates are produced exactly the way a scaled simhash dedup would:
+    band the 16-bit signature into two 8-bit buckets (pigeonhole: any
+    pair within hamming distance 1 must share a band; larger distances
+    are caught only probabilistically — that is the recall being
+    measured), join within buckets, then keep pairs with exact
+    popcount(xor) <= 3. Ground truth is the same bigram-Jaccard >= 0.5
+    set the minhash floor uses, so the two families' numbers are directly
+    comparable. All-integer signatures, so recall is value-hash-exact.
+
+    Measured on the fixtures: recall 0.80 (20/25) — but 47,624
+    candidates, i.e. candidate precision ~0.0004, against minhash's
+    0.89. That asymmetry is the real lesson this floor pins: 16-bit
+    simhash over a shared-vocabulary corpus collides catastrophically
+    (5,142 pairs share the EXACT signature — majority votes over common
+    tokens dominate every bit), which is exactly why production simhash
+    uses 64-bit signatures with 4x16-bit bands. The key freezes the
+    miniature's numbers so any change to the signature generator or the
+    banding shows up as a value-hash failure, and the comparison with
+    dedup_minhash_recall documents — as a gated number, not prose — that
+    minhash, not simhash, is the right family at this signature width.
+
+    Scale: band join + popcount filter is the mm_phash_dedup shape
+    (Σ bucket², never n²); the quadratic ground truth exists only on
+    this measurement key, sampled at corpus scale."""
+    sig = dedup_simhash(spark, sf_dir)
+    bands = sig.select(
+        "doc_id", F.lit(0).alias("band"), (F.col("simhash") % 256).alias("bucket")
+    ).unionAll(
+        sig.select(
+            "doc_id",
+            F.lit(1).alias("band"),
+            (F.col("simhash") / 256).cast("long").alias("bucket"),
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    close = (
+        cand.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(
+            F.bit_count(
+                F.col("sa.simhash").bitwiseXOR(F.col("sb.simhash"))
+            )
+            <= _SIMHASH_HAMMING_MAX
+        )
+        .select("doc_a", "doc_b")
+    )
+    truth = _bigram_jaccard_truth(spark, sf_dir)
+    hits = close.join(truth, ["doc_a", "doc_b"])
+    n_cand = close.agg(F.count("*").cast("long").alias("n_candidates"))
+    n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    n_hits = hits.agg(F.count("*").cast("long").alias("n_hits"))
+    return (
+        n_cand.crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(n_hits))
+        .select(
+            F.lit(f"simhash_2x8_h{_SIMHASH_HAMMING_MAX}").alias("method"),
+            "n_candidates",
+            "n_truth",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_truth")).alias(
+                "recall"
+            ),
+        )
+    )

@@ -45,6 +45,7 @@ corpus_length_histogram text_bpe_encode text_bpe_fertility
 text_collocations_pmi curation_pipeline_e2e text_containment
 text_decontaminate corpus_ccnet_buckets text_segment_dedup
 corpus_domain_cap text_blocklist sample_stratified
+dedup_minhash_recall dedup_simhash_recall
 """.split()
 
 EVENT_KEYS = """
@@ -65,7 +66,8 @@ scd2_asof_lookup aqp_sample_mean sketch_hll_det sketch_hll_setops
 layout_range_cluster layout_zorder win_ntile dq_join_skew
 agg_share_of_total global_row_number join_star sql_tpch_q3 sql_tpch_q4
 sql_tpch_q12 sql_tpch_q19 dim_calendar_join ml_logreg_gd table_checksum
-agg_pivot agg_rollup merge_upsert
+agg_pivot agg_rollup merge_upsert graph_wcc
+agg_approx_distinct agg_approx_quantile sketch_hll_merge
 """.split()
 
 EMB_KEYS = """
