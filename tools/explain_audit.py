@@ -341,6 +341,28 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          "three-clause merge as ONE keyed full outer join"),
         (r"partial_count", "source rollup map-side combined"),
     ],
+    # round-4 sketch graduations: the error-bound contract must be computed
+    # in-plan (partial sketch agg + the exact side), never driver-side
+    "agg_approx_distinct": [
+        (r"partial_approx_count_distinct|approx_count_distinct",
+         "HLL++ partial aggregation"),
+        (r"partial_count|count\(", "exact side in the same plan"),
+    ],
+    "agg_approx_quantile": [
+        (r"percentile_approx", "KLL sketch aggregation"),
+        (r"BroadcastHashJoin",
+         "rank-verification join broadcasts the 12-row quantile table"),
+    ],
+    "sketch_hll_merge": [
+        (r"hll_union_agg", "sketch MERGE path (not a direct re-sketch)"),
+        (r"partial_hll_sketch_agg|hll_sketch_agg",
+         "per-shard sketches built map-side"),
+    ],
+    "dedup_simhash_recall": [
+        (r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
+         "banded candidates via equi-join, never all-pairs"),
+        (r"bit_count", "exact popcount hamming filter in-plan"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -399,7 +421,10 @@ FORBIDDEN = (
       # dq_join_skew crossJoins its ONE-ROW stats with the partial top-1
       # hottest key; sketch_hll_setops crossJoins four ONE-ROW estimate/
       # truth aggregates
-      "dq_join_skew", "sketch_hll_setops"}),
+      "dq_join_skew", "sketch_hll_setops",
+      # dedup_simhash_recall crossJoins its three ONE-ROW count aggregates
+      # (same shape as dedup_minhash_recall)
+      "dedup_simhash_recall"}),
 )
 
 
