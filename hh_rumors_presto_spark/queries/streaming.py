@@ -303,3 +303,140 @@ def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "low",
         "close",
     )
+
+
+_SESS_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap, microseconds
+
+_SESS_OUT_SCHEMA = (
+    "user_id bigint, session_no bigint, session_start timestamp, "
+    "session_last timestamp, n_events bigint, n_events_total bigint"
+)
+
+
+def _merge_session_intervals(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state,  # GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user sessionization state as gap-merged (start, end, count)
+    intervals. Inserting an event and merging every interval within the
+    gap is ASSOCIATIVE AND COMMUTATIVE (connected components of points on
+    a line under a distance threshold), so the final state is identical
+    no matter how events are split or ordered across micro-batches —
+    batching invariance by construction, not by luck."""
+    import bisect
+
+    starts, ends, counts = (
+        (list(state.get[0]), list(state.get[1]), list(state.get[2]))
+        if state.exists
+        else ([], [], [])
+    )
+    new_ts: list[int] = []
+    for pdf in batches:
+        new_ts.extend(int(t) for t in pdf["ts_us"].to_numpy())
+    for t in new_ts:
+        i = bisect.bisect_left(starts, t)
+        # absorb every neighbor within the gap (at most left + right)
+        s, e, c = t, t, 1
+        while i > 0 and t - ends[i - 1] <= _SESS_GAP_US:
+            s, e = min(s, starts[i - 1]), max(e, ends[i - 1])
+            c += counts[i - 1]
+            del starts[i - 1], ends[i - 1], counts[i - 1]
+            i -= 1
+        while i < len(starts) and starts[i] - t <= _SESS_GAP_US:
+            s, e = min(s, starts[i]), max(e, ends[i])
+            c += counts[i]
+            del starts[i], ends[i], counts[i]
+        starts.insert(i, s)
+        ends.insert(i, e)
+        counts.insert(i, c)
+    state.update((starts, ends, counts))
+    total = sum(counts)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(starts),
+            "session_no": list(range(1, len(starts) + 1)),
+            "session_start": pd.to_datetime(starts, unit="us"),
+            "session_last": pd.to_datetime(ends, unit="us"),
+            "n_events": counts,
+            "n_events_total": [total] * len(starts),
+        }
+    )
+
+
+@query(
+    "stream_session_state",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT *, CAST(sum(is_new) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_no
+        FROM marked
+    )
+    SELECT user_id, session_no,
+           min(ts) AS session_start,
+           max(ts) AS session_last,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def stream_session_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization (the from-scratch twin of
+    stream_session's built-in session_window): per-user state holds
+    gap-merged (start, end, count) intervals in GroupState, and each
+    event insertion merges its within-gap neighborhood. Because that
+    merge is associative and commutative, the final state — and
+    therefore the answer — is bit-identical under ANY micro-batch
+    split or arrival order, the invariance proven by the forced
+    out-of-order 5-batch test in tests/test_streaming.py. This is the
+    state-design discipline the r3 stream_stateful red row taught,
+    promoted to a first-class operator: emit per-batch snapshots, read
+    back only the final state per key via the monotone total.
+
+    The batch oracle is the classic gaps-and-islands sessionization —
+    interval-merge connected components equal consecutive-gap islands
+    on the full history, so the streaming fixpoint is value-verified.
+
+    Scale: state per user is O(open sessions), not O(events) — counts
+    fold into the intervals; the state store shuffles once on user_id
+    (the same single-Exchange shape as every keyed stateful op)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _merge_session_intervals,
+        outputStructType=_SESS_OUT_SCHEMA,
+        stateStructType=(
+            "starts array<bigint>, ends array<bigint>, counts array<bigint>"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_stream_to_df(out, output_mode="update")
+    w = W.partitionBy("user_id")
+    return (
+        sink.withColumn("_mx", F.max("n_events_total").over(w))
+        .filter(F.col("n_events_total") == F.col("_mx"))
+        .select(
+            "user_id",
+            "session_no",
+            "session_start",
+            "session_last",
+            "n_events",
+        )
+    )

@@ -266,3 +266,84 @@ def test_stream_stateful_multibatch_invariant(spark, sf_dir, tmp_path):
         r.user_id: (r.n_events, r.total_cents) for r in expected.collect()
     }
     assert got == want
+
+
+def test_stream_session_state_out_of_order_batches(spark, sf_dir, tmp_path):
+    """stream_session_state's interval-merge state is associative and
+    commutative, so the sessions must equal the batch gaps-and-islands
+    answer even when events arrive SPLIT ACROSS BATCHES OUT OF TIME
+    ORDER. Partition the events by event_id % 5 (interleaving timestamps
+    across files), stream one file per trigger, and compare the final
+    per-user sessions to a driver-side replay over the sorted history."""
+    from datetime import timedelta
+
+    from pyspark.sql import Window as W
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from hh_rumors_presto_spark import io
+    from hh_rumors_presto_spark.queries.streaming import (
+        _SESS_OUT_SCHEMA,
+        _merge_session_intervals,
+    )
+    from hh_rumors_presto_spark.streaming import run_stream_to_df
+
+    ev = io.load_events(spark, sf_dir)
+    split_dir = str(tmp_path / "evsplit")
+    (
+        ev.repartition(5, (F.col("event_id") % 5))
+        .write.parquet(split_dir)
+    )
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(split_dir)
+        .select("user_id", F.unix_micros("ts").alias("ts_us"))
+    )
+    out = src.groupBy("user_id").applyInPandasWithState(
+        _merge_session_intervals,
+        outputStructType=_SESS_OUT_SCHEMA,
+        stateStructType=(
+            "starts array<bigint>, ends array<bigint>, counts array<bigint>"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_stream_to_df(out, output_mode="update")
+    n_users = ev.select("user_id").distinct().count()
+    assert (
+        sink.select("user_id", "n_events_total").distinct().count() > n_users
+    ), "collapsed to one micro-batch — the cross-batch merge went untested"
+    w = W.partitionBy("user_id")
+    got = {
+        (r.user_id, r.session_no): (
+            r.session_start,
+            r.session_last,
+            r.n_events,
+        )
+        for r in (
+            sink.withColumn("_mx", F.max("n_events_total").over(w))
+            .filter(F.col("n_events_total") == F.col("_mx"))
+            .collect()
+        )
+    }
+
+    rows = sorted(
+        ((r.user_id, r.ts, r.event_id) for r in ev.select(
+            "user_id", "ts", "event_id").collect()),
+    )
+    want = {}
+    gap = timedelta(minutes=30)
+    cur = {}  # user -> [no, start, last, n]
+    for user, ts, _eid in rows:
+        c = cur.get(user)
+        if c is not None and ts - c[2] <= gap:
+            c[2] = ts
+            c[3] += 1
+        else:
+            if c is not None:
+                want[(user, c[0])] = (c[1], c[2], c[3])
+            no = c[0] + 1 if c is not None else 1
+            cur[user] = c = [no, ts, ts, 1]
+    for user, c in cur.items():
+        want[(user, c[0])] = (c[1], c[2], c[3])
+    assert got == want
