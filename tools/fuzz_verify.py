@@ -68,6 +68,7 @@ agg_share_of_total global_row_number join_star sql_tpch_q3 sql_tpch_q4
 sql_tpch_q12 sql_tpch_q19 dim_calendar_join ml_logreg_gd table_checksum
 agg_pivot agg_rollup merge_upsert graph_wcc
 agg_approx_distinct agg_approx_quantile sketch_hll_merge
+ivm_retract_delta
 """.split()
 
 EMB_KEYS = """
