@@ -122,3 +122,89 @@ def test_decimal_cast_portability_edge_is_out_of_contract():
                 f"SELECT CAST(CAST({w!r} AS DOUBLE) AS DECIMAL(28,2))"
             ).fetchone()[0]
             assert float(got) == w
+
+
+# --- round-4 addition: stream_session_state's interval-merge invariance ---
+
+
+class _FakeState:
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+
+def _run_interval_merge(batches_of_ts: list[list[int]]):
+    """Drive _merge_session_intervals through a sequence of micro-batches
+    and return the final (starts, ends, counts) state."""
+    import pandas as pd
+
+    from hh_rumors_presto_spark.queries.streaming import (
+        _merge_session_intervals,
+    )
+
+    state = _FakeState()
+    for batch in batches_of_ts:
+        list(
+            _merge_session_intervals(
+                (1,),
+                iter([pd.DataFrame({"ts_us": batch})]),
+                state,
+            )
+        )
+    return state._v
+
+
+def _sessions_reference(ts: list[int], gap: int) -> list[tuple[int, int, int]]:
+    """Gaps-and-islands over the sorted history: (start, end, count)."""
+    out: list[list[int]] = []
+    for t in sorted(ts):
+        if out and t - out[-1][1] <= gap:
+            out[-1][1] = t
+            out[-1][2] += 1
+        else:
+            out.append([t, t, 1])
+    return [tuple(x) for x in out]
+
+
+@given(
+    ts=st.lists(
+        st.integers(min_value=0, max_value=50_000_000_000),
+        min_size=1,
+        max_size=60,
+    ),
+    cuts=st.lists(st.integers(min_value=0, max_value=59), max_size=5),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=300, deadline=None)
+def test_interval_merge_state_is_order_and_batching_invariant(ts, cuts, seed):
+    """The operator's core claim, exhaustively: for ANY event multiset,
+    ANY shuffle of arrival order, and ANY micro-batch split, the final
+    interval state equals the sorted-history gaps-and-islands sessions.
+    (This is the property the round-3 stream_stateful red row lacked.)"""
+    import random
+
+    from hh_rumors_presto_spark.queries.streaming import _SESS_GAP_US
+
+    rnd = random.Random(seed)
+    shuffled = list(ts)
+    rnd.shuffle(shuffled)
+    bounds = sorted({c % (len(shuffled) + 1) for c in cuts})
+    batches, prev = [], 0
+    for b in bounds:
+        if b > prev:
+            batches.append(shuffled[prev:b])
+            prev = b
+    if prev < len(shuffled):
+        batches.append(shuffled[prev:])
+    starts, ends, counts = _run_interval_merge(batches)
+    got = list(zip(starts, ends, counts))
+    want = _sessions_reference(ts, _SESS_GAP_US)
+    assert got == want
