@@ -142,23 +142,22 @@ def _driver_ledger() -> tuple[set, set]:
     _DRIVER_EVALUATED set if the ledger is unreadable, so the ordering
     degrades to round-3 behavior rather than scrambling."""
     evaluated: set = set()
-    green: set = set()
+    latest_green: dict = {}
     try:
         paths = sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")))
-        for p in paths:
+        for p in paths:  # sorted by round: later files overwrite earlier
             for k, row in json.load(open(p)).items():
                 evaluated.add(k)
-                if row.get("hash_match") is True or (
+                latest_green[k] = row.get("hash_match") is True or (
                     row.get("err") == "no_oracle"
                     and row.get("spark_rows") is not None
                     and k not in ORACLES
-                ):
-                    green.add(k)
+                )
         if not paths:
             return set(_DRIVER_EVALUATED), set(_DRIVER_EVALUATED)
     except Exception:
         return set(_DRIVER_EVALUATED), set(_DRIVER_EVALUATED)
-    return evaluated, green
+    return evaluated, {k for k, g in latest_green.items() if g}
 
 
 def _ordered(d: dict) -> dict:
