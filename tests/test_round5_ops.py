@@ -359,6 +359,7 @@ def test_xml_roundtrip_preserves_rows(spark, sf_dir):
     """Row-level check beyond the aggregate oracle: writing + reading the
     XML loses or mutates nothing, including the free-text column."""
     import os
+    import shutil
     import tempfile
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -368,16 +369,21 @@ def test_xml_roundtrip_preserves_rows(spark, sf_dir):
         tempfile.gettempdir(),
         f"hh_test_xml_{spark.sparkContext.applicationId}",
     )
-    docs.write.mode("overwrite").format("xml").option("rowTag", "doc").save(out)
-    back = (
-        spark.read.format("xml")
-        .option("rowTag", "doc")
-        .schema("doc_id long, text string, lang string")
-        .load(out)
-    )
-    want = {(r.doc_id, r.text, r.lang) for r in docs.collect()}
-    got = {(r.doc_id, r.text, r.lang) for r in back.collect()}
-    assert got == want
+    try:
+        docs.write.mode("overwrite").format("xml").option(
+            "rowTag", "doc"
+        ).save(out)
+        back = (
+            spark.read.format("xml")
+            .option("rowTag", "doc")
+            .schema("doc_id long, text string, lang string")
+            .load(out)
+        )
+        want = {(r.doc_id, r.text, r.lang) for r in docs.collect()}
+        got = {(r.doc_id, r.text, r.lang) for r in back.collect()}
+        assert got == want
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def test_pipe_syntax_equals_dataframe_plan(spark, sf_dir):
