@@ -230,8 +230,8 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     SELECT label, pos,
-           CAST(round(CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)
-                      / count(*), 6) AS DOUBLE) AS mean_val,
+           CAST(round(CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+                      / count(*), 6) + 0.0 AS DOUBLE) AS mean_val,
            count(*) AS n
     FROM flat
     GROUP BY label, pos
@@ -242,13 +242,21 @@ def emb_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     to (label, dim_pos, value), group, exact DECIMAL sums (float addition
     is order-sensitive; decimal is not, so the result is stable under any
     partitioning), one output row per (label, dim). Rebuilding the pooled
-    array is a downstream array_agg ordered by pos."""
+    array is a downstream array_agg ordered by pos.
+
+    Cross-engine trap (caught by the all-keys fuzz sweep): DuckDB casts
+    FLOAT -> DECIMAL through float32 arithmetic (~8 significant digits),
+    Spark widens to double first — so both sides widen EXPLICITLY
+    (CAST(val AS DOUBLE) first) before the decimal cast, and the rounded
+    mean carries the + 0.0 signed-zero fold."""
     emb = io.load_table(spark, sf_dir, "embeddings")
     flat = emb.select(
         "label", F.posexplode("embedding").alias("pos", "val")
-    ).withColumn("dval", F.col("val").cast("decimal(18,9)"))
+    ).withColumn("dval", F.col("val").cast("double").cast("decimal(18,9)"))
+    # + 0.0 folds IEEE negative zero (a zero/tiny-negative dimension mean
+    # rounds to -0.0 in DuckDB but +0.0 in Spark; fuzz seed 0 trips it)
     return flat.groupBy("label", "pos").agg(
-        F.round(F.sum("dval").cast("double") / F.count("*"), 6)
+        (F.round(F.sum("dval").cast("double") / F.count("*"), 6) + F.lit(0.0))
         .cast("double")
         .alias("mean_val"),
         F.count("*").alias("n"),

@@ -456,7 +456,8 @@ def json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH d AS (
         SELECT doc_id,
-               substring(text, 1, 40) AS head,
+               regexp_replace(substring(text, 1, 40),
+                              '[^\\x00-\\x7F]', '?', 'g') AS head,
                array_to_string(string_split(text, ' ')[1:2], ' ') AS block
         FROM documents
     )
@@ -471,11 +472,18 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-token prefix so the quadratic Levenshtein only runs within small
     buckets (cost Σ block², never n²) — the classic blocking+verify pair
     pattern of record linkage. levenshtein() is exact integer DP in both
-    engines, so the check is oracle-exact."""
+    engines — but DuckDB's counts UTF-8 BYTES while Spark's counts
+    CHARACTERS (the all-keys fuzz sweep caught the divergence on
+    non-ASCII heads), so the compared head is ASCII-folded identically
+    on both sides first (non-ASCII -> '?', where char == byte and the
+    two definitions coincide). The fold is the documented cross-engine
+    contract of this key, not an approximation of it."""
     docs = io.load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
-        F.substring("text", 1, 40).alias("head"),
+        F.regexp_replace(
+            F.substring("text", 1, 40), r"[^\x00-\x7F]", "?"
+        ).alias("head"),
         F.array_join(F.slice(F.split("text", " "), 1, 2), " ").alias("block"),
     )
     a, b = d.alias("a"), d.alias("b")

@@ -372,8 +372,8 @@ _OUTLIER_K = 5
     ),
     cent AS (
         SELECT label, pos,
-               CAST(round(CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)
-                          / count(*), 6) AS DOUBLE) AS c
+               CAST(round(CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+                          / count(*), 6) + 0.0 AS DOUBLE) AS c
         FROM flat GROUP BY label, pos
     ),
     carr AS (SELECT label, list(c ORDER BY pos) AS cvec FROM cent GROUP BY label),
@@ -385,11 +385,14 @@ _OUTLIER_K = 5
                         * sqrt(list_inner_product(ca.cvec, ca.cvec)), 0.0) AS cos
         FROM embeddings e JOIN carr ca ON e.label = ca.label
     )
-    SELECT vec_id, label, round(cos, 6) AS cos_centroid,
+    SELECT vec_id, label, round(cos, 6) + 0.0 AS cos_centroid,
            rn <= {_OUTLIER_K} AS is_outlier
     FROM (
+        -- NULLS LAST explicitly: a zero vector has NULL cosine, and the
+        -- engines' default NULL sort order differs (Spark NULLS FIRST
+        -- asc, DuckDB NULLS LAST) — fuzz seed 0's zero vectors trip it
         SELECT *, row_number() OVER (
-            PARTITION BY label ORDER BY cos, vec_id
+            PARTITION BY label ORDER BY cos NULLS LAST, vec_id
         ) AS rn
         FROM scored
     )
@@ -401,18 +404,25 @@ def emb_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard mislabeled/garbage-embedding sweep before training.
 
     Centroids come from exact DECIMAL per-dimension sums (order-
-    insensitive under any partitioning — emb_mean_pool's construction),
-    rounded to 6dp on BOTH engines, then shipped as a k-row broadcast
-    (same driver-scale footprint as the k-means centroid set). Per-vector
-    cosine uses the sequential-fold dot — bit-identical to DuckDB's
-    list_inner_product."""
+    insensitive under any partitioning — emb_mean_pool's construction,
+    including its explicit float->DOUBLE widening before the decimal
+    cast: DuckDB's direct FLOAT->DECIMAL goes through float32 arithmetic
+    and loses digits), rounded to 6dp with the signed-zero fold on BOTH
+    engines, then shipped as a k-row broadcast (same driver-scale
+    footprint as the k-means centroid set). Per-vector cosine uses the
+    sequential-fold dot — bit-identical to DuckDB's list_inner_product;
+    zero vectors yield NULL cosine, ordered NULLS LAST explicitly on
+    both engines."""
     centroids = (
         io.load_table(spark, sf_dir, "embeddings")
         .select("label", F.posexplode("embedding").alias("pos", "val"))
-        .withColumn("dval", F.col("val").cast("decimal(18,9)"))
+        .withColumn("dval", F.col("val").cast("double").cast("decimal(18,9)"))
         .groupBy("label", "pos")
         .agg(
-            F.round(F.sum("dval").cast("double") / F.count("*"), 6)
+            (
+                F.round(F.sum("dval").cast("double") / F.count("*"), 6)
+                + F.lit(0.0)
+            )
             .cast("double")
             .alias("c")
         )
@@ -430,7 +440,12 @@ def emb_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = dot(F.col("embedding"), F.col("cvec")) / F.nullif(
         l2_norm(F.col("embedding")) * l2_norm(F.col("cvec")), F.lit(0.0)
     )
-    w = Window.partitionBy("label").orderBy("cos", "vec_id")
+    # asc_nulls_last matches DuckDB's default NULL placement (zero vectors
+    # have NULL cosine); + 0.0 folds the signed zero a zero-crossing
+    # rounded cosine can produce
+    w = Window.partitionBy("label").orderBy(
+        F.col("cos").asc_nulls_last(), "vec_id"
+    )
     return (
         emb.join(F.broadcast(cent_df), "label")
         .select("vec_id", "label", cos.alias("cos"))
@@ -438,7 +453,7 @@ def emb_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.round("cos", 6).alias("cos_centroid"),
+            (F.round("cos", 6) + F.lit(0.0)).alias("cos_centroid"),
             (F.col("rn") <= _OUTLIER_K).alias("is_outlier"),
         )
     )

@@ -1,0 +1,90 @@
+"""Driver-behavior simulator: run registry keys the way the spark-graft
+driver does — sequentially, in serving order, in ONE SparkSession — and
+check DOUBLE-RUN IDEMPOTENCY (the driver may retry a query; temp-path
+reuse, conf leaks, cached-table collisions, or nondeterministic plans
+all surface as a second-run hash mismatch).
+
+This check found its purpose in round 4: the round-3 `stream_stateful`
+red row was an environment-dependent divergence exactly of this class
+(update-mode sink contents varying with micro-batching), and the whole
+330-key registry was swept clean with it. Run it over any window before
+staging the window for a driver round.
+
+Usage:
+    python tools/driver_sim.py                 # first 50 (the live window)
+    python tools/driver_sim.py --all           # whole registry
+    python tools/driver_sim.py key1 key2 ...   # specific keys
+    python tools/driver_sim.py --sf /root/testdata/sf0.001
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def value_hash(df) -> str:
+    cols = sorted(df.columns)
+    rows = sorted("|".join(repr(r[c]) for c in cols) for r in df.collect())
+    m = hashlib.sha256()
+    for r in rows:
+        m.update(r.encode())
+        m.update(b"\n")
+    return m.hexdigest()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--all", action="store_true")
+    ap.add_argument("--window", type=int, default=50)
+    ap.add_argument("keys", nargs="*")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as ent
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    q = ent.queries()
+    if args.keys:
+        keys = args.keys
+    elif args.all:
+        keys = list(q)
+    else:
+        keys = list(q)[: args.window]
+
+    bad: list[tuple[str, str]] = []
+    for k in keys:
+        t0 = time.time()
+        try:
+            h1 = value_hash(q[k](spark, args.sf))
+            h2 = value_hash(q[k](spark, args.sf))
+            if h1 != h2:
+                bad.append((k, "second-run hash mismatch"))
+                print(f"FAIL  {k}: second-run hash mismatch", flush=True)
+            else:
+                print(f"PASS  {k}  ({time.time() - t0:.1f}s)", flush=True)
+        except Exception as ex:  # noqa: BLE001 — report, keep sweeping
+            bad.append((k, str(ex)[:120]))
+            print(f"FAIL  {k}: {str(ex)[:120]}", flush=True)
+
+    print(f"\n{len(keys) - len(bad)} idempotent, {len(bad)} failures")
+    for k, why in bad:
+        print(f"  {k}: {why}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

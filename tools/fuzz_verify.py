@@ -45,7 +45,7 @@ corpus_length_histogram text_bpe_encode text_bpe_fertility
 text_collocations_pmi curation_pipeline_e2e text_containment
 text_decontaminate corpus_ccnet_buckets text_segment_dedup
 corpus_domain_cap text_blocklist sample_stratified
-dedup_minhash_recall dedup_simhash_recall
+dedup_minhash_recall dedup_simhash_recall dedup_levenshtein
 """.split()
 
 EVENT_KEYS = """
@@ -74,7 +74,7 @@ ivm_retract_delta
 EMB_KEYS = """
 emb_normalize sim_topk emb_kmeans_assign dedup_semantic dedup_embedding
 emb_cosine_histogram emb_pca_power emb_quantize_error dq_embedding_drift
-emb_random_projection
+emb_random_projection emb_mean_pool emb_outlier
 """.split()
 
 DEFAULT_KEYS = DOC_KEYS + EVENT_KEYS + EMB_KEYS + TPCH_KEYS
