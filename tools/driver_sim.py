@@ -10,11 +10,19 @@ red row was an environment-dependent divergence exactly of this class
 330-key registry was swept clean with it. Run it over any window before
 staging the window for a driver round.
 
+A second mode, --compare-partitions, re-runs each key under two
+different spark.sql.shuffle.partitions settings (fresh sessions) and
+diffs the value hashes — the executable form of the repo's
+"bit-identical under any partitioning" claims (DECIMAL / fixed-point
+reduction discipline). Round-4 sweep: 22 order-sensitive keys identical
+at 3 vs 64 partitions.
+
 Usage:
     python tools/driver_sim.py                 # first 50 (the live window)
     python tools/driver_sim.py --all           # whole registry
     python tools/driver_sim.py key1 key2 ...   # specific keys
     python tools/driver_sim.py --sf /root/testdata/sf0.001
+    python tools/driver_sim.py --compare-partitions 3 64 key1 key2 ...
 """
 
 from __future__ import annotations
@@ -37,26 +45,52 @@ def value_hash(df) -> str:
     return m.hexdigest()
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sf", default="/root/testdata/sf0.01")
-    ap.add_argument("--all", action="store_true")
-    ap.add_argument("--window", type=int, default=50)
-    ap.add_argument("keys", nargs="*")
-    args = ap.parse_args()
-
+def _session(partitions: int):
     from pyspark.sql import SparkSession
-
-    import __spark_entry__ as ent
 
     spark = (
         SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", str(partitions))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--all", action="store_true")
+    ap.add_argument("--window", type=int, default=50)
+    ap.add_argument(
+        "--compare-partitions", nargs=2, type=int, metavar=("A", "B")
+    )
+    ap.add_argument("keys", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as ent
+
+    if args.compare_partitions:
+        pa, pb = args.compare_partitions
+        results = []
+        for parts in (pa, pb):
+            spark = _session(parts)
+            q = ent.queries()
+            keys = args.keys or list(q)[: args.window]
+            results.append(
+                {k: value_hash(q[k](spark, args.sf)) for k in keys}
+            )
+            spark.stop()
+        diff = [k for k in results[0] if results[0][k] != results[1][k]]
+        print(
+            f"partition-sensitive keys ({pa} vs {pb}): "
+            + (str(diff) if diff else f"none ({len(results[0])} identical)")
+        )
+        return 1 if diff else 0
+
+    spark = _session(32)
     q = ent.queries()
     if args.keys:
         keys = args.keys
