@@ -272,4 +272,4 @@ def oracle_sql() -> dict[str, str]:
 #   sim_ann_lsh agg_approx_distinct agg_approx_quantile
 #   (sketch_hll_merge's graduation is covered by its staged r5 slot)
 #   plus the round-4 additions: graph_wcc dedup_simhash_recall
-#   stream_session_state ivm_retract_delta
+#   stream_session_state ivm_retract_delta ts_downsample_ltob

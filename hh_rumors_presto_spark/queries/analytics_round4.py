@@ -1071,3 +1071,158 @@ def ts_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.groupBy("user_id").agg(
         F.max("open_now").cast("long").alias("peak_concurrency")
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_downsample_ltob — largest-triangle downsampling for visualization
+
+_LTOB_BUCKET_US = 6 * 3600 * 1_000_000  # 6-hour buckets
+
+
+@query(
+    "ts_downsample_ltob",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type AS series, event_id, value,
+               CAST(ts AS TIMESTAMP) AS ts,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               epoch_us(CAST(ts AS TIMESTAMP)) // {_LTOB_BUCKET_US} AS bucket
+        FROM events
+    ),
+    stats AS (
+        SELECT series, bucket,
+               count(*) AS n,
+               CAST(sum(us) AS DOUBLE) / count(*) AS mx,
+               CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+                   / count(*) AS my
+        FROM base GROUP BY series, bucket
+    ),
+    anchored AS (
+        SELECT series, bucket,
+               lag(mx)  OVER w AS xl, lag(my)  OVER w AS yl,
+               lead(mx) OVER w AS xr, lead(my) OVER w AS yr
+        FROM stats
+        WINDOW w AS (PARTITION BY series ORDER BY bucket)
+    ),
+    scored AS (
+        SELECT b.series, b.bucket, b.event_id, b.ts, b.value, b.us,
+               a.xl IS NOT NULL AND a.xr IS NOT NULL AS mid,
+               a.xl IS NOT NULL AS has_prev,
+               CASE WHEN a.xl IS NOT NULL AND a.xr IS NOT NULL THEN
+                   abs((a.xl - a.xr) * (b.value - a.yl)
+                       - (a.xl - b.us) * (a.yr - a.yl))
+               END AS area2
+        FROM base b JOIN anchored a
+          ON b.series = a.series AND b.bucket = a.bucket
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY series, bucket
+                   ORDER BY area2 DESC, event_id) AS rn_mid,
+               row_number() OVER (PARTITION BY series, bucket
+                   ORDER BY us, event_id) AS rn_first,
+               row_number() OVER (PARTITION BY series, bucket
+                   ORDER BY us DESC, event_id DESC) AS rn_last
+        FROM scored
+    )
+    SELECT series, bucket, event_id, ts, value
+    FROM ranked
+    WHERE CASE WHEN mid THEN rn_mid
+               WHEN has_prev THEN rn_last
+               ELSE rn_first END = 1
+    """,
+)
+def ts_downsample_ltob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-triangle downsampling (the LTOB member of the LTTB family,
+    arXiv "Downsampling Time Series for Visual Representation", Steinarsson
+    2013): render-reduce each series to ONE visually-dominant point per
+    time bucket — the point forming the largest triangle against the
+    neighboring buckets' mean anchors, so peaks and troughs survive where
+    naive bucket-means would flatten them. Classic LTTB chains the
+    selection sequentially (bucket i's choice depends on i-1's); the LTOB
+    variant anchors on FIXED bucket means, which keeps every bucket's
+    argmax independent — embarrassingly parallel, one keyed window pass,
+    and exactly expressible in batch SQL for the oracle. Edge buckets
+    keep their extreme raw point (the first/last-point retention of the
+    family).
+
+    Determinism: the selection compares DOUBLE triangle areas, but both
+    engines compute them with the IDENTICAL expression tree over
+    identical inputs (integer micros; bucket means from exact BIGINT /
+    DECIMAL sums) — same IEEE ops, same bits — and ties break on
+    event_id. The OUTPUT carries only raw columns (ts, value), so the
+    key is bit-exact by construction.
+
+    Scale: stats is |series x buckets| rows (tiny — broadcast); the raw
+    scan joins it once and one window pass per bucket picks the point.
+    Reducing 1B points to a 2k-bucket sparkline is one shuffle on
+    (series, bucket) with map-side pre-aggregation for the stats leg."""
+    ev = io.load_events(spark, sf_dir)
+    base = ev.select(
+        F.col("event_type").alias("series"),
+        "event_id",
+        "value",
+        "ts",
+        F.unix_micros("ts").alias("us"),
+        (F.unix_micros("ts") / F.lit(_LTOB_BUCKET_US))
+        .cast("long")
+        .alias("bucket"),
+    )
+    stats = base.groupBy("series", "bucket").agg(
+        F.count("*").alias("n"),
+        (F.sum("us").cast("double") / F.count("*")).alias("mx"),
+        (
+            F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
+            / F.count("*")
+        ).alias("my"),
+    )
+    w = Window.partitionBy("series").orderBy("bucket")
+    anchored = stats.select(
+        "series",
+        "bucket",
+        F.lag("mx").over(w).alias("xl"),
+        F.lag("my").over(w).alias("yl"),
+        F.lead("mx").over(w).alias("xr"),
+        F.lead("my").over(w).alias("yr"),
+    )
+    j = base.join(F.broadcast(anchored), ["series", "bucket"])
+    mid = F.col("xl").isNotNull() & F.col("xr").isNotNull()
+    area2 = F.when(
+        mid,
+        F.abs(
+            (F.col("xl") - F.col("xr")) * (F.col("value") - F.col("yl"))
+            - (F.col("xl") - F.col("us")) * (F.col("yr") - F.col("yl"))
+        ),
+    )
+    scored = j.select(
+        "series",
+        "bucket",
+        "event_id",
+        "ts",
+        "value",
+        "us",
+        mid.alias("mid"),
+        F.col("xl").isNotNull().alias("has_prev"),
+        area2.alias("area2"),
+    )
+    wb = Window.partitionBy("series", "bucket")
+    ranked = scored.select(
+        "*",
+        F.row_number()
+        .over(wb.orderBy(F.col("area2").desc(), "event_id"))
+        .alias("rn_mid"),
+        F.row_number()
+        .over(wb.orderBy("us", "event_id"))
+        .alias("rn_first"),
+        F.row_number()
+        .over(wb.orderBy(F.col("us").desc(), F.col("event_id").desc()))
+        .alias("rn_last"),
+    )
+    pick = (
+        F.when(F.col("mid"), F.col("rn_mid"))
+        .when(F.col("has_prev"), F.col("rn_last"))
+        .otherwise(F.col("rn_first"))
+    )
+    return ranked.filter(pick == 1).select(
+        "series", "bucket", "event_id", "ts", "value"
+    )

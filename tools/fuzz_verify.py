@@ -53,6 +53,7 @@ ts_sessionize ts_ohlc ts_ewma agg_session_window ts_peak_concurrency
 ts_interval_coverage win_rank win_laglead win_ffill agg_weighted_median
 dq_freshness ts_seasonal_decompose ts_forecast_backtest join_pit_multi
 ts_holt_winters stream_merge_upsert stream_session_state
+ts_downsample_ltob
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
