@@ -176,10 +176,11 @@ def _ordered(d: dict) -> dict:
     4. Ever-green keys last.
     """
     evaluated, green = _driver_ledger()
-    front_live = [k for k in FRONT_KEYS if k in d] and any(
-        k not in green for k in FRONT_KEYS if k in d
-    )
-    front = {k: d[k] for k in FRONT_KEYS if k in d} if front_live else {}
+    # Serve ONLY the non-green curated keys first (reds being re-proven).
+    # Green front keys yield their slots to the never-evaluated remainder —
+    # otherwise one stubborn red would pin all 50 slots on re-proving the
+    # previous round's known-green window and starve the rotation.
+    front = {k: d[k] for k in FRONT_KEYS if k in d and k not in green}
     red = {
         k: v
         for k, v in d.items()

@@ -11,12 +11,12 @@ no mantissa rounding) with identical addition order in both SQL texts;
 the others work entirely in BIGINT after a floor() quantization (or in
 DECIMAL partials for the rollup).
 
-Density assumption: the PQ/IVF keys assume embedding arrays contain no
-NULL elements (true of the driver-generated fixtures, TESTDATA.md). A
-NULL element would diverge cross-engine — Spark's aggregate() fold turns
-the whole distance NULL while DuckDB's SUM skips the element — so a
-regenerated fixture with sparse vectors needs an explicit element guard
-added to _quantized on BOTH sides first.
+Fixture-shape hardening (round-5): the PQ/IVF keys no longer assume the
+driver-generated fixture shape. _quantized slices to exactly the 64-dim
+PQ domain the oracles iterate (range(0,64)), and every distance fold
+coalesces NULL terms to 0 — matching SQL SUM's NULL-skip — so an
+over-long or sparse regenerated embedding vector cannot diverge the
+Spark side from the DuckDB side.
 
 Scale notes (100 TB posture):
 - ``ts_ewma`` is one keyed window (shuffle on user_id); constant state
@@ -279,9 +279,15 @@ _PQ_SUBDIM = 16
 def _quantized(emb: DataFrame) -> DataFrame:
     """(vec_id, q) with q = floor(embedding * 1000) as array<long> — the
     shared integer domain every PQ/IVF key computes in (exact cross-engine:
-    float32 -> double is lossless and floor is identical)."""
+    float32 -> double is lossless and floor is identical).
+
+    q is SLICED to exactly the PQ dimensionality (4x16=64): the oracle
+    iterates range(0,64), so an over-long fixture vector must not leak
+    extra terms into the Spark side's whole-array transforms (r4 lesson:
+    the slice-bounded sim_pq_assign stayed driver-green while the
+    whole-array coarse/re-rank stages hash-diverged)."""
     qarr = F.transform(
-        "embedding",
+        F.slice("embedding", 1, _PQ_SUBSPACES * _PQ_SUBDIM),
         lambda v: F.floor(v.cast("double") * F.lit(1000.0)).cast("long"),
     )
     return emb.select("vec_id", qarr.alias("q"))
@@ -300,7 +306,7 @@ def _pq_subspace_key(s: int):
             ),
         )
         return F.aggregate(
-            F.transform(diffs, lambda d: d * d),
+            F.transform(diffs, lambda d: F.coalesce(d * d, F.lit(0))),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
@@ -484,6 +490,16 @@ def _ivfpq_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     """The IVF-PQ search pipeline with ``nprobe`` probed cells per query
     (the recall/cost knob: more probes = more cell keys on the tiny query
     side, identical dataflow)."""
+    return _ivfpq_stage_frames(spark, sf_dir, nprobe)["final"]
+
+
+def _ivfpq_stage_frames(
+    spark: SparkSession, sf_dir: str, nprobe: int
+) -> dict[str, DataFrame]:
+    """Every intermediate stage of the IVF-PQ pipeline as a named frame —
+    the search keys return only ``final``; sim_ivfpq_stages checksums each
+    stage so a driver-side hash divergence localizes to the stage that
+    produced it instead of burning a round window per blind guess."""
     vecs = _quantized(io.load_table(spark, sf_dir, "embeddings"))
 
     def coarse_dist(k: int):
@@ -492,7 +508,7 @@ def _ivfpq_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
             lambda x, i: (x - ((F.lit(k * 257) + i * 41) % 1000 - 500)),
         )
         return F.aggregate(
-            F.transform(diffs, lambda d: d * d),
+            F.transform(diffs, lambda d: F.coalesce(d * d, F.lit(0))),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
@@ -537,7 +553,7 @@ def _ivfpq_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
             ),
         )
         return F.aggregate(
-            F.transform(diffs, lambda d: d * d),
+            F.transform(diffs, lambda d: F.coalesce(d * d, F.lit(0))),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
@@ -554,12 +570,14 @@ def _ivfpq_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         .filter(F.col("rn") <= _IVFPQ_SHORTLIST * nprobe)
     )
     dist = F.aggregate(
-        F.zip_with("yq", "q", lambda a, b: (a - b) * (a - b)),
+        F.zip_with(
+            "yq", "q", lambda a, b: F.coalesce((a - b) * (a - b), F.lit(0))
+        ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     w_final = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
-    return (
+    final = (
         short.select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
@@ -569,6 +587,13 @@ def _ivfpq_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         .filter(F.col("rn") <= _IVFPQ_TOPK)
         .select("query_id", "neighbor_id", "dist")
     )
+    return {
+        "corpus": corpus,
+        "qs": qs,
+        "cand": cand,
+        "short": short,
+        "final": final,
+    }
 
 
 # probe-3 variant of the oracle chain (reuses xq/coarse/cellof/codes)
@@ -636,6 +661,98 @@ def sim_ivfpq_probe3(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same dataflow as sim_ivfpq_search: only the tiny broadcast query side
     grows (3 cell keys per query); the corpus plan is untouched."""
     return _ivfpq_topk(spark, sf_dir, nprobe=3)
+
+
+@query(
+    "sim_ivfpq_stages",
+    oracle=f"""
+    {_IVFPQ_CTES},
+    shortd AS (
+        SELECT query_id, neighbor_id, adist FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+            FROM adc)
+        WHERE rn <= {_IVFPQ_SHORTLIST}
+    ),
+    finald AS (
+        SELECT query_id, neighbor_id, dist FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+            FROM exact)
+        WHERE rn <= {_IVFPQ_TOPK}
+    ),
+    cells_ck AS (
+        SELECT CAST(sum(cell * (vec_id % 97 + 1)) AS BIGINT) AS cells_sum
+        FROM cellof
+    ),
+    codes_ck AS (
+        SELECT CAST(sum(c * (CAST(1 AS BIGINT) << CAST(2 * s AS INT))
+                        * (vec_id % 89 + 1)) AS BIGINT) AS codes_sum
+        FROM codes
+    ),
+    cand_ck AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_cand,
+               CAST(sum(query_id * 131071 + neighbor_id) AS BIGINT) AS cand_sum
+        FROM cand
+    ),
+    short_ck AS (
+        SELECT CAST(sum(query_id * 131071 + neighbor_id) AS BIGINT)
+                   AS short_sum,
+               CAST(sum(adist) AS BIGINT) AS adist_sum
+        FROM shortd
+    ),
+    final_ck AS (
+        SELECT CAST(sum(query_id * 131071 + neighbor_id) AS BIGINT)
+                   AS final_sum,
+               CAST(sum(dist) AS BIGINT) AS dist_sum
+        FROM finald
+    )
+    SELECT a.cells_sum, b.codes_sum, c.n_cand, c.cand_sum,
+           d.short_sum, d.adist_sum, e.final_sum, e.dist_sum
+    FROM cells_ck a, codes_ck b, cand_ck c, short_ck d, final_ck e
+    """,
+)
+def sim_ivfpq_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-decomposed IVF-PQ diagnostic (one row of BIGINT checksums):
+    coarse cell assignment, PQ codes, candidate set, ADC shortlist, and
+    final re-rank each reduce to a position-weighted sum. sim_ivfpq_search
+    hash-failed at the r4 driver while passing every local battery, with
+    no stage attribution — this key makes the NEXT divergence name its
+    stage: whichever checksum column mismatches is the first divergent
+    stage (all-BIGINT math, so any mismatch is semantic, not noise)."""
+    st = _ivfpq_stage_frames(spark, sf_dir, nprobe=1)
+    cells = st["corpus"].agg(
+        F.sum(F.col("cell") * (F.col("vec_id") % 97 + 1))
+        .cast("long")
+        .alias("cells_sum")
+    )
+    code_weighted = sum(
+        F.col(f"c{s}") * F.lit(1 << (2 * s)) for s in range(_PQ_SUBSPACES)
+    )
+    codes = st["corpus"].agg(
+        F.sum(code_weighted * (F.col("vec_id") % 89 + 1))
+        .cast("long")
+        .alias("codes_sum")
+    )
+    pair_ck = F.col("query_id") * 131071 + F.col("vec_id")
+    cand = st["cand"].agg(
+        F.count("*").cast("long").alias("n_cand"),
+        F.sum(pair_ck).cast("long").alias("cand_sum"),
+    )
+    short = st["short"].agg(
+        F.sum(pair_ck).cast("long").alias("short_sum"),
+        F.sum("adist").cast("long").alias("adist_sum"),
+    )
+    final = st["final"].agg(
+        F.sum(F.col("query_id") * 131071 + F.col("neighbor_id"))
+        .cast("long")
+        .alias("final_sum"),
+        F.sum("dist").cast("long").alias("dist_sum"),
+    )
+    out = cells
+    for single in (codes, cand, short, final):
+        out = out.crossJoin(F.broadcast(single))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -870,7 +987,9 @@ def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("q").alias("yq")
     )
     dist = F.aggregate(
-        F.zip_with("yq", "q", lambda a, b: (a - b) * (a - b)),
+        F.zip_with(
+            "yq", "q", lambda a, b: F.coalesce((a - b) * (a - b), F.lit(0))
+        ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )

@@ -682,7 +682,12 @@ def graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    for _ in range(12):  # bounded fixpoint, 2 hops per materialization
+    # Loop until a full double-step changes nothing. The cap only bounds a
+    # pathological graph (label needs one hop per round, so 64 rounds cover
+    # eccentricity 128); falling out of the loop UNCONVERGED would silently
+    # return wrong components the recursive-CTE oracle flags — raise instead.
+    converged = False
+    for _ in range(64):
         stepped = propagate(propagate(labels.select("node", "component")))
         merged = (
             labels.select("node", F.col("component").alias("old_label"))
@@ -697,7 +702,13 @@ def graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .count()
             == 0
         ):
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            "graph_wcc: min-label propagation did not converge in 64 "
+            "double-steps (component eccentricity > 128?)"
+        )
     return labels.groupBy("component").agg(
         F.count("*").alias("n_nodes"),
         F.sum((F.col("node") % 2 == 0).cast("bigint")).alias("n_customers"),

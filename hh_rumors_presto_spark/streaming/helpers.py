@@ -29,20 +29,58 @@ def _events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
 
+def _split_events_dir(spark: SparkSession, sf_dir: str, n: int) -> str:
+    """Materialize the events fixture as ``n`` interleaved parquet files
+    (keyed by event_id % n) under a deterministic temp dir, so a stream
+    with maxFilesPerTrigger=1 is forced through n out-of-order
+    micro-batches — the environment-parity knob driver_sim --env-parity
+    turns (the driver's micro-batching is outside our control; every
+    streaming key must be invariant to it). Idempotent per (sf_dir, n)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"hh_evsplit_{tag}_{n}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        ev.repartition(n, F.col("event_id") % n).write.mode(
+            "overwrite"
+        ).parquet(out)
+    return out
+
+
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """File-source stream over the events fixture with ``ts`` normalized to
-    a microsecond TimestampType (same truncation as io.load_events)."""
-    schema = _events_schema(spark, sf_dir)
+    a microsecond TimestampType (same truncation as io.load_events).
+
+    HH_STREAM_SPLIT=<n> (env var, harness-only) reroutes the source
+    through n interleaved files at one file per micro-batch, forcing the
+    multi-batch arrival order the external driver may impose."""
+    import os
+
+    split_n = int(os.environ.get("HH_STREAM_SPLIT", "0") or 0)
+    if split_n > 1:
+        src_dir, glob_filter = (
+            _split_events_dir(spark, sf_dir, split_n),
+            "*.parquet",
+        )
+        schema = spark.read.parquet(src_dir).schema
+        if max_files_per_trigger is None:
+            max_files_per_trigger = 1
+    else:
+        src_dir, glob_filter = sf_dir, "events.parquet"
+        schema = _events_schema(spark, sf_dir)
     reader = (
         spark.readStream.schema(schema)
         .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob_filter)
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    df = reader.load(sf_dir)
+    df = reader.load(src_dir)
     if dict(df.dtypes)["ts"] == "bigint":
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df.withColumn("ts", F.col("ts").cast("timestamp"))

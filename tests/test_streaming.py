@@ -314,6 +314,8 @@ def test_stream_session_state_out_of_order_batches(spark, sf_dir, tmp_path):
         sink.select("user_id", "n_events_total").distinct().count() > n_users
     ), "collapsed to one micro-batch — the cross-batch merge went untested"
     w = W.partitionBy("user_id")
+    # the state UDF emits session bounds as bigint microseconds (the
+    # tz-independent contract); convert Spark-side like the query does
     got = {
         (r.user_id, r.session_no): (
             r.session_start,
@@ -323,6 +325,13 @@ def test_stream_session_state_out_of_order_batches(spark, sf_dir, tmp_path):
         for r in (
             sink.withColumn("_mx", F.max("n_events_total").over(w))
             .filter(F.col("n_events_total") == F.col("_mx"))
+            .select(
+                "user_id",
+                "session_no",
+                F.timestamp_micros("session_start_us").alias("session_start"),
+                F.timestamp_micros("session_last_us").alias("session_last"),
+                "n_events",
+            )
             .collect()
         )
     }
