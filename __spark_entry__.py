@@ -30,31 +30,25 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 # correctness row. Rotate per round until every oracle-backed key has gone
 # green at least once; keys not listed follow in registration order.
 #
-# ROUND-4 window (the plan staged at the end of round 3, validated by
-# tools/rotation_check.py: all registered, no dupes, none with a green
-# driver row). Composition:
-#   - stream_stateful: the ONE red r3 row. Root-caused and fixed this
-#     round (GroupState.get is a property — calling it crashed on the
-#     second micro-batch — and the update-mode sink is now deduped to
-#     the final state per key, so the answer is batching-invariant; see
-#     tests/test_streaming.py::test_stream_stateful_multibatch_invariant).
-#   - the remaining tpch queries (q2/q9/q11/q16/q20), the PQ/ANN recall
-#     ladder, streaming rollup/checkpoint/ivm, graph sssp/kcore, the
-#     ts/mm/dq/corpus breadth block, and the scans/sinks remainder.
-#   - ts_ohlc yielded its staged slot to stream_stateful (its streaming
-#     twin stream_ohlc went green in r3, so it carries the least new
-#     information); it rotates into round 5.
-# All 50 schema-audited (no array/map/struct/decimal output columns —
-# the driver canonicalizer rejects those) and green under
-# tools/verify_local.py.
-# ROUND-5+: rotation is now SELF-ADVANCING — _ordered() derives the
-#   window from the committed CORRECTNESS_r*.json ledger (red/graduated
-#   keys first, then the never-evaluated remainder in registration
-#   order) and ignores FRONT_KEYS automatically once every key in it has
-#   a green row, so a stale curated list can never waste a round's
-#   window. Manual staging is optional curation, not a requirement; the
-#   staged ROUND-5/6/7 lists at the bottom document the expected
-#   contents. Sanity-check any round with `python tools/rotation_check.py`.
+# The rotation is SELF-ADVANCING — _ordered() derives the window from
+# the committed CORRECTNESS_r*.json ledger: non-green FRONT_KEYS first
+# (reds being re-proven after a fix), then evaluated-but-never-green
+# keys (graduated no_oracle rows), then the never-evaluated remainder
+# in registration order, with ever-green keys last. Green FRONT_KEYS
+# yield their slots automatically (round-5 fix: the previous
+# all-or-nothing gate re-served the whole 50-key round-4 window while
+# ANY front key stayed red, starving the never-evaluated tail).
+# FRONT_KEYS below is the round-4 curated list, kept as documentation;
+# its three reds (stream_stateful, sim_ivfpq_search, sim_ivfpq_probe3)
+# lead the round-5 window, followed by the three graduated keys and 44
+# never-evaluated keys. Sanity-check any round with
+# `python tools/rotation_check.py`.
+# Round-5 changes behind the window: stream_stateful's answer path was
+# rebuilt on the foreachBatch persisted-state merge (no memory-sink
+# semantics) with float64-widened NaN-safe cents; the IVF-PQ chain was
+# bounded to the oracle's exact 64-dim domain with NULL-safe folds, and
+# sim_ivfpq_stages checksums each stage so any further driver red names
+# its divergent stage. Claims stay soft until a driver round lands green.
 FRONT_KEYS = [
     # the r3 red, fixed this round — highest-priority green to reclaim
     "stream_stateful",
@@ -230,7 +224,13 @@ def oracle_sql() -> dict[str, str]:
 # `python tools/rotation_check.py`. After round 7 every oracle-backed
 # key has a driver correctness row.
 #
-# ROUND-5 window (50):
+# ROUND-5 window (50) — AUTHORITATIVE order from rotation_check: the
+# three r4 reds (stream_stateful sim_ivfpq_search sim_ivfpq_probe3),
+# the three graduated keys (agg_approx_quantile agg_approx_distinct
+# sim_ann_lsh), then this never-evaluated list (the round-5 additions
+# sim_ivfpq_stages / ts_downsample_ltob / text_winnow / ts_acf /
+# ts_paa_sax / emb_truncate_quality / stream_typed_state interleave at
+# their registration points, displacing the tail into round 6):
 #   sketch_hll_merge win_ntile sketch_countmin win_running_distinct
 #   win_drawdown ts_cross_correlation ts_cusum agg_mad agg_gini
 #   win_rolling_slope ts_seasonal_decompose feat_target_encode

@@ -22,6 +22,7 @@ def load() -> None:
         breadth_round4,
         breadth_round5,
         breadth_round6,
+        breadth_round7,
         engine_surface,
         engine_surface2,
         event_analytics,

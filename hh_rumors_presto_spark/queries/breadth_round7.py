@@ -1,0 +1,434 @@
+"""Round-7 breadth batch: winnowing fingerprints, exact autocorrelation,
+PAA/SAX time-series symbolization, and an embedding-truncation quality
+floor.
+
+- ``text_winnow`` — the winnowing fingerprint selection of Schleimer,
+  Wilkerson & Aiken (SIGMOD 2003; the MOSS algorithm): hash every
+  character 8-gram, slide a window of 4 consecutive grams, keep each
+  window's minimum hash. Guarantees any shared substring of length
+  >= 11 contributes a shared fingerprint — the standard local-dedup /
+  plagiarism primitive missing from the minhash/simhash/substring
+  family already registered.
+- ``ts_acf`` — autocorrelation function at lags 1..5 per user series,
+  computed EXACTLY: centered terms are scaled by n (n*x_t - S is
+  integer cents), so numerator and denominator are BIGINT and the only
+  float op is one final division — bit-identical cross-engine.
+- ``ts_paa_sax`` — Piecewise Aggregate Approximation + SAX
+  symbolization (Lin/Keogh et al. 2003): first 40 events per user in 8
+  segments of 5, each segment's exact cent-sum quantized to one of 4
+  letters by integer range-quartiles — the classic shape index for
+  similarity search over time series, all-integer until the final
+  letter string.
+- ``emb_truncate_quality`` — Matryoshka-style truncation floor: for 20
+  query vectors, the exact top-1 neighbor under full 64-dim integer L2
+  vs under the first-16-dims truncation, with per-query agreement.
+  Registered as an oracle row so silently degrading the truncated
+  representation flips CORRECTNESS, the same discipline as the
+  minhash/simhash/IVF-PQ recall floors.
+
+Scale notes (100 TB posture):
+- winnowing is explode -> one keyed window per doc (shuffle on doc_id,
+  partial distinct-agg downstream); fingerprint postings are the input
+  to a bucket-join dedup exactly like dedup_minhash's bands.
+- ts_acf / ts_paa_sax are single-shuffle keyed windows with constant
+  per-row state (5 lags / segment ids); no unbounded frames.
+- emb_truncate_quality broadcasts the 20-query side over the corpus
+  (the same brute-force-baseline shape as sim_topk / sim_ivfpq_recall's
+  truth arm — the production path at scale is the IVF/LSH keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.queries.analytics_round4 import _quantized
+from hh_rumors_presto_spark.registry import query
+
+# --------------------------------------------------------------------------
+# text_winnow
+# --------------------------------------------------------------------------
+
+_WIN_K = 8  # k-gram length (characters)
+_WIN_W = 4  # winnowing window (consecutive k-grams)
+_WIN_CAP = 400  # chars of text winnowed (bounds fixture cost; prod: full)
+
+
+@query(
+    "text_winnow",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, substr(text, 1, {_WIN_CAP}) AS s FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, CAST(t.p AS BIGINT) AS pos,
+               length(s) - {_WIN_K - 1} AS n_grams,
+               CAST(('0x' || substring(
+                    md5(substr(s, CAST(t.p AS INT), {_WIN_K})), 1, 10))
+                   AS BIGINT) AS h
+        FROM d, range(1, {_WIN_CAP + 1}) t(p)
+        WHERE t.p <= length(s) - {_WIN_K - 1}
+    ),
+    win AS (
+        SELECT doc_id, pos, n_grams,
+               min(h) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING
+               ) AS sel
+        FROM grams
+    )
+    SELECT doc_id,
+           CAST(count(DISTINCT sel) AS BIGINT) AS n_fp,
+           CAST(sum(DISTINCT sel) AS BIGINT) AS fp_sum
+    FROM win
+    WHERE pos <= n_grams - {_WIN_W - 1}
+    GROUP BY doc_id
+    """,
+)
+def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al. 2003): per doc,
+    hash all character {_WIN_K}-grams (md5 -> 40-bit int; identity is the
+    HASH alone, position-independent, or the shared-substring guarantee
+    breaks — any shared span of length >= {_WIN_K}+{_WIN_W}-1 contains a
+    full window whose min hash both docs select),
+    take the min in every window of {_WIN_W} consecutive grams, and
+    reduce the DISTINCT selected fingerprints to (count, sum) — the
+    value-checkable digest of the fingerprint set.
+
+    Scale: explode is linear in text size; the min-in-window is one
+    keyed window per doc (single shuffle on doc_id); the distinct-agg
+    combines map-side. The fingerprint set is what a corpus-level
+    local-dedup joins on (band-bucket posture, cf. dedup_minhash)."""
+    docs = (
+        io.load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.substring("text", 1, _WIN_CAP).alias("s"))
+        .filter(F.length("s") >= _WIN_K + _WIN_W - 1)
+    )
+    grams = docs.select(
+        "doc_id",
+        (F.length("s") - (_WIN_K - 1)).cast("long").alias("n_grams"),
+        F.explode(
+            F.sequence(F.lit(1), F.length("s") - (_WIN_K - 1))
+        ).alias("pos"),
+        "s",
+    ).select(
+        "doc_id",
+        "n_grams",
+        F.col("pos").cast("long").alias("pos"),
+        F.conv(
+            F.substring(
+                F.md5(F.expr(f"substring(s, pos, {_WIN_K})")), 1, 10
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    return (
+        grams.withColumn("sel", F.min("h").over(w))
+        .filter(F.col("pos") <= F.col("n_grams") - (_WIN_W - 1))
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("sel").cast("long").alias("n_fp"),
+            F.sum_distinct(F.col("sel")).cast("long").alias("fp_sum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# ts_acf
+# --------------------------------------------------------------------------
+
+_ACF_BASE_SQL = """
+    base AS (
+        SELECT user_id,
+               CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+                   AS xc,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS t
+        FROM events WHERE value IS NOT NULL
+    )
+"""
+
+
+@query(
+    "ts_acf",
+    oracle=f"""
+    WITH {_ACF_BASE_SQL},
+    stats AS (
+        SELECT user_id, count(*) AS n, sum(xc) AS s
+        FROM base GROUP BY user_id
+    ),
+    c AS (
+        SELECT b.user_id, b.t,
+               CAST(st.n * b.xc - st.s AS BIGINT) AS d
+        FROM base b JOIN stats st USING (user_id)
+    ),
+    lagged AS (
+        SELECT user_id, d,
+               lag(d, 1) OVER w AS d1, lag(d, 2) OVER w AS d2,
+               lag(d, 3) OVER w AS d3, lag(d, 4) OVER w AS d4,
+               lag(d, 5) OVER w AS d5
+        FROM c WINDOW w AS (PARTITION BY user_id ORDER BY t)
+    )
+    SELECT user_id,
+           CAST(sum(d * d) AS BIGINT) AS den,
+           CAST(sum(d * d1) AS BIGINT) AS num1,
+           CAST(sum(d * d2) AS BIGINT) AS num2,
+           CAST(sum(d * d3) AS BIGINT) AS num3,
+           CAST(sum(d * d4) AS BIGINT) AS num4,
+           CAST(sum(d * d5) AS BIGINT) AS num5,
+           CASE WHEN sum(d * d) = 0 THEN NULL
+                ELSE CAST(sum(d * d1) AS DOUBLE) / sum(d * d) END AS acf1,
+           CASE WHEN sum(d * d) = 0 THEN NULL
+                ELSE CAST(sum(d * d5) AS DOUBLE) / sum(d * d) END AS acf5
+    FROM lagged GROUP BY user_id
+    """,
+)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation at lags 1..5 per user series, EXACT: with S the
+    cent-sum and n the length, the centered term n*x_t - S is an
+    integer, so every numerator/denominator is a BIGINT sum and the only
+    float operation is the final single division (bit-identical across
+    engines). The constant-series den=0 edge returns NULL, not inf.
+
+    Scale: one shuffle on user_id feeds both the stats agg and the lag
+    window; 5 lags of constant state per row, no unbounded frames."""
+    ev = io.load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    base = ev.select(
+        "user_id",
+        F.floor(F.col("value").cast("double") * 100.0 + 0.5)
+        .cast("long")
+        .alias("xc"),
+        "ts",
+        "event_id",
+    )
+    stats = base.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("xc").alias("s")
+    )
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = (
+        base.join(stats, "user_id")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            (F.col("n") * F.col("xc") - F.col("s")).cast("long").alias("d"),
+        )
+    )
+    lag_cols = {i: F.lag("d", i).over(wt) for i in range(1, 6)}
+    lagged = c.select(
+        "user_id", "d", *[lag_cols[i].alias(f"d{i}") for i in range(1, 6)]
+    )
+    den = F.sum(F.col("d") * F.col("d"))
+    nums = {i: F.sum(F.col("d") * F.col(f"d{i}")) for i in range(1, 6)}
+    return lagged.groupBy("user_id").agg(
+        den.cast("long").alias("den"),
+        *[nums[i].cast("long").alias(f"num{i}") for i in range(1, 6)],
+        F.when(den == 0, F.lit(None)).otherwise(
+            nums[1].cast("double") / den
+        ).alias("acf1"),
+        F.when(den == 0, F.lit(None)).otherwise(
+            nums[5].cast("double") / den
+        ).alias("acf5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ts_paa_sax
+# --------------------------------------------------------------------------
+
+_SAX_LEN = 40  # events per series prefix
+_SAX_SEG = 5  # events per segment -> 8 segments
+_SAX_CARD = 4  # alphabet size (a..d)
+
+
+@query(
+    "ts_paa_sax",
+    oracle=f"""
+    WITH {_ACF_BASE_SQL},
+    eligible AS (
+        SELECT user_id FROM base GROUP BY user_id
+        HAVING count(*) >= {_SAX_LEN}
+    ),
+    seg AS (
+        SELECT user_id, CAST((t - 1) // {_SAX_SEG} AS BIGINT) AS seg,
+               CAST(sum(xc) AS BIGINT) AS segsum
+        FROM base
+        WHERE t <= {_SAX_LEN}
+          AND user_id IN (SELECT user_id FROM eligible)
+        GROUP BY 1, 2
+    ),
+    rng AS (
+        SELECT user_id, min(segsum) AS lo, max(segsum) AS hi
+        FROM seg GROUP BY user_id
+    ),
+    sym AS (
+        SELECT s.user_id, s.seg, s.segsum,
+               CASE WHEN r.hi = r.lo THEN 0
+                    ELSE CAST(((s.segsum - r.lo) * {_SAX_CARD})
+                              // (r.hi - r.lo + 1) AS INT)
+               END AS qv
+        FROM seg s JOIN rng r USING (user_id)
+    )
+    SELECT user_id,
+           string_agg(chr(97 + qv), '' ORDER BY seg) AS sax,
+           CAST(sum(segsum * (seg + 1)) AS BIGINT) AS paa_checksum
+    FROM sym GROUP BY user_id
+    """,
+)
+def ts_paa_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAA + SAX symbolization: the first {_SAX_LEN} events per user
+    (users shorter than that are skipped) collapse into 8 segments of
+    {_SAX_SEG}; each segment's exact cent-sum maps to one of {_SAX_CARD}
+    letters by integer range-quartiles (q = (sum-lo)*{_SAX_CARD} //
+    (hi-lo+1), constant series -> 'a'); the ordered letters concatenate
+    to the SAX word. Everything before the final chr() is BIGINT.
+
+    Scale: one keyed window (rank), one two-level agg on (user, seg) —
+    partial-agg friendly; the SAX word is the classic index key for
+    time-series motif/similarity search."""
+    ev = io.load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id",
+        F.floor(F.col("value").cast("double") * 100.0 + 0.5)
+        .cast("long")
+        .alias("xc"),
+        F.row_number().over(wt).alias("t"),
+    )
+    eligible = (
+        base.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= _SAX_LEN)
+        .select("user_id")
+    )
+    seg = (
+        base.filter(F.col("t") <= _SAX_LEN)
+        .join(F.broadcast(eligible), "user_id", "left_semi")
+        .groupBy(
+            "user_id",
+            F.expr(f"CAST((t - 1) DIV {_SAX_SEG} AS BIGINT)").alias("seg"),
+        )
+        .agg(F.sum("xc").cast("long").alias("segsum"))
+    )
+    rng = seg.groupBy("user_id").agg(
+        F.min("segsum").alias("lo"), F.max("segsum").alias("hi")
+    )
+    sym = seg.join(rng, "user_id").select(
+        "user_id",
+        "seg",
+        "segsum",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.expr(f"CAST((segsum - lo) * {_SAX_CARD} DIV (hi - lo + 1) AS INT)")
+        )
+        .alias("qv"),
+    )
+    return sym.groupBy("user_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(seg, "
+            "chr(97 + qv) AS letter))), x -> x.letter), '')"
+        ).alias("sax"),
+        F.sum(F.col("segsum") * (F.col("seg") + 1))
+        .cast("long")
+        .alias("paa_checksum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# emb_truncate_quality
+# --------------------------------------------------------------------------
+
+_TRUNC_QUERIES = 20
+_TRUNC_DIM = 16  # truncated prefix (of 64)
+_TRUNC_PACK = 100_000  # packed-argmin base; requires vec_id < 100k
+
+
+@query(
+    "emb_truncate_quality",
+    oracle=f"""
+    WITH xq AS (
+        SELECT vec_id, t.j AS j,
+               CAST(floor(CAST(embedding[CAST(t.j AS INT) + 1] AS DOUBLE)
+                          * 1000) AS BIGINT) AS q
+        FROM embeddings, range(0, 64) t(j)
+    ),
+    pairs AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               sum(CASE WHEN a.j < {_TRUNC_DIM}
+                        THEN (a.q - b.q) * (a.q - b.q) ELSE 0 END) AS d16,
+               sum((a.q - b.q) * (a.q - b.q)) AS d64
+        FROM xq a JOIN xq b ON b.j = a.j AND b.vec_id <> a.vec_id
+        WHERE a.vec_id < {_TRUNC_QUERIES}
+        GROUP BY 1, 2
+    ),
+    nn AS (
+        SELECT query_id,
+               min(d64 * {_TRUNC_PACK} + neighbor_id) AS pf,
+               min(d16 * {_TRUNC_PACK} + neighbor_id) AS pt
+        FROM pairs GROUP BY query_id
+    )
+    SELECT query_id,
+           CAST(pf % {_TRUNC_PACK} AS BIGINT) AS nn_full,
+           CAST(pt % {_TRUNC_PACK} AS BIGINT) AS nn_trunc,
+           CAST(CASE WHEN pf % {_TRUNC_PACK} = pt % {_TRUNC_PACK}
+                     THEN 1 ELSE 0 END AS BIGINT) AS agree
+    FROM nn
+    """,
+)
+def emb_truncate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation quality floor: exact top-1 neighbor under
+    the full 64-dim integer L2 vs under the first-{_TRUNC_DIM}-dims
+    truncation, per query, with the agreement bit. All-BIGINT
+    (floor(x*1000) domain, packed argmin min(d*K + id) for tie-stable
+    neighbors), so the quality of the truncated representation is an
+    oracle-checked number — the same regression discipline as the
+    minhash/IVF-PQ recall floors.
+
+    Scale: the {_TRUNC_QUERIES}-query side broadcasts over the corpus
+    (brute-force-baseline shape, cf. sim_topk); a deployment runs this
+    on a query sample to validate a truncation before switching the ANN
+    index to the cheaper representation."""
+    vecs = _quantized(io.load_table(spark, sf_dir, "embeddings"))
+    qs = vecs.filter(F.col("vec_id") < _TRUNC_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("yq")
+    )
+
+    def l2(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a, b, lambda x, y: F.coalesce((x - y) * (x - y), F.lit(0))
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    pairs = (
+        vecs.join(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            l2(F.col("yq"), F.col("q")).alias("d64"),
+            l2(
+                F.slice("yq", 1, _TRUNC_DIM), F.slice("q", 1, _TRUNC_DIM)
+            ).alias("d16"),
+        )
+    )
+    nn = pairs.groupBy("query_id").agg(
+        F.min(F.col("d64") * _TRUNC_PACK + F.col("neighbor_id")).alias("pf"),
+        F.min(F.col("d16") * _TRUNC_PACK + F.col("neighbor_id")).alias("pt"),
+    )
+    return nn.select(
+        "query_id",
+        (F.col("pf") % _TRUNC_PACK).cast("long").alias("nn_full"),
+        (F.col("pt") % _TRUNC_PACK).cast("long").alias("nn_trunc"),
+        (F.col("pf") % _TRUNC_PACK == F.col("pt") % _TRUNC_PACK)
+        .cast("long")
+        .alias("agree"),
+    )

@@ -35,14 +35,26 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_front_keys_valid():
-    """The driver samples the first 50 keys; FRONT_KEYS defines that window.
-    It must be exactly 50 real, distinct keys."""
+    """The driver samples the first 50 keys. Under the ledger-derived
+    rotation, only NON-GREEN FRONT_KEYS lead (greens yield their slots),
+    followed by other non-green evaluated keys, then the never-evaluated
+    remainder — no ever-green key may occupy a window slot while any
+    never-evaluated key waits."""
     qs = ent.queries()
     assert len(ent.FRONT_KEYS) == 50
     assert len(set(ent.FRONT_KEYS)) == 50
     missing = [k for k in ent.FRONT_KEYS if k not in qs]
     assert not missing, missing
-    assert list(qs)[:50] == ent.FRONT_KEYS
+
+    evaluated, green = ent._driver_ledger()
+    window = list(qs)[:50]
+    front_live = [k for k in ent.FRONT_KEYS if k not in green]
+    assert window[: len(front_live)] == front_live
+    # greens never starve the never-evaluated tail
+    never = [k for k in qs if k not in evaluated]
+    if len(front_live) + len(never) >= 50:
+        leaked = [k for k in window if k in green]
+        assert not leaked, leaked
 
 
 def test_no_driver_hostile_output_types(spark, sf_dir):

@@ -43,6 +43,21 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"PushedFilters: \[.*EqualTo\(o_orderstatus,F\)", "status filter below join"),
     ],
     "sim_topk": [(r"Broadcast", "query side broadcast")],
+    "text_winnow": [
+        (r"Window", "min-in-window keyed select per doc"),
+        (r"HashAggregate", "distinct-fingerprint digest aggregates"),
+    ],
+    "ts_acf": [
+        (r"Window", "lag chain over one keyed window"),
+        (r"partial_sum|HashAggregate", "map-side partial num/den sums"),
+    ],
+    "ts_paa_sax": [
+        (r"Window", "rank window for the series prefix"),
+        (r"HashAggregate", "two-level (user, seg) aggregation"),
+    ],
+    "emb_truncate_quality": [
+        (r"Broadcast", "20-row query side broadcast (brute-force baseline shape)"),
+    ],
     "scan_partition_pruned": [
         (r"PartitionFilters: \[[^\]]*o_orderstatus", "partition pruning"),
     ],
@@ -424,7 +439,11 @@ FORBIDDEN = (
       "dq_join_skew", "sketch_hll_setops",
       # dedup_simhash_recall crossJoins its three ONE-ROW count aggregates
       # (same shape as dedup_minhash_recall)
-      "dedup_simhash_recall"}),
+      "dedup_simhash_recall",
+      # emb_truncate_quality broadcasts its 20-row query set over the
+      # corpus (sim_topk's sanctioned brute-force-baseline shape);
+      # sim_ivfpq_stages crossJoins five ONE-ROW stage-checksum aggregates
+      "emb_truncate_quality", "sim_ivfpq_stages"}),
 )
 
 

@@ -46,6 +46,7 @@ text_collocations_pmi curation_pipeline_e2e text_containment
 text_decontaminate corpus_ccnet_buckets text_segment_dedup
 corpus_domain_cap text_blocklist sample_stratified
 dedup_minhash_recall dedup_simhash_recall dedup_levenshtein
+text_winnow
 """.split()
 
 EVENT_KEYS = """
@@ -53,7 +54,7 @@ ts_sessionize ts_ohlc ts_ewma agg_session_window ts_peak_concurrency
 ts_interval_coverage win_rank win_laglead win_ffill agg_weighted_median
 dq_freshness ts_seasonal_decompose ts_forecast_backtest join_pit_multi
 ts_holt_winters stream_merge_upsert stream_session_state
-ts_downsample_ltob
+ts_downsample_ltob ts_acf ts_paa_sax stream_typed_state
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
@@ -75,7 +76,8 @@ ivm_retract_delta
 EMB_KEYS = """
 emb_normalize sim_topk emb_kmeans_assign dedup_semantic dedup_embedding
 emb_cosine_histogram emb_pca_power emb_quantize_error dq_embedding_drift
-emb_random_projection emb_mean_pool emb_outlier
+emb_random_projection emb_mean_pool emb_outlier emb_truncate_quality
+sim_ivfpq_search sim_ivfpq_probe3 sim_ivfpq_stages sim_pq_assign
 """.split()
 
 DEFAULT_KEYS = DOC_KEYS + EVENT_KEYS + EMB_KEYS + TPCH_KEYS
