@@ -432,3 +432,127 @@ def emb_truncate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("agree"),
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_bloom_membership
+# --------------------------------------------------------------------------
+
+_BLOOM_M = 16384  # bloom bits
+_BLOOM_K = 3  # hash functions per element
+
+
+@query(
+    "dedup_bloom_membership",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT md5(text) AS fp FROM documents WHERE doc_id % 3 <> 0
+    ),
+    batch AS (
+        SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 3 = 0
+    ),
+    apos AS (
+        SELECT DISTINCT
+               CAST(('0x' || substring(md5(fp || '#' || CAST(k.i AS VARCHAR)),
+                                       1, 8)) AS BIGINT) % {_BLOOM_M} AS pos
+        FROM corpus CROSS JOIN (VALUES (0), (1), (2)) k(i)
+    ),
+    bpos AS (
+        SELECT doc_id, fp, k.i,
+               CAST(('0x' || substring(md5(fp || '#' || CAST(k.i AS VARCHAR)),
+                                       1, 8)) AS BIGINT) % {_BLOOM_M} AS pos
+        FROM batch CROSS JOIN (VALUES (0), (1), (2)) k(i)
+    ),
+    hits AS (
+        SELECT b.doc_id, count(a.pos) AS nhit
+        FROM bpos b LEFT JOIN apos a ON a.pos = b.pos
+        GROUP BY b.doc_id
+    ),
+    exact AS (
+        SELECT DISTINCT b.doc_id
+        FROM batch b JOIN corpus c ON c.fp = b.fp
+    )
+    SELECT h.doc_id,
+           CAST(CASE WHEN h.nhit = {_BLOOM_K} THEN 1 ELSE 0 END AS BIGINT)
+               AS bloom_hit,
+           CAST(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS exact_dup,
+           CAST(CASE WHEN h.nhit = {_BLOOM_K} AND e.doc_id IS NULL
+                     THEN 1 ELSE 0 END AS BIGINT) AS false_pos
+    FROM hits h LEFT JOIN exact e ON e.doc_id = h.doc_id
+    """,
+)
+def dedup_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership prefilter for incremental dedup: the
+    standing corpus (doc_id % 3 != 0) builds an m={_BLOOM_M}, k={_BLOOM_K}
+    bloom set from md5-derived bit positions; the incoming batch
+    (doc_id % 3 == 0) probes it. A doc whose {_BLOOM_K} positions are all
+    set is a MAYBE (routed to the expensive exact-fingerprint join); any
+    clear position proves NEW (skips the join entirely — the bloom
+    guarantee, no false negatives by construction). Per-doc output pins
+    bloom_hit, the exact-join truth, and the false-positive flag, so the
+    measured FP behavior of this (m, k) is an oracle row.
+
+    Scale: the built side collapses to <= {_BLOOM_M} distinct positions —
+    kilobytes, broadcast; the probe is a broadcast left join + count per
+    doc. This is how a 100 TB ingest avoids re-joining every new shard
+    against the full corpus fingerprint table: definite-new docs (the
+    vast majority) never reach the shuffle."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0).select(
+        F.md5("text").alias("fp")
+    )
+    batch = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+
+    def pos(fp_col, i: int):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(fp_col, F.lit(f"#{i}"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % _BLOOM_M
+        )
+
+    apos = (
+        corpus.select(
+            F.explode(
+                F.array(*[pos(F.col("fp"), i) for i in range(_BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    bpos = batch.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(*[pos(F.col("fp"), i) for i in range(_BLOOM_K)])
+        ).alias("pos"),
+    )
+    hits = (
+        bpos.join(F.broadcast(apos.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("doc_id")
+        .agg(F.count("hit").alias("nhit"))
+    )
+    exact = (
+        batch.join(corpus, "fp", "left_semi").select("doc_id").distinct()
+    )
+    return (
+        hits.join(
+            F.broadcast(exact.withColumn("is_dup", F.lit(1))),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            (F.col("nhit") == _BLOOM_K).cast("long").alias("bloom_hit"),
+            F.col("is_dup").isNotNull().cast("long").alias("exact_dup"),
+            (
+                (F.col("nhit") == _BLOOM_K) & F.col("is_dup").isNull()
+            )
+            .cast("long")
+            .alias("false_pos"),
+        )
+    )

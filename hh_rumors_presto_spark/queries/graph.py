@@ -330,6 +330,20 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (wedge a->b->c closed by a->c) — the standard degree-bounded triangle
     join, never an all-pairs product. The pair list is localCheckpointed
     once and reused by all three join legs."""
+    _e, tri = _neardup_tri_frames(spark, sf_dir)
+    nodes = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    return nodes.groupBy("doc_id").agg(F.count("*").alias("n_tri"))
+
+
+def _neardup_tri_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(canonical a<b edge list, enumerated triangles) over the near-dup
+    pair graph — shared by graph_triangles and graph_clustering_coeff."""
     e = (
         dedup_ngram_jaccard(spark, sf_dir)
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
@@ -346,12 +360,91 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.c").alias("c"))
     )
-    nodes = (
+    return e, tri
+
+
+def _clustering_oracle() -> str:
+    from hh_rumors_presto_spark.queries.extensions_dedup import (
+        _jaccard_pairs_sql,
+    )
+
+    return (
+        _jaccard_pairs_sql()
+        + """
+    , e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+    deg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+            SELECT a AS doc_id FROM e UNION ALL SELECT b FROM e)
+        GROUP BY doc_id
+    ),
+    tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM e e1
+        JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tcnt AS (
+        SELECT doc_id, count(*) AS n_tri FROM (
+            SELECT a AS doc_id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.degree,
+           CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+           CASE WHEN d.degree < 2 THEN NULL
+                ELSE 2.0 * coalesce(t.n_tri, 0) / (d.degree * (d.degree - 1))
+           END AS coeff
+    FROM deg d LEFT JOIN tcnt t USING (doc_id)
+    """
+    )
+
+
+@query("graph_clustering_coeff", oracle=_clustering_oracle())
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the near-dup pair
+    graph: coeff(v) = 2*T(v) / (d(v)*(d(v)-1)) — the cliquishness score
+    that separates tight duplicate clusters (coeff ~ 1, safe to collapse
+    to one survivor) from chain-like near-dup runs (coeff ~ 0, where
+    transitive collapse over-merges). Triangles come from the same
+    forward-edge join as graph_triangles (shared frame builder); nodes
+    of degree < 2 report NULL (undefined). The only float op is the one
+    final 2.0*T/(d*(d-1)) division — bit-identical cross-engine.
+
+    Scale: degree is one union+agg over the edge list; the triangle join
+    is degree-bounded (never all-pairs); both reuse the checkpointed
+    pair list."""
+    e, tri = _neardup_tri_frames(spark, sf_dir)
+    deg = (
+        e.select(F.col("a").alias("doc_id"))
+        .unionAll(e.select(F.col("b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    tcnt = (
         tri.select(F.col("a").alias("doc_id"))
         .unionAll(tri.select(F.col("b").alias("doc_id")))
         .unionAll(tri.select(F.col("c").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tri"))
     )
-    return nodes.groupBy("doc_id").agg(F.count("*").alias("n_tri"))
+    joined = deg.join(tcnt, "doc_id", "left").select(
+        "doc_id",
+        "degree",
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+    )
+    return joined.select(
+        "doc_id",
+        "degree",
+        "n_tri",
+        F.when(F.col("degree") < 2, F.lit(None).cast("double"))
+        .otherwise(
+            F.lit(2.0)
+            * F.col("n_tri")
+            / (F.col("degree") * (F.col("degree") - 1))
+        )
+        .alias("coeff"),
+    )
 
 
 _W_SQL = "((src * 7 + dst * 13) % 97 + 1)"

@@ -435,3 +435,29 @@ def sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical names for the two TPC-H queries that were registered under
+# family names in round 1, before the numbered set existed. These are
+# zero-duplication delegates — same plan object, same oracle text — so the
+# registry's sql_tpch_q* namespace is the complete 22/22 set.
+
+from hh_rumors_presto_spark.queries.advanced import agg_filtered_q6  # noqa: E402
+from hh_rumors_presto_spark.queries.aggregation import agg_basic  # noqa: E402
+from hh_rumors_presto_spark.registry import ORACLES  # noqa: E402
+
+
+@query("sql_tpch_q1", oracle=ORACLES["agg_basic"])
+def sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) under its canonical name — the
+    exact plan registered as agg_basic (queries/aggregation.py:29, where
+    the DECIMAL-sum / round-then-cast determinism contract is documented)."""
+    return agg_basic(spark, sf_dir)
+
+
+@query("sql_tpch_q6", oracle=ORACLES["agg_filtered_q6"])
+def sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change) under its canonical name — the
+    exact plan registered as agg_filtered_q6 (queries/advanced.py:66)."""
+    return agg_filtered_q6(spark, sf_dir)

@@ -58,6 +58,9 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "emb_truncate_quality": [
         (r"Broadcast", "20-row query side broadcast (brute-force baseline shape)"),
     ],
+    "dedup_bloom_membership": [
+        (r"BroadcastHashJoin", "kilobyte bloom-position set broadcast to the probe"),
+    ],
     "scan_partition_pruned": [
         (r"PartitionFilters: \[[^\]]*o_orderstatus", "partition pruning"),
     ],

@@ -46,7 +46,7 @@ text_collocations_pmi curation_pipeline_e2e text_containment
 text_decontaminate corpus_ccnet_buckets text_segment_dedup
 corpus_domain_cap text_blocklist sample_stratified
 dedup_minhash_recall dedup_simhash_recall dedup_levenshtein
-text_winnow
+text_winnow dedup_bloom_membership graph_clustering_coeff
 """.split()
 
 EVENT_KEYS = """
