@@ -144,7 +144,7 @@ def _ann_lsh_oracle() -> str:
     reproducible — and therefore value-verified, not rows-only."""
     planes = _hyperplanes()
     sign_bits = ", ".join(
-        "CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), ["
+        "CASE WHEN list_inner_product(CAST(embedding[1:64] AS DOUBLE[]), ["
         + ", ".join(repr(x) for x in plane)
         + "]) >= 0 THEN '1' ELSE '0' END"
         for plane in planes
@@ -198,7 +198,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.when(
                 dot(
-                    F.col("embedding"),
+                    F.slice("embedding", 1, 64),
                     F.array(*[F.lit(x) for x in plane]),
                 )
                 >= 0,
@@ -477,7 +477,7 @@ def _mt_planes() -> list[list[float]]:
 
 def _mt_sig_sql(planes: list[list[float]], t: int) -> str:
     bits = ", ".join(
-        "CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), ["
+        "CASE WHEN list_inner_product(CAST(embedding[1:64] AS DOUBLE[]), ["
         + ", ".join(repr(x) for x in planes[t * _MT_BITS + i])
         + "]) >= 0 THEN '1' ELSE '0' END"
         for i in range(_MT_BITS)
@@ -540,7 +540,7 @@ def sim_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[
                 F.when(
                     dot(
-                        F.col("embedding"),
+                        F.slice("embedding", 1, 64),
                         F.array(*[F.lit(x) for x in planes[t * _MT_BITS + i]]),
                     )
                     >= 0,

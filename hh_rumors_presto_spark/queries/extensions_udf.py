@@ -24,14 +24,19 @@ from hh_rumors_presto_spark.registry import query
 
 @F.pandas_udf(T.DoubleType())
 def _scaled_score(v: pd.Series) -> pd.Series:
-    """Vectorized scalar pandas UDF (Arrow-batched): rational transform."""
+    """Vectorized scalar pandas UDF (Arrow-batched): rational transform.
+    Widened to float64 first — a FLOAT-typed fixture would otherwise keep
+    the whole chain in float32 while the SQL oracle promotes to DOUBLE."""
+    v = v.astype("float64")
     return (v * 1.1 + 2.0) / (v.abs() + 1.0)
 
 
 @query(
     "udf_scalar",
     oracle="""
-    SELECT event_id, (value * 1.1 + 2.0) / (abs(value) + 1.0) AS score
+    SELECT event_id,
+           (CAST(value AS DOUBLE) * 1.1 + 2.0)
+               / (abs(CAST(value AS DOUBLE)) + 1.0) AS score
     FROM events
     """,
 )
@@ -53,7 +58,12 @@ def _per_user_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     via floor(v*100 + 0.5), identical to the SQL oracle's expression)."""
     import numpy as np
 
-    cents = np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+    # float64 widen: a FLOAT-typed fixture would keep numpy in float32,
+    # whose *100 rounding can cross the floor boundary the oracle's
+    # DOUBLE path doesn't (same contract as streaming._running_totals)
+    cents = np.floor(
+        pdf["value"].to_numpy(dtype="float64") * 100.0 + 0.5
+    ).astype("int64")
     return pd.DataFrame(
         {
             "user_id": [pdf["user_id"].iloc[0]],
@@ -69,7 +79,7 @@ def _per_user_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     "udaf_grouped",
     oracle="""
     SELECT user_id, count(*) AS n,
-           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
            min(event_id) AS first_event,
            max(event_id) AS last_event
     FROM events
@@ -201,7 +211,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
                AS total_cents
     FROM events
     GROUP BY user_id

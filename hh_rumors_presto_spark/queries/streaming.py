@@ -220,7 +220,7 @@ def _running_totals(
     "stream_stateful",
     oracle="""
     SELECT user_id, count(*) AS n_events,
-           sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS total_cents
+           sum(CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT)) AS total_cents
     FROM events
     GROUP BY user_id
     """,

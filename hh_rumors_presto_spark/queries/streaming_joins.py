@@ -31,10 +31,18 @@ from hh_rumors_presto_spark.streaming import read_events_stream
 )
 def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join: purchases attributed to clicks by the same
-    user within 1 hour. Both sides carry watermarks; the time-bound join
+    user within 1 hour. Both sides carry watermarks and the time-bound join
     condition lets the state store evict rows once the watermark passes
     click_ts + 1h — bounded state, the non-negotiable property for an
-    unbounded stream join."""
+    unbounded stream join.
+
+    Watermark sizing: this is a bounded REPLAY of a 30-day fixture, so the
+    delay must cover the replay span (35 days here) — with a tight delay,
+    an out-of-order multi-batch arrival (which the runner, not the query,
+    controls) evicts state before late matches arrive and the result
+    depends on batch boundaries (caught by driver_sim --env-parity's
+    splitstream variant). A live deployment sizes the delay to its real
+    out-of-orderness instead; the dataflow is identical."""
     ev = read_events_stream(spark, sf_dir)
     clicks = (
         ev.filter(F.col("event_type") == "click")
@@ -43,7 +51,7 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id"),
             F.col("ts").alias("click_ts"),
         )
-        .withWatermark("click_ts", "2 hours")
+        .withWatermark("click_ts", "35 days")
     )
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
@@ -52,7 +60,7 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").alias("p_user_id"),
             F.col("ts").alias("purchase_ts"),
         )
-        .withWatermark("purchase_ts", "2 hours")
+        .withWatermark("purchase_ts", "35 days")
     )
     joined = clicks.join(
         purchases,
@@ -309,7 +317,17 @@ def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at scale: identical to stream_join (keyed state, time-bound
     condition bounds state size); the only addition is the NULL-side
-    emission on watermark advance."""
+    emission on watermark advance.
+
+    Arrival-order caveat (same class as the declared-rows-only
+    stream_watermark): the NULL-emission boundary exists only under a
+    TIGHT watermark, and a tight watermark makes the result depend on
+    the runner's micro-batch arrival order — an out-of-order multi-batch
+    split evicts state mid-stream (flagged by driver_sim --env-parity's
+    splitstream variant). The oracle models the deterministic single-
+    batch execution the single-file fixture source produces; stream_join
+    demonstrates the span-covering-watermark replay configuration that
+    is batching-invariant."""
     ev = read_events_stream(spark, sf_dir)
     clicks = (
         ev.filter(F.col("event_type") == "click")
