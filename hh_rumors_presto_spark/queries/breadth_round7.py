@@ -556,3 +556,353 @@ def dedup_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("false_pos"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# text_rake_keywords
+# --------------------------------------------------------------------------
+
+_RAKE_STOP = (
+    "the", "of", "and", "a", "to", "in", "is", "on", "for", "with",
+    "as", "by", "at", "an", "be", "this", "that", "it", "are", "was",
+)
+_RAKE_TOPK = 3
+_RAKE_SCALE = 1_000_000  # micro-units: integer floor-div keeps scores exact
+
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOP)
+
+
+@query(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    marked AS (
+        SELECT doc_id, pos, tok,
+               CASE WHEN lower(tok) IN ({_RAKE_STOP_SQL}) OR tok = ''
+                    THEN 1 ELSE 0 END AS is_stop
+        FROM toks
+    ),
+    islanded AS (
+        SELECT doc_id, pos, tok, is_stop,
+               sum(is_stop) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS phrase_id
+        FROM marked
+    ),
+    phrase_words AS (
+        SELECT doc_id, phrase_id, pos, lower(tok) AS w
+        FROM islanded WHERE is_stop = 0
+    ),
+    phrases AS (
+        SELECT doc_id, phrase_id,
+               string_agg(w, ' ' ORDER BY pos) AS phrase,
+               count(*) AS plen
+        FROM phrase_words GROUP BY doc_id, phrase_id
+    ),
+    wordstats AS (
+        SELECT doc_id, w,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(plen) AS BIGINT) AS degree
+        FROM phrase_words pw
+        JOIN phrases ph USING (doc_id, phrase_id)
+        GROUP BY doc_id, w
+    ),
+    scored AS (
+        SELECT pw.doc_id, pw.phrase_id,
+               sum(ws.degree * {_RAKE_SCALE} // ws.freq) AS score_micro
+        FROM (SELECT DISTINCT doc_id, phrase_id, w FROM phrase_words) pw
+        JOIN wordstats ws USING (doc_id, w)
+        GROUP BY pw.doc_id, pw.phrase_id
+    )
+    SELECT doc_id, phrase, CAST(score_micro AS BIGINT) AS score_micro
+    FROM (
+        SELECT s.doc_id, p.phrase, s.score_micro,
+               row_number() OVER (
+                   PARTITION BY s.doc_id
+                   ORDER BY s.score_micro DESC, p.phrase
+               ) AS rn
+        FROM scored s JOIN phrases p USING (doc_id, phrase_id)
+    )
+    WHERE rn <= {_RAKE_TOPK}
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs (gaps-and-islands on the stopword
+    flag); word degree = Σ phrase length over containing phrases, word
+    freq = occurrence count; phrase score = Σ floor(degree*1e6/freq) in
+    integer micro-units (exact — no float-sum association drift); top
+    {_RAKE_TOPK} phrases per doc with (score desc, phrase) tie order.
+
+    Scale: explode + two keyed aggs + one window per doc — the same
+    single-shuffle family as text_tfidf; no pairwise anything."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    stop_arr = [F.lit(w) for w in _RAKE_STOP]
+    marked = toks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        (
+            F.lower("tok").isin(*[w for w in _RAKE_STOP])
+            | (F.col("tok") == "")
+        )
+        .cast("int")
+        .alias("is_stop"),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islanded = marked.withColumn("phrase_id", F.sum("is_stop").over(w_run))
+    pw = islanded.filter(F.col("is_stop") == 0).select(
+        "doc_id", "phrase_id", "pos", F.lower("tok").alias("w")
+    )
+    phrases = pw.groupBy("doc_id", "phrase_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, w))),"
+            " x -> x.w), ' ')"
+        ).alias("phrase"),
+        F.count("*").alias("plen"),
+    )
+    wordstats = (
+        pw.join(phrases.select("doc_id", "phrase_id", "plen"),
+                ["doc_id", "phrase_id"])
+        .groupBy("doc_id", "w")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("degree"),
+        )
+    )
+    scored = (
+        pw.select("doc_id", "phrase_id", "w")
+        .distinct()
+        .join(wordstats, ["doc_id", "w"])
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.sum(
+                F.expr(f"degree * {_RAKE_SCALE} DIV freq")
+            ).alias("score_micro")
+        )
+    )
+    w_top = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("phrase")
+    )
+    return (
+        scored.join(phrases.select("doc_id", "phrase_id", "phrase"),
+                    ["doc_id", "phrase_id"])
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= _RAKE_TOPK)
+        .select("doc_id", "phrase", F.col("score_micro").cast("long").alias("score_micro"))
+    )
+
+
+# --------------------------------------------------------------------------
+# pipeline_span_corrupt
+# --------------------------------------------------------------------------
+
+_SPAN_LEN = 3  # tokens per corruption-candidate span group
+_SPAN_PCT = 3  # corrupt groups where md5 % 20 < 3 (~15% of tokens)
+
+
+@query(
+    "pipeline_span_corrupt",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE len(string_split(text, ' ')) >= 10
+    ),
+    flagged AS (
+        SELECT doc_id, pos, tok,
+               (pos - 1) // {_SPAN_LEN} AS grp,
+               CASE WHEN CAST(('0x' || substring(md5(
+                        CAST(doc_id AS VARCHAR) || '#' ||
+                        CAST((pos - 1) // {_SPAN_LEN} AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 20 < {_SPAN_PCT}
+                    THEN 1 ELSE 0 END AS corrupt
+        FROM toks
+    ),
+    spans AS (
+        SELECT doc_id, grp, corrupt,
+               string_agg(tok, ' ' ORDER BY pos) AS span_text,
+               count(*) AS n_toks
+        FROM flagged
+        GROUP BY doc_id, grp, corrupt
+    ),
+    sentineled AS (
+        SELECT doc_id, grp, corrupt, span_text, n_toks,
+               CASE WHEN corrupt = 1 THEN
+                   sum(corrupt) OVER (
+                       PARTITION BY doc_id ORDER BY grp
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               END AS sentinel_no
+        FROM spans
+    )
+    SELECT doc_id,
+           string_agg(
+               CASE WHEN corrupt = 1
+                    THEN '<X_' || CAST(sentinel_no AS VARCHAR) || '>'
+                    ELSE span_text END, ' ' ORDER BY grp) AS input_text,
+           coalesce(string_agg(
+               CASE WHEN corrupt = 1
+                    THEN '<X_' || CAST(sentinel_no AS VARCHAR) || '> '
+                         || span_text END, ' ' ORDER BY grp), '')
+               AS target_text,
+           CAST(sum(CASE WHEN corrupt = 1 THEN n_toks ELSE 0 END) AS BIGINT)
+               AS n_corrupted_tokens
+    FROM sentineled
+    GROUP BY doc_id
+    """,
+)
+def pipeline_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020): tokens group into
+    spans of {_SPAN_LEN}; ~15% of spans (md5-deterministic per (doc,
+    span)) are replaced by numbered sentinels in the input while the
+    targets sequence pairs each sentinel with its original span — the
+    standard denoising-objective data transform, emitted as exact
+    strings so the whole example-construction pipeline is value-hashed.
+
+    Scale: explode -> keyed window + two-level agg per doc; the span
+    grouping is positional (no shuffle beyond the doc key)."""
+    docs = io.load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= 10
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    grp = F.expr(f"(pos - 1) DIV {_SPAN_LEN}")
+    corrupt = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#", F.col("doc_id").cast("string"),
+                        grp.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 20
+        < _SPAN_PCT
+    ).cast("int")
+    flagged = toks.select(
+        "doc_id", "pos", "tok", grp.alias("grp"), corrupt.alias("corrupt")
+    )
+    spans = flagged.groupBy("doc_id", "grp", "corrupt").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, tok))),"
+            " x -> x.tok), ' ')"
+        ).alias("span_text"),
+        F.count("*").alias("n_toks"),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("grp")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sentineled = spans.withColumn(
+        "sentinel_no",
+        F.when(F.col("corrupt") == 1, F.sum("corrupt").over(w_run)),
+    )
+    pieces = sentineled.withColumns(
+        {
+            "piece_in": F.when(
+                F.col("corrupt") == 1,
+                F.concat(
+                    F.lit("<X_"),
+                    F.col("sentinel_no").cast("string"),
+                    F.lit(">"),
+                ),
+            ).otherwise(F.col("span_text")),
+            "piece_tgt": F.when(
+                F.col("corrupt") == 1,
+                F.concat(
+                    F.lit("<X_"),
+                    F.col("sentinel_no").cast("string"),
+                    F.lit("> "),
+                    F.col("span_text"),
+                ),
+            ),
+        }
+    )
+    return pieces.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(grp, piece_in))),"
+            " x -> x.piece_in), ' ')"
+        ).alias("input_text"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(CASE WHEN "
+            "piece_tgt IS NOT NULL THEN struct(grp, piece_tgt) END)),"
+            " x -> x.piece_tgt), ' ')"
+        ).alias("target_text"),
+        F.sum(F.when(F.col("corrupt") == 1, F.col("n_toks")).otherwise(0))
+        .cast("long")
+        .alias("n_corrupted_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# pipeline_fim_format
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_fim_format",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents WHERE len(string_split(text, ' ')) >= 6
+    )
+    SELECT doc_id,
+           '<PRE> ' || array_to_string(toks[1 : n // 3], ' ')
+           || ' <SUF> ' || array_to_string(toks[2 * n // 3 + 1 : n], ' ')
+           || ' <MID> ' || array_to_string(toks[n // 3 + 1 : 2 * n // 3], ' ')
+               AS fim_text,
+           CAST(2 * n // 3 - n // 3 AS BIGINT) AS n_middle_tokens
+    FROM base
+    """,
+)
+def pipeline_fim_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle formatting (Bavarian et al. 2022, PSM order):
+    deterministic thirds split — prefix, suffix, middle — re-serialized
+    as '<PRE> p <SUF> s <MID> m' so the model learns infilling from the
+    rearranged causal stream. Pure positional slicing, exact strings.
+
+    Scale: zero-shuffle narrow map (split/slice/concat in codegen)."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).withColumn("n", F.size("toks")).filter(F.col("n") >= 6)
+    p_end = F.expr("n DIV 3")
+    m_end = F.expr("2 * n DIV 3")
+    fim = F.concat(
+        F.lit("<PRE> "),
+        F.array_join(F.slice("toks", 1, p_end), " "),
+        F.lit(" <SUF> "),
+        F.array_join(
+            F.slice("toks", m_end + 1, F.col("n") - m_end), " "
+        ),
+        F.lit(" <MID> "),
+        F.array_join(F.slice("toks", p_end + 1, m_end - p_end), " "),
+    )
+    return base.select(
+        "doc_id",
+        fim.alias("fim_text"),
+        (m_end - p_end).cast("long").alias("n_middle_tokens"),
+    )

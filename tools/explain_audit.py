@@ -61,6 +61,14 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "dedup_bloom_membership": [
         (r"BroadcastHashJoin", "kilobyte bloom-position set broadcast to the probe"),
     ],
+    "text_rake_keywords": [
+        (r"Window", "stopword gaps-and-islands + per-doc top-k"),
+        (r"HashAggregate", "phrase/word-stat aggregations"),
+    ],
+    "pipeline_span_corrupt": [
+        (r"Window", "running sentinel numbering per doc"),
+        (r"HashAggregate", "span and example reassembly aggregations"),
+    ],
     "scan_partition_pruned": [
         (r"PartitionFilters: \[[^\]]*o_orderstatus", "partition pruning"),
     ],
