@@ -175,10 +175,10 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            round(peak, 6) AS peak,
-           round((peak - value) / nullif(peak, 0.0), 6) AS drawdown
+           round((peak - CAST(value AS DOUBLE)) / nullif(peak, 0.0), 6) AS drawdown
     FROM (
-        SELECT event_id, user_id, value,
-               max(value) OVER (
+        SELECT event_id, user_id, CAST(value AS DOUBLE) AS value,
+               max(CAST(value AS DOUBLE)) OVER (
                    PARTITION BY user_id
                    ORDER BY CAST(ts AS TIMESTAMP), event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
@@ -192,7 +192,11 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern (peak-so-far, then relative drop from peak) behind alerting
     and financial drawdown metrics. Keyed cumulative window — constant
     state (one max), one shuffle."""
-    ev = io.load_table(spark, sf_dir, "events")
+    # value cast to double up front: on a FLOAT column Spark's round(x, 6)
+    # stays float32 (a near-no-op at 6dp) while the oracle rounds a DOUBLE
+    ev = io.load_table(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("double")
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -338,12 +342,12 @@ def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_mad",
     oracle="""
     WITH med AS (
-        SELECT event_type, quantile_cont(value, 0.5) AS m
+        SELECT event_type, quantile_cont(CAST(value AS DOUBLE), 0.5) AS m
         FROM events GROUP BY event_type
     )
     SELECT e.event_type,
            round(max(m.m), 6) AS median_value,
-           round(quantile_cont(abs(e.value - m.m), 0.5), 6) AS mad
+           round(quantile_cont(abs(CAST(e.value AS DOUBLE) - m.m), 0.5), 6) AS mad
     FROM events e JOIN med m ON e.event_type = m.event_type
     GROUP BY e.event_type
     """,

@@ -54,13 +54,17 @@ _EWMA_WEIGHTS = [0.5**i for i in range(1, 8)]  # exact binary fractions
 @query(
     "ts_ewma",
     oracle="""
-    WITH ev AS (
+    WITH evd AS (
+        SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS value
+        FROM events
+    ),
+    ev AS (
         SELECT user_id, event_id, value,
                lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,
                lag(value, 3) OVER w AS l3, lag(value, 4) OVER w AS l4,
                lag(value, 5) OVER w AS l5, lag(value, 6) OVER w AS l6,
                lag(value, 7) OVER w AS l7
-        FROM events
+        FROM evd
         WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
     )
     SELECT user_id, event_id,

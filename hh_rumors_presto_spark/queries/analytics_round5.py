@@ -350,7 +350,7 @@ def join_pit_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_holt_winters",
     oracle="""
     WITH RECURSIVE s AS (
-        SELECT user_id, event_id, value,
+        SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
                row_number() OVER (
                    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
                ) AS rn

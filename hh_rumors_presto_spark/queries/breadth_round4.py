@@ -308,7 +308,7 @@ def join_interval_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_arrow_batch",
     oracle="""
     SELECT event_id,
-           round(sqrt(abs(value)) * 3.0, 6) AS score
+           round(sqrt(abs(CAST(value AS DOUBLE))) * 3.0, 6) AS score
     FROM events WHERE event_type = 'view'
     """,
 )
@@ -330,8 +330,12 @@ def udf_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def score_batches(batches):
         for b in batches:
+            # cast to float64 FIRST: a FLOAT fixture would keep the whole
+            # Arrow kernel chain in float32 while the oracle computes in
+            # DOUBLE (same widening contract as the pandas-UDF paths)
+            v = pc.cast(b.column("value"), pa.float64())
             score = pc.round(
-                pc.multiply(pc.sqrt(pc.abs_checked(b.column("value"))), 3.0),
+                pc.multiply(pc.sqrt(pc.abs_checked(v)), 3.0),
                 ndigits=6,
                 round_mode="half_towards_infinity",
             )

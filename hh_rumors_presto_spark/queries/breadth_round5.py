@@ -50,7 +50,7 @@ def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     "try_fns",
     oracle="""
     SELECT event_id,
-           value / nullif(user_id % 5, 0) AS safe_ratio,
+           CAST(value AS DOUBLE) / nullif(user_id % 5, 0) AS safe_ratio,
            TRY_CAST(event_type AS INT) AS bad_int,
            string_split(event_type, '_')[3] AS third_part
     FROM events
@@ -76,7 +76,7 @@ def try_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_rolling_median",
     oracle="""
     SELECT event_id, user_id,
-           round(quantile_cont(value, 0.5) OVER (
+           round(quantile_cont(CAST(value AS DOUBLE), 0.5) OVER (
                PARTITION BY user_id
                ORDER BY CAST(ts AS TIMESTAMP), event_id
                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW

@@ -906,3 +906,240 @@ def pipeline_fim_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         fim.alias("fim_text"),
         (m_end - p_end).cast("long").alias("n_middle_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# graph_modularity
+# --------------------------------------------------------------------------
+
+
+def _modularity_oracle() -> str:
+    from hh_rumors_presto_spark.queries.extensions_dedup import (
+        _jaccard_pairs_sql,
+    )
+
+    return (
+        _jaccard_pairs_sql()
+        + """
+    , e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+    lang_of AS (SELECT doc_id, lang FROM documents),
+    labeled AS (
+        SELECT e.a, e.b, la.lang AS lang_a, lb.lang AS lang_b
+        FROM e
+        JOIN lang_of la ON la.doc_id = e.a
+        JOIN lang_of lb ON lb.doc_id = e.b
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+    intra AS (
+        SELECT lang_a AS lang, CAST(count(*) AS BIGINT) AS intra_edges
+        FROM labeled WHERE lang_a = lang_b GROUP BY lang_a
+    ),
+    deg AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS deg_sum FROM (
+            SELECT lang_a AS lang FROM labeled
+            UNION ALL SELECT lang_b FROM labeled)
+        GROUP BY lang
+    ),
+    parts AS (
+        SELECT d.lang,
+               coalesce(i.intra_edges, 0) AS intra_edges,
+               d.deg_sum
+        FROM deg d LEFT JOIN intra i USING (lang)
+    )
+    SELECT (SELECT m FROM m) AS m,
+           CAST(sum(4 * (SELECT m FROM m) * intra_edges
+                    - deg_sum * deg_sum) AS BIGINT) AS q_num,
+           CAST(4 * (SELECT m FROM m) * (SELECT m FROM m) AS BIGINT)
+               AS q_den,
+           CAST(sum(4 * (SELECT m FROM m) * intra_edges
+                    - deg_sum * deg_sum) AS DOUBLE)
+               / (4 * (SELECT m FROM m) * (SELECT m FROM m)) AS modularity
+    FROM parts
+    """
+    )
+
+
+@query("graph_modularity", oracle=_modularity_oracle())
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the language partition over the near-dup
+    pair graph: Q = Σ_c (intra_c/m − (deg_c/2m)²), computed as the exact
+    integer rational Σ_c (4·m·intra_c − deg_c²) / 4m² with ONE final
+    division — the partition-quality score that says whether near-dup
+    structure respects a grouping (here: do near-dups stay within a
+    language?). The community assignment is a COLUMN, not an iterative
+    algorithm, so the oracle is closed-form.
+
+    Scale: the pair list joins the (doc → lang) projection twice
+    (broadcast — it is |docs| small relative to pairs at corpus scale),
+    then three tiny aggregates."""
+    from hh_rumors_presto_spark.queries.extensions_dedup import (
+        dedup_ngram_jaccard,
+    )
+
+    e = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    lang_of = io.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    )
+    labeled = (
+        e.join(
+            F.broadcast(
+                lang_of.select(
+                    F.col("doc_id").alias("a"), F.col("lang").alias("lang_a")
+                )
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                lang_of.select(
+                    F.col("doc_id").alias("b"), F.col("lang").alias("lang_b")
+                )
+            ),
+            "b",
+        )
+    )
+    m_df = e.agg(F.count("*").cast("long").alias("m"))
+    intra = (
+        labeled.filter(F.col("lang_a") == F.col("lang_b"))
+        .groupBy(F.col("lang_a").alias("lang"))
+        .agg(F.count("*").cast("long").alias("intra_edges"))
+    )
+    deg = (
+        labeled.select(F.col("lang_a").alias("lang"))
+        .unionAll(labeled.select(F.col("lang_b").alias("lang")))
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("deg_sum"))
+    )
+    parts = deg.join(intra, "lang", "left").select(
+        "lang",
+        F.coalesce(F.col("intra_edges"), F.lit(0)).alias("intra_edges"),
+        "deg_sum",
+    )
+    joined = parts.crossJoin(F.broadcast(m_df))
+    return joined.agg(
+        F.first("m").alias("m"),
+        F.sum(
+            4 * F.col("m") * F.col("intra_edges")
+            - F.col("deg_sum") * F.col("deg_sum")
+        )
+        .cast("long")
+        .alias("q_num"),
+        (4 * F.first("m") * F.first("m")).cast("long").alias("q_den"),
+        (
+            F.sum(
+                4 * F.col("m") * F.col("intra_edges")
+                - F.col("deg_sum") * F.col("deg_sum")
+            ).cast("double")
+            / (4 * F.first("m") * F.first("m"))
+        ).alias("modularity"),
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus_epoch_expand
+# --------------------------------------------------------------------------
+
+_EPOCH_FRAC_SCALE = 1_000_000
+
+
+@query(
+    "corpus_epoch_expand",
+    oracle=f"""
+    WITH doc_tokens AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    src AS (
+        SELECT source, CAST(sum(n_tok) AS BIGINT) AS t_src
+        FROM doc_tokens GROUP BY source
+    ),
+    target AS (SELECT max(t_src) AS u FROM src),
+    factors AS (
+        SELECT s.source, s.t_src,
+               (SELECT u FROM target) // s.t_src AS whole,
+               ((SELECT u FROM target) % s.t_src) * {_EPOCH_FRAC_SCALE}
+                   // s.t_src AS frac_scaled
+        FROM src s
+    ),
+    expanded AS (
+        SELECT d.doc_id, d.source, d.n_tok,
+               f.whole
+               + CASE WHEN CAST(('0x' || substring(md5(
+                       'epoch#' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % {_EPOCH_FRAC_SCALE} < f.frac_scaled
+                      THEN 1 ELSE 0 END AS repeats
+        FROM doc_tokens d JOIN factors f USING (source)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(repeats) AS BIGINT) AS n_expanded,
+           CAST(sum(repeats * n_tok) AS BIGINT) AS expanded_tokens,
+           CAST(min(repeats) AS BIGINT) AS min_repeats,
+           CAST(max(repeats) AS BIGINT) AS max_repeats
+    FROM expanded
+    GROUP BY source
+    """,
+)
+def corpus_epoch_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch expansion for corpus mixing: every source is
+    upsampled to the largest source's token mass U via the rational
+    repeat factor U/T_src — each doc repeats floor(U/T_src) times plus
+    one more when its md5 draw falls under the fractional part
+    (deterministic Poisson rounding, exact integer arithmetic at scale
+    1e{6}). This is the repeat-factor planning step of multi-epoch data
+    mixtures: the expanded token mass per source lands within one doc
+    of the target with zero randomness.
+
+    Scale: two aggregates and a broadcast factor join; the actual
+    explosion (one output row per repeat) is a downstream
+    explode(sequence(1, repeats)) the plan here deliberately reduces to
+    its audit numbers — the planning decision is what needs verifying."""
+    docs = io.load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    src = docs.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("t_src")
+    )
+    target = src.agg(F.max("t_src").alias("u"))
+    factors = src.crossJoin(F.broadcast(target)).select(
+        "source",
+        "t_src",
+        F.expr("u DIV t_src").alias("whole"),
+        F.expr(f"(u % t_src) * {_EPOCH_FRAC_SCALE} DIV t_src").alias(
+            "frac_scaled"
+        ),
+    )
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("epoch#"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _EPOCH_FRAC_SCALE
+    )
+    expanded = docs.join(F.broadcast(factors), "source").select(
+        "source",
+        "n_tok",
+        (
+            F.col("whole")
+            + (draw < F.col("frac_scaled")).cast("long")
+        ).alias("repeats"),
+    )
+    return expanded.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("repeats").cast("long").alias("n_expanded"),
+        F.sum(F.col("repeats") * F.col("n_tok"))
+        .cast("long")
+        .alias("expanded_tokens"),
+        F.min("repeats").cast("long").alias("min_repeats"),
+        F.max("repeats").cast("long").alias("max_repeats"),
+    )
