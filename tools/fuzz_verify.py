@@ -48,6 +48,7 @@ corpus_domain_cap text_blocklist sample_stratified
 dedup_minhash_recall dedup_simhash_recall dedup_levenshtein
 text_winnow dedup_bloom_membership graph_clustering_coeff
 text_rake_keywords pipeline_span_corrupt pipeline_fim_format
+graph_modularity corpus_epoch_expand
 """.split()
 
 EVENT_KEYS = """
