@@ -23,6 +23,7 @@ def load() -> None:
         breadth_round5,
         breadth_round6,
         breadth_round7,
+        breadth_round8,
         engine_surface,
         engine_surface2,
         event_analytics,

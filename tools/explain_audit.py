@@ -454,7 +454,10 @@ FORBIDDEN = (
       # emb_truncate_quality broadcasts its 20-row query set over the
       # corpus (sim_topk's sanctioned brute-force-baseline shape);
       # sim_ivfpq_stages crossJoins five ONE-ROW stage-checksum aggregates
-      "emb_truncate_quality", "sim_ivfpq_stages"}),
+      "emb_truncate_quality", "sim_ivfpq_stages",
+      # dq_ks_test crossJoins its ONE-ROW (n_a, n_b) totals with the
+      # distinct-value CDF (same shape as agg_share_of_total)
+      "dq_ks_test"}),
 )
 
 

@@ -57,6 +57,7 @@ ts_interval_coverage win_rank win_laglead win_ffill agg_weighted_median
 dq_freshness ts_seasonal_decompose ts_forecast_backtest join_pit_multi
 ts_holt_winters stream_merge_upsert stream_session_state
 ts_downsample_ltob ts_acf ts_paa_sax stream_typed_state
+dq_ks_test ts_dtw_paa
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
