@@ -24,6 +24,7 @@ def load() -> None:
         breadth_round6,
         breadth_round7,
         breadth_round8,
+        breadth_round9,
         engine_surface,
         engine_surface2,
         event_analytics,

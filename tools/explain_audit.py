@@ -202,6 +202,18 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "layout_zorder": [
         (r"partial_min|partial_count", "per-cell stats partially aggregated map-side"),
     ],
+    "layout_hilbert": [
+        (r"partial_min|partial_count", "per-cell stats partially aggregated map-side"),
+        (r"element_at\(", "constant curve table applied as a narrow map (no UDF, no join)"),
+    ],
+    "join_skew_hybrid": [
+        (r"BroadcastHashJoin", "hot keys take the map-side broadcast branch"),
+        (r"SortMergeJoin|ShuffledHashJoin", "cold keys take the ordinary shuffle join"),
+    ],
+    "dedup_ppjoin": [
+        (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+         "prefix-collision candidates via equi-join, never all-pairs"),
+    ],
     "emb_knn_graph": [
         (r"hashpartitioning\(vec_a", "per-node top-k window keyed by vec_a"),
         (r"WindowGroupLimit", "rank<=k rewritten to per-partition group limit"),

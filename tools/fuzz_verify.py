@@ -48,7 +48,7 @@ corpus_domain_cap text_blocklist sample_stratified
 dedup_minhash_recall dedup_simhash_recall dedup_levenshtein
 text_winnow dedup_bloom_membership graph_clustering_coeff
 text_rake_keywords pipeline_span_corrupt pipeline_fim_format
-graph_modularity corpus_epoch_expand
+graph_modularity corpus_epoch_expand dedup_ppjoin
 """.split()
 
 EVENT_KEYS = """
@@ -57,7 +57,7 @@ ts_interval_coverage win_rank win_laglead win_ffill agg_weighted_median
 dq_freshness ts_seasonal_decompose ts_forecast_backtest join_pit_multi
 ts_holt_winters stream_merge_upsert stream_session_state
 ts_downsample_ltob ts_acf ts_paa_sax stream_typed_state
-dq_ks_test ts_dtw_paa
+dq_ks_test ts_dtw_paa join_skew_hybrid layout_hilbert
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
