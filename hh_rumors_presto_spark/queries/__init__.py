@@ -25,6 +25,7 @@ def load() -> None:
         breadth_round7,
         breadth_round8,
         breadth_round9,
+        breadth_round10,
         engine_surface,
         engine_surface2,
         event_analytics,

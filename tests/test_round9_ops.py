@@ -209,3 +209,132 @@ def test_hilbert_cells_match_python_replay(spark, sf_dir):
         for r in QUERIES["layout_hilbert"](spark, sf_dir).collect()
     }
     assert got == cells
+
+
+def test_hll_window_merge_equals_direct_sketch(spark, sf_dir):
+    """The merged 3-hour register vector must equal the register vector
+    of a direct sketch over the same 3 hours (HLL merge soundness), and
+    the pinned relative error must stay within sketch tolerance."""
+    import hashlib
+
+    M_RANK_HEX = 13
+    rows = [
+        r
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+        if r.ts is not None
+    ]
+
+    def hour_of(r):
+        # fixture ts is tz-naive micros; both engines treat it as UTC
+        import calendar
+
+        return calendar.timegm(r.ts.timetuple()) * 1000000 // 3600000000
+
+    def bucket_rho(uid):
+        hexd = hashlib.md5(str(uid).encode()).hexdigest()
+        bucket = int(hexd[:2], 16)
+        stripped = hexd[2 : 2 + M_RANK_HEX].lstrip("0")
+        if not stripped:
+            return bucket, 4 * M_RANK_HEX + 1
+        nib = stripped[0]
+        extra = 3 if nib == "1" else 2 if nib in "23" else 1 if nib in "4567" else 0
+        return bucket, 4 * (M_RANK_HEX - len(stripped)) + extra + 1
+
+    hourly = {}
+    hours = set()
+    for r in rows:
+        h = hour_of(r)
+        hours.add(h)
+        b, rho = bucket_rho(r.user_id)
+        key = (h, b)
+        hourly[key] = max(hourly.get(key, 0), rho)
+    for target in sorted(hours):
+        merged = {}
+        direct = {}
+        for (h, b), m in hourly.items():
+            if target - 2 <= h <= target:
+                merged[b] = max(merged.get(b, 0), m)
+        for r in rows:
+            if target - 2 <= hour_of(r) <= target:
+                b, rho = bucket_rho(r.user_id)
+                direct[b] = max(direct.get(b, 0), rho)
+        assert merged == direct, target
+    got = {r.hour: r for r in QUERIES["sketch_hll_window"](spark, sf_dir).collect()}
+    assert set(got) == hours
+    for r in got.values():
+        assert r.rel_err <= 0.30, (r.hour, r.rel_err)
+
+
+def test_schema_evolution_buckets_old_rows_as_null(spark, sf_dir):
+    """Every even orderkey (v1, written without the column) must land in
+    the '(pre-evolution)' bucket; odd keys keep their real status."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    want = {}
+    from decimal import Decimal
+
+    for o in orders:
+        status = (
+            "(pre-evolution)" if o.o_orderkey % 2 == 0 else o.o_orderstatus
+        )
+        n, tot = want.get(status, (0, Decimal(0)))
+        want[status] = (
+            n + 1,
+            tot + Decimal(str(o.o_totalprice)).quantize(Decimal("0.01")),
+        )
+    got = {
+        r.status: (r.n, r.total_price)
+        for r in QUERIES["sink_schema_evolution"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, tot) in want.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - float(tot)) < 1e-6
+
+
+def test_contrastive_triplets_structure_and_pos_is_argmax(spark, sf_dir):
+    """Per anchor: exactly one positive (the true Jaccard argmax,
+    re-derived in Python), hard negatives strictly below the near-dup
+    threshold in score order, and exactly 2 random negatives from the
+    other-language pool."""
+    docs = {
+        r.doc_id: r
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    shingles = {d: _bigrams(r.text) for d, r in docs.items()}
+    rows = QUERIES["pipeline_contrastive_negatives"](spark, sf_dir).collect()
+    by_anchor = {}
+    for r in rows:
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    assert by_anchor
+    for anchor, rs in by_anchor.items():
+        assert anchor % 7 == 0 and shingles[anchor]
+        kinds = {}
+        for r in rs:
+            kinds.setdefault(r.kind, []).append(r)
+        # positive = exact argmax of micro-Jaccard over same-lang docs
+        best = None
+        for cand, sset in shingles.items():
+            if cand == anchor or docs[cand].lang != docs[anchor].lang:
+                continue
+            inter = len(shingles[anchor] & sset)
+            if inter == 0:
+                continue
+            uni = len(shingles[anchor] | sset)
+            score = inter * 1000000 // uni
+            k = (-score, cand)
+            if best is None or k < best[0]:
+                best = (k, cand, score)
+        if best is None:
+            assert "pos" not in kinds
+            continue
+        (pos,) = kinds["pos"]
+        assert (pos.cand_id, pos.score_micro) == (best[1], best[2])
+        for r in kinds.get("hard_neg", []):
+            inter = len(shingles[anchor] & shingles[r.cand_id])
+            uni = len(shingles[anchor] | shingles[r.cand_id])
+            assert 2 * inter < uni, "hard negative is a near-dup"
+        rand = kinds.get("rand_neg", [])
+        assert len(rand) == 2
+        for r in rand:
+            assert r.cand_id % 11 == 3
+            assert docs[r.cand_id].lang != docs[anchor].lang

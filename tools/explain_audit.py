@@ -467,6 +467,11 @@ FORBIDDEN = (
       # corpus (sim_topk's sanctioned brute-force-baseline shape);
       # sim_ivfpq_stages crossJoins five ONE-ROW stage-checksum aggregates
       "emb_truncate_quality", "sim_ivfpq_stages",
+      # pipeline_contrastive_negatives broadcasts its BOUNDED random-
+      # negative pool (46 rows at sf0.01) over the anchor set for the
+      # lang != lang theta join; the similarity join itself is a
+      # lang-blocked equi-join
+      "pipeline_contrastive_negatives",
       # dq_ks_test crossJoins its ONE-ROW (n_a, n_b) totals with the
       # distinct-value CDF (same shape as agg_share_of_total)
       "dq_ks_test"}),

@@ -49,6 +49,7 @@ dedup_minhash_recall dedup_simhash_recall dedup_levenshtein
 text_winnow dedup_bloom_membership graph_clustering_coeff
 text_rake_keywords pipeline_span_corrupt pipeline_fim_format
 graph_modularity corpus_epoch_expand dedup_ppjoin
+pipeline_contrastive_negatives
 """.split()
 
 EVENT_KEYS = """
@@ -58,6 +59,7 @@ dq_freshness ts_seasonal_decompose ts_forecast_backtest join_pit_multi
 ts_holt_winters stream_merge_upsert stream_session_state
 ts_downsample_ltob ts_acf ts_paa_sax stream_typed_state
 dq_ks_test ts_dtw_paa join_skew_hybrid layout_hilbert
+sketch_hll_window
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
@@ -73,6 +75,7 @@ agg_share_of_total global_row_number join_star sql_tpch_q3 sql_tpch_q4
 sql_tpch_q12 sql_tpch_q19 dim_calendar_join ml_logreg_gd table_checksum
 agg_pivot agg_rollup merge_upsert graph_wcc
 agg_approx_distinct agg_approx_quantile sketch_hll_merge
+sink_schema_evolution
 ivm_retract_delta
 """.split()
 
