@@ -338,3 +338,35 @@ def test_contrastive_triplets_structure_and_pos_is_argmax(spark, sf_dir):
         for r in rand:
             assert r.cand_id % 11 == 3
             assert docs[r.cand_id].lang != docs[anchor].lang
+
+
+def test_viterbi_matches_brute_force_enumeration(spark, sf_dir):
+    """Enumerate EVERY segmentation of every fixture word and check the
+    DP's (cost, n_pieces) equals the true minimum of the packed
+    encoding (cost*64 + n, so ties prefer fewer pieces)."""
+    from hh_rumors_presto_spark.queries.tokenizer_round2 import (
+        _VIT_MAX_PIECE,
+        _VIT_VOCAB,
+        _viterbi_enc_py,
+    )
+
+    def enumerate_encs(word):
+        if not word:
+            yield (0, 0)
+            return
+        for k in range(1, min(_VIT_MAX_PIECE, len(word)) + 1):
+            cost = _VIT_VOCAB.get(word[:k])
+            if cost is None:
+                continue
+            for c, n in enumerate_encs(word[k:]):
+                yield (cost + c, n + 1)
+
+    rows = QUERIES["text_unigram_viterbi"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        encs = [c * 64 + n for c, n in enumerate_encs(r.word)]
+        assert encs, r.word
+        best = min(encs)
+        assert r.cost_micro == best // 64, r.word
+        assert r.n_pieces == best % 64, r.word
+        assert _viterbi_enc_py(r.word) == best, r.word

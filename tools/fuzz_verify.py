@@ -49,7 +49,7 @@ dedup_minhash_recall dedup_simhash_recall dedup_levenshtein
 text_winnow dedup_bloom_membership graph_clustering_coeff
 text_rake_keywords pipeline_span_corrupt pipeline_fim_format
 graph_modularity corpus_epoch_expand dedup_ppjoin
-pipeline_contrastive_negatives
+pipeline_contrastive_negatives text_unigram_viterbi
 """.split()
 
 EVENT_KEYS = """
