@@ -26,6 +26,7 @@ def load() -> None:
         breadth_round8,
         breadth_round9,
         breadth_round10,
+        breadth_round11,
         tokenizer_round2,
         engine_surface,
         engine_surface2,

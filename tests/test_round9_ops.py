@@ -370,3 +370,62 @@ def test_viterbi_matches_brute_force_enumeration(spark, sf_dir):
         assert r.cost_micro == best // 64, r.word
         assert r.n_pieces == best % 64, r.word
         assert _viterbi_enc_py(r.word) == best, r.word
+
+
+def test_txn_log_snapshot_excludes_stale_and_uncommitted(spark, sf_dir):
+    """Python-rederive the committed snapshot (A + rewritten C) and
+    check both the values and that the answer PROVABLY differs from a
+    directory-listing read (which would double-count B and see the
+    never-committed D)."""
+    from decimal import Decimal
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    want = {}
+    naive_n = 0
+    for o in orders:
+        m = o.o_orderkey % 3
+        price = Decimal(str(o.o_totalprice)).quantize(Decimal("0.01"))
+        if m in (0, 1):
+            n, tot = want.get(o.o_orderstatus, (0, Decimal(0)))
+            want[o.o_orderstatus] = (
+                n + 1,
+                tot + (2 * price if m == 1 else price),
+            )
+        naive_n += 1 + (1 if m == 1 else 0)  # listing read: A+B+C+D rows
+    rows = QUERIES["scan_txn_log"](spark, sf_dir).collect()
+    got = {r.status: (r.n, r.total_price) for r in rows}
+    assert set(got) == set(want)
+    for k, (n, tot) in want.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - float(tot)) < 1e-6
+    assert sum(n for n, _ in want.values()) < naive_n
+
+
+def test_hashing_trick_matches_python_md5_replay(spark, sf_dir):
+    """Replay bucket/sign hashing per doc in Python and compare the
+    integer nnz / l1 / checksum triple exactly."""
+    import hashlib
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    want = {}
+    for d in docs:
+        vec = {}
+        for tok in d.text.split(" "):
+            if not tok:
+                continue
+            h = hashlib.md5(tok.encode()).hexdigest()
+            feat = int(h[:8], 16) % 256
+            sgn = 1 if int(h[8], 16) % 2 == 0 else -1
+            vec[feat] = vec.get(feat, 0) + sgn
+        if not vec:
+            continue
+        want[d.doc_id] = (
+            sum(1 for w in vec.values() if w != 0),
+            sum(abs(w) for w in vec.values()),
+            sum(f * w for f, w in vec.items()),
+        )
+    got = {
+        r.doc_id: (r.nnz, r.l1, r.checksum)
+        for r in QUERIES["feat_hashing_trick"](spark, sf_dir).collect()
+    }
+    assert got == want

@@ -50,6 +50,7 @@ text_winnow dedup_bloom_membership graph_clustering_coeff
 text_rake_keywords pipeline_span_corrupt pipeline_fim_format
 graph_modularity corpus_epoch_expand dedup_ppjoin
 pipeline_contrastive_negatives text_unigram_viterbi
+feat_hashing_trick
 """.split()
 
 EVENT_KEYS = """
@@ -75,7 +76,7 @@ agg_share_of_total global_row_number join_star sql_tpch_q3 sql_tpch_q4
 sql_tpch_q12 sql_tpch_q19 dim_calendar_join ml_logreg_gd table_checksum
 agg_pivot agg_rollup merge_upsert graph_wcc
 agg_approx_distinct agg_approx_quantile sketch_hll_merge
-sink_schema_evolution
+sink_schema_evolution scan_txn_log
 ivm_retract_delta
 """.split()
 
