@@ -27,6 +27,7 @@ def load() -> None:
         breadth_round9,
         breadth_round10,
         breadth_round11,
+        breadth_round12,
         tokenizer_round2,
         engine_surface,
         engine_surface2,

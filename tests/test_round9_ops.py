@@ -429,3 +429,74 @@ def test_hashing_trick_matches_python_md5_replay(spark, sf_dir):
         for r in QUERIES["feat_hashing_trick"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_bootstrap_ci_brackets_point_and_weights_are_poisson(spark, sf_dir):
+    """Replay the deterministic Poisson weights in Python for one
+    replica, check the replica mean matches, and check lo <= point <= hi
+    (with B=32 the point estimate must sit inside the ~94% interval on
+    a well-behaved fixture)."""
+    import hashlib
+
+    from hh_rumors_presto_spark.queries.breadth_round12 import _BS_CDF
+
+    rows = [
+        r
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+        if r.value is not None
+    ]
+    cents = {r.event_id: math.floor(r.value * 100.0 + 0.5) for r in rows}
+    swc = sw = 0
+    for eid, c in cents.items():
+        u = int(hashlib.md5(f"{eid}#7".encode()).hexdigest()[:8], 16)
+        w = next(
+            (k for k, t in enumerate(_BS_CDF) if u < t), len(_BS_CDF)
+        )
+        swc += w * c
+        sw += w
+    replica7 = swc * 1000000 // sw
+    (row,) = QUERIES["aqp_bootstrap_ci"](spark, sf_dir).collect()
+    point = sum(cents.values()) * 1000000 // len(cents)
+    assert row.point_micro == point
+    assert row.n_replicas == 32
+    assert row.lo_micro <= row.point_micro <= row.hi_micro
+    # a replayed replica mean deviates from the point by O(sd/sqrt(n));
+    # 5% of the point is orders of magnitude looser than that
+    assert abs(replica7 - point) < 0.05 * point
+
+
+def test_bigram_backoff_matches_python_lm(spark, sf_dir):
+    """Re-derive the Stupid-Backoff score for every doc in Python
+    (micro-nat rounding per term, integer sum) and compare exactly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    streams = {
+        d.doc_id: [t for t in d.text.split(" ") if t] for d in docs
+    }
+    uni = {}
+    big = {}
+    n = 0
+    for toks in streams.values():
+        for i, t in enumerate(toks):
+            uni[t] = uni.get(t, 0) + 1
+            n += 1
+            if i > 0:
+                big[(toks[i - 1], t)] = big.get((toks[i - 1], t), 0) + 1
+    want = {}
+    for doc_id, toks in streams.items():
+        if not toks:
+            continue
+        s = 0
+        for i, t in enumerate(toks):
+            if i == 0:
+                lp = math.log(uni[t] / n)
+            elif (toks[i - 1], t) in big:
+                lp = math.log(big[(toks[i - 1], t)] / uni[toks[i - 1]])
+            else:
+                lp = math.log(0.4 * uni[t] / n)
+            s += math.floor(lp * 1000000.0 + 0.5)
+        want[doc_id] = (s, len(toks))
+    got = {
+        r.doc_id: (r.score_micro, r.n_tokens)
+        for r in QUERIES["text_lm_bigram_backoff"](spark, sf_dir).collect()
+    }
+    assert got == want

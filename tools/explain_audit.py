@@ -472,6 +472,10 @@ FORBIDDEN = (
       # lang != lang theta join; the similarity join itself is a
       # lang-blocked equi-join
       "pipeline_contrastive_negatives",
+      # aqp_bootstrap_ci crossJoins its ONE-ROW point estimate with the
+      # 32-row replica ranking; text_lm_bigram_backoff crossJoins its
+      # ONE-ROW corpus token total (same shape as text_lm_score)
+      "aqp_bootstrap_ci", "text_lm_bigram_backoff",
       # dq_ks_test crossJoins its ONE-ROW (n_a, n_b) totals with the
       # distinct-value CDF (same shape as agg_share_of_total)
       "dq_ks_test"}),

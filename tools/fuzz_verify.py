@@ -50,7 +50,7 @@ text_winnow dedup_bloom_membership graph_clustering_coeff
 text_rake_keywords pipeline_span_corrupt pipeline_fim_format
 graph_modularity corpus_epoch_expand dedup_ppjoin
 pipeline_contrastive_negatives text_unigram_viterbi
-feat_hashing_trick
+feat_hashing_trick text_lm_bigram_backoff
 """.split()
 
 EVENT_KEYS = """
@@ -60,7 +60,7 @@ dq_freshness ts_seasonal_decompose ts_forecast_backtest join_pit_multi
 ts_holt_winters stream_merge_upsert stream_session_state
 ts_downsample_ltob ts_acf ts_paa_sax stream_typed_state
 dq_ks_test ts_dtw_paa join_skew_hybrid layout_hilbert
-sketch_hll_window
+sketch_hll_window aqp_bootstrap_ci
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
