@@ -28,6 +28,7 @@ def load() -> None:
         breadth_round10,
         breadth_round11,
         breadth_round12,
+        breadth_round13,
         tokenizer_round2,
         engine_surface,
         engine_surface2,

@@ -50,7 +50,7 @@ text_winnow dedup_bloom_membership graph_clustering_coeff
 text_rake_keywords pipeline_span_corrupt pipeline_fim_format
 graph_modularity corpus_epoch_expand dedup_ppjoin
 pipeline_contrastive_negatives text_unigram_viterbi
-feat_hashing_trick text_lm_bigram_backoff
+feat_hashing_trick text_lm_bigram_backoff corpus_anneal_mix
 """.split()
 
 EVENT_KEYS = """
@@ -77,7 +77,7 @@ sql_tpch_q12 sql_tpch_q19 dim_calendar_join ml_logreg_gd table_checksum
 agg_pivot agg_rollup merge_upsert graph_wcc
 agg_approx_distinct agg_approx_quantile sketch_hll_merge
 sink_schema_evolution scan_txn_log
-ivm_retract_delta
+ivm_retract_delta recs_item_cf agg_pushdown_join
 """.split()
 
 EMB_KEYS = """
