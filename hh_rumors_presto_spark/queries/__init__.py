@@ -29,6 +29,7 @@ def load() -> None:
         breadth_round11,
         breadth_round12,
         breadth_round13,
+        breadth_round14,
         tokenizer_round2,
         engine_surface,
         engine_surface2,

@@ -401,6 +401,31 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          "banded candidates via equi-join, never all-pairs"),
         (r"bit_count", "exact popcount hamming filter in-plan"),
     ],
+    # round-13/14 batches
+    "recs_item_cf": [
+        (r"WindowGroupLimit", "top-3 per item as a partial group limit"),
+        (r"BroadcastHashJoin", "item-count sides broadcast onto the pairs"),
+    ],
+    "agg_pushdown_join": [
+        (r"partial_sum", "fact pre-aggregated map-side before any join"),
+        (r"BroadcastHashJoin", "dimension chain broadcast onto the partials"),
+    ],
+    "corpus_anneal_mix": [
+        (r"partial_sum", "per-source token totals map-side combined"),
+    ],
+    "ml_naive_bayes": [
+        (r"WindowGroupLimit", "argmax class as a partial group limit"),
+        (r"BroadcastHashJoin", "(class, token) count model broadcast"),
+    ],
+    "agg_mutual_info": [
+        (r"partial_count", "contingency cells map-side combined"),
+        (r"BroadcastHashJoin", "margins broadcast onto the cell table"),
+    ],
+    "ts_theil_sen": [
+        (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+         "pair join blocked per event_type, never all-pairs"),
+        (r"partial_sum", "daily cents partials map-side combined"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -478,7 +503,12 @@ FORBIDDEN = (
       "aqp_bootstrap_ci", "text_lm_bigram_backoff",
       # dq_ks_test crossJoins its ONE-ROW (n_a, n_b) totals with the
       # distinct-value CDF (same shape as agg_share_of_total)
-      "dq_ks_test"}),
+      "dq_ks_test",
+      # corpus_anneal_mix crossJoins its ONE-ROW corpus total;
+      # agg_mutual_info its ONE-ROW N; ml_naive_bayes broadcasts the
+      # K-row prior/class-total model and ONE-ROW vocab scalar over the
+      # token stream (the model IS tiny; the count join is a hash join)
+      "corpus_anneal_mix", "agg_mutual_info", "ml_naive_bayes"}),
 )
 
 

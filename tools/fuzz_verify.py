@@ -51,6 +51,7 @@ text_rake_keywords pipeline_span_corrupt pipeline_fim_format
 graph_modularity corpus_epoch_expand dedup_ppjoin
 pipeline_contrastive_negatives text_unigram_viterbi
 feat_hashing_trick text_lm_bigram_backoff corpus_anneal_mix
+ml_naive_bayes
 """.split()
 
 EVENT_KEYS = """
@@ -60,7 +61,7 @@ dq_freshness ts_seasonal_decompose ts_forecast_backtest join_pit_multi
 ts_holt_winters stream_merge_upsert stream_session_state
 ts_downsample_ltob ts_acf ts_paa_sax stream_typed_state
 dq_ks_test ts_dtw_paa join_skew_hybrid layout_hilbert
-sketch_hll_window aqp_bootstrap_ci
+sketch_hll_window aqp_bootstrap_ci ts_theil_sen
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
@@ -77,7 +78,7 @@ sql_tpch_q12 sql_tpch_q19 dim_calendar_join ml_logreg_gd table_checksum
 agg_pivot agg_rollup merge_upsert graph_wcc
 agg_approx_distinct agg_approx_quantile sketch_hll_merge
 sink_schema_evolution scan_txn_log
-ivm_retract_delta recs_item_cf agg_pushdown_join
+ivm_retract_delta recs_item_cf agg_pushdown_join agg_mutual_info
 """.split()
 
 EMB_KEYS = """
