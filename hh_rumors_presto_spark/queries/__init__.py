@@ -30,6 +30,7 @@ def load() -> None:
         breadth_round12,
         breadth_round13,
         breadth_round14,
+        breadth_round15,
         tokenizer_round2,
         engine_surface,
         engine_surface2,

@@ -426,6 +426,24 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          "pair join blocked per event_type, never all-pairs"),
         (r"partial_sum", "daily cents partials map-side combined"),
     ],
+    # round-15 batch
+    # graph_label_prop's per-round join+argmax plans are truncated by the
+    # per-round localCheckpoint (as in graph_pagerank); the returned plan
+    # shows only the final community-size window, which must be keyed.
+    "graph_label_prop": [
+        (r"hashpartitioning\(lbl",
+         "community-size window keyed by label (no single-partition window)"),
+    ],
+    "recs_covisit_next": [
+        (r"hashpartitioning\(user_id",
+         "lead window keyed by user (no single-partition window)"),
+        (r"partial_count", "transition counts map-side combined"),
+    ],
+    "ts_mann_kendall": [
+        (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+         "pair join blocked per event_type, never all-pairs"),
+        (r"partial_sum", "daily cents partials map-side combined"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
