@@ -31,6 +31,7 @@ def load() -> None:
         breadth_round13,
         breadth_round14,
         breadth_round15,
+        breadth_round16,
         tokenizer_round2,
         engine_surface,
         engine_surface2,

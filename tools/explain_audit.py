@@ -444,6 +444,17 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          "pair join blocked per event_type, never all-pairs"),
         (r"partial_sum", "daily cents partials map-side combined"),
     ],
+    # round-16 batch
+    "agg_decay_sum": [
+        (r"partial_sum", "decayed integer partials map-side combined"),
+    ],
+    "feat_standardize": [
+        (r"BroadcastHashJoin", "group stats broadcast back onto the fact"),
+        (r"partial_sum", "moment sums map-side combined"),
+    ],
+    "ivm_topk_delta": [
+        (r"WindowGroupLimit", "both rank windows group-limited"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -526,7 +537,9 @@ FORBIDDEN = (
       # agg_mutual_info its ONE-ROW N; ml_naive_bayes broadcasts the
       # K-row prior/class-total model and ONE-ROW vocab scalar over the
       # token stream (the model IS tiny; the count join is a hash join)
-      "corpus_anneal_mix", "agg_mutual_info", "ml_naive_bayes"}),
+      "corpus_anneal_mix", "agg_mutual_info", "ml_naive_bayes",
+      # agg_decay_sum crossJoins its ONE-ROW reference-day max
+      "agg_decay_sum"}),
 )
 
 
