@@ -32,6 +32,7 @@ def load() -> None:
         breadth_round14,
         breadth_round15,
         breadth_round16,
+        breadth_round17,
         tokenizer_round2,
         engine_surface,
         engine_surface2,

@@ -455,6 +455,18 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "ivm_topk_delta": [
         (r"WindowGroupLimit", "both rank windows group-limited"),
     ],
+    # round-17 batch (graph_ppr_seeded's per-round plans are truncated by
+    # localCheckpoint as in graph_pagerank; the final sort must be a
+    # TakeOrderedAndProject, not a global sort)
+    "graph_ppr_seeded": [
+        (r"TakeOrderedAndProject", "top-100 as partial take-ordered"),
+    ],
+    # ts_esd_outliers' per-round plans are truncated by localCheckpoint;
+    # the final plan is the 3-round union of checkpointed picks — assert
+    # the union shape (and, via FORBIDDEN, no nested-loop anywhere)
+    "ts_esd_outliers": [
+        (r"Union", "3 peel rounds unioned from checkpointed picks"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all

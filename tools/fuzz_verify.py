@@ -62,7 +62,8 @@ ts_holt_winters stream_merge_upsert stream_session_state
 ts_downsample_ltob ts_acf ts_paa_sax stream_typed_state
 dq_ks_test ts_dtw_paa join_skew_hybrid layout_hilbert
 sketch_hll_window aqp_bootstrap_ci ts_theil_sen recs_covisit_next
-ts_mann_kendall agg_decay_sum feat_standardize
+ts_mann_kendall agg_decay_sum feat_standardize stream_topk_merge
+ts_esd_outliers
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
@@ -80,7 +81,7 @@ agg_pivot agg_rollup merge_upsert graph_wcc
 agg_approx_distinct agg_approx_quantile sketch_hll_merge
 sink_schema_evolution scan_txn_log
 ivm_retract_delta recs_item_cf agg_pushdown_join agg_mutual_info
-graph_label_prop ivm_topk_delta
+graph_label_prop ivm_topk_delta graph_ppr_seeded
 """.split()
 
 EMB_KEYS = """
