@@ -467,6 +467,18 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "ts_esd_outliers": [
         (r"Union", "3 peel rounds unioned from checkpointed picks"),
     ],
+    # experimentation family: per-user metrics are map-side-combined
+    # keyed aggregates; everything after is 1-2 row folds
+    "ab_welch_ttest": [
+        (r"partial_sum", "per-user metric partials map-side combined"),
+    ],
+    "ab_srm_check": [
+        (r"partial_count|HashAggregate",
+         "distinct users via hash aggregate, one-row fold"),
+    ],
+    "ab_cuped_adjust": [
+        (r"partial_sum", "moment sums map-side combined"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -551,7 +563,10 @@ FORBIDDEN = (
       # token stream (the model IS tiny; the count join is a hash join)
       "corpus_anneal_mix", "agg_mutual_info", "ml_naive_bayes",
       # agg_decay_sum crossJoins its ONE-ROW reference-day max
-      "agg_decay_sum"}),
+      "agg_decay_sum",
+      # ab_welch_ttest crossJoins its two ONE-ROW variant-moment rows;
+      # ab_cuped_adjust crossJoins its ONE-ROW theta onto a 2-row table
+      "ab_welch_ttest", "ab_cuped_adjust"}),
 )
 
 
