@@ -33,6 +33,7 @@ def load() -> None:
         breadth_round15,
         breadth_round16,
         breadth_round17,
+        breadth_round18,
         experimentation,
         tokenizer_round2,
         engine_surface,

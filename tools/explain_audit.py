@@ -479,6 +479,17 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "ab_cuped_adjust": [
         (r"partial_sum", "moment sums map-side combined"),
     ],
+    # round-18 batch: KM / attribution windows run on calendar- or
+    # segment-sized tables (documented), fact aggregates are partial
+    "ts_kaplan_meier": [
+        (r"partial_min|partial_max", "per-user span partials map-side"),
+    ],
+    "ab_power_mde": [
+        (r"partial_sum", "per-user metric partials map-side combined"),
+    ],
+    "dq_change_attribution": [
+        (r"partial_sum", "period sums map-side combined"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -565,8 +576,11 @@ FORBIDDEN = (
       # agg_decay_sum crossJoins its ONE-ROW reference-day max
       "agg_decay_sum",
       # ab_welch_ttest crossJoins its two ONE-ROW variant-moment rows;
-      # ab_cuped_adjust crossJoins its ONE-ROW theta onto a 2-row table
-      "ab_welch_ttest", "ab_cuped_adjust"}),
+      # ab_cuped_adjust crossJoins its ONE-ROW theta onto a 2-row table;
+      # ab_power_mde the same 2x ONE-ROW shape; ts_kaplan_meier and
+      # dq_change_attribution broadcast ONE-ROW horizon/midpoint scalars
+      "ab_welch_ttest", "ab_cuped_adjust", "ab_power_mde",
+      "ts_kaplan_meier", "dq_change_attribution"}),
 )
 
 

@@ -64,6 +64,7 @@ dq_ks_test ts_dtw_paa join_skew_hybrid layout_hilbert
 sketch_hll_window aqp_bootstrap_ci ts_theil_sen recs_covisit_next
 ts_mann_kendall agg_decay_sum feat_standardize stream_topk_merge
 ts_esd_outliers ab_welch_ttest ab_srm_check ab_cuped_adjust
+ts_kaplan_meier ab_power_mde dq_change_attribution
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
