@@ -34,6 +34,7 @@ def load() -> None:
         breadth_round16,
         breadth_round17,
         breadth_round18,
+        breadth_round19,
         experimentation,
         tokenizer_round2,
         engine_surface,

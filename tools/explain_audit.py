@@ -490,6 +490,14 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "dq_change_attribution": [
         (r"partial_sum", "period sums map-side combined"),
     ],
+    # round-19 batch
+    "recs_session_paths": [
+        (r"hashpartitioning\(user_id",
+         "session windows keyed by user (no single-partition window)"),
+    ],
+    "agg_geo_harmonic_mean": [
+        (r"partial_sum", "micro-nat / reciprocal partials map-side combined"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all

@@ -65,6 +65,7 @@ sketch_hll_window aqp_bootstrap_ci ts_theil_sen recs_covisit_next
 ts_mann_kendall agg_decay_sum feat_standardize stream_topk_merge
 ts_esd_outliers ab_welch_ttest ab_srm_check ab_cuped_adjust
 ts_kaplan_meier ab_power_mde dq_change_attribution
+recs_session_paths agg_geo_harmonic_mean
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
@@ -82,7 +83,7 @@ agg_pivot agg_rollup merge_upsert graph_wcc
 agg_approx_distinct agg_approx_quantile sketch_hll_merge
 sink_schema_evolution scan_txn_log
 ivm_retract_delta recs_item_cf agg_pushdown_join agg_mutual_info
-graph_label_prop ivm_topk_delta graph_ppr_seeded
+graph_label_prop ivm_topk_delta graph_ppr_seeded scan_log_parse
 """.split()
 
 EMB_KEYS = """
