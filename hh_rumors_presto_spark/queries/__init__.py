@@ -35,6 +35,7 @@ def load() -> None:
         breadth_round17,
         breadth_round18,
         breadth_round19,
+        breadth_round20,
         experimentation,
         tokenizer_round2,
         engine_surface,

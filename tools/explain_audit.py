@@ -498,6 +498,21 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "agg_geo_harmonic_mean": [
         (r"partial_sum", "micro-nat / reciprocal partials map-side combined"),
     ],
+    # round-20 batch (graph_hits' per-half-round plans are truncated by
+    # localCheckpoint, like pagerank; the final top-100 must be a
+    # TakeOrderedAndProject)
+    "ab_ratio_delta_method": [
+        (r"partial_sum", "per-user metric partials map-side combined"),
+    ],
+    "graph_hits": [
+        (r"TakeOrderedAndProject", "top-100 as partial take-ordered"),
+    ],
+    # text_zipf_fit's global rank window runs on the vocab table (not the
+    # fact); Spark doesn't emit WindowGroupLimit for unpartitioned
+    # windows, so the gate pins the map-side vocab partials instead
+    "text_zipf_fit": [
+        (r"partial_count", "vocab counts map-side combined"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -588,7 +603,9 @@ FORBIDDEN = (
       # ab_power_mde the same 2x ONE-ROW shape; ts_kaplan_meier and
       # dq_change_attribution broadcast ONE-ROW horizon/midpoint scalars
       "ab_welch_ttest", "ab_cuped_adjust", "ab_power_mde",
-      "ts_kaplan_meier", "dq_change_attribution"}),
+      "ts_kaplan_meier", "dq_change_attribution",
+      # ab_ratio_delta_method crossJoins its two ONE-ROW variant rows
+      "ab_ratio_delta_method"}),
 )
 
 

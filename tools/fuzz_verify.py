@@ -51,7 +51,7 @@ text_rake_keywords pipeline_span_corrupt pipeline_fim_format
 graph_modularity corpus_epoch_expand dedup_ppjoin
 pipeline_contrastive_negatives text_unigram_viterbi
 feat_hashing_trick text_lm_bigram_backoff corpus_anneal_mix
-ml_naive_bayes
+ml_naive_bayes text_zipf_fit
 """.split()
 
 EVENT_KEYS = """
@@ -65,7 +65,7 @@ sketch_hll_window aqp_bootstrap_ci ts_theil_sen recs_covisit_next
 ts_mann_kendall agg_decay_sum feat_standardize stream_topk_merge
 ts_esd_outliers ab_welch_ttest ab_srm_check ab_cuped_adjust
 ts_kaplan_meier ab_power_mde dq_change_attribution
-recs_session_paths agg_geo_harmonic_mean
+recs_session_paths agg_geo_harmonic_mean ab_ratio_delta_method
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
@@ -84,6 +84,7 @@ agg_approx_distinct agg_approx_quantile sketch_hll_merge
 sink_schema_evolution scan_txn_log
 ivm_retract_delta recs_item_cf agg_pushdown_join agg_mutual_info
 graph_label_prop ivm_topk_delta graph_ppr_seeded scan_log_parse
+graph_hits
 """.split()
 
 EMB_KEYS = """
