@@ -36,6 +36,7 @@ def load() -> None:
         breadth_round18,
         breadth_round19,
         breadth_round20,
+        breadth_round21,
         experimentation,
         tokenizer_round2,
         engine_surface,

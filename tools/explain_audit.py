@@ -513,6 +513,18 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "text_zipf_fit": [
         (r"partial_count", "vocab counts map-side combined"),
     ],
+    # round-21 batch
+    "ts_alert_debounce": [
+        (r"hashpartitioning\(event_type",
+         "lag/rank windows keyed by event_type (crossings pre-pruned)"),
+        (r"PushedFilters", "threshold filter reaches the scan"),
+    ],
+    "pipeline_length_buckets": [
+        (r"partial_sum|partial_count", "bucket stats map-side combined"),
+    ],
+    "text_hapax_ratio": [
+        (r"partial_count", "(source, token) counts map-side combined"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all

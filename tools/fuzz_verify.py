@@ -51,7 +51,7 @@ text_rake_keywords pipeline_span_corrupt pipeline_fim_format
 graph_modularity corpus_epoch_expand dedup_ppjoin
 pipeline_contrastive_negatives text_unigram_viterbi
 feat_hashing_trick text_lm_bigram_backoff corpus_anneal_mix
-ml_naive_bayes text_zipf_fit
+ml_naive_bayes text_zipf_fit pipeline_length_buckets text_hapax_ratio
 """.split()
 
 EVENT_KEYS = """
@@ -66,6 +66,7 @@ ts_mann_kendall agg_decay_sum feat_standardize stream_topk_merge
 ts_esd_outliers ab_welch_ttest ab_srm_check ab_cuped_adjust
 ts_kaplan_meier ab_power_mde dq_change_attribution
 recs_session_paths agg_geo_harmonic_mean ab_ratio_delta_method
+ts_alert_debounce
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
