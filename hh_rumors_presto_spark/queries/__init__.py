@@ -37,6 +37,7 @@ def load() -> None:
         breadth_round19,
         breadth_round20,
         breadth_round21,
+        breadth_round22,
         experimentation,
         tokenizer_round2,
         engine_surface,

@@ -525,6 +525,18 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "text_hapax_ratio": [
         (r"partial_count", "(source, token) counts map-side combined"),
     ],
+    # round-22 batch (emb_kcenter_init's per-round plans are truncated by
+    # localCheckpoint; the final plan is the 4-pick union)
+    "ts_sli_burn_rate": [
+        (r"partial_sum|partial_count", "hourly partials map-side combined"),
+    ],
+    "emb_kcenter_init": [
+        (r"Union", "4 farthest-point picks unioned from checkpoints"),
+    ],
+    "emb_dim_variance": [
+        (r"partial_sum", "per-dim moment partials map-side combined"),
+        (r"Generate.*posexplode", "narrow dim fan-out, no UDF"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -617,7 +629,10 @@ FORBIDDEN = (
       "ab_welch_ttest", "ab_cuped_adjust", "ab_power_mde",
       "ts_kaplan_meier", "dq_change_attribution",
       # ab_ratio_delta_method crossJoins its two ONE-ROW variant rows
-      "ab_ratio_delta_method"}),
+      "ab_ratio_delta_method",
+      # ts_sli_burn_rate crossJoins its ONE-ROW stream-start hour;
+      # emb_kcenter_init broadcasts ONE center row per round
+      "ts_sli_burn_rate", "emb_kcenter_init"}),
 )
 
 

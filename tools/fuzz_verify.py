@@ -66,7 +66,7 @@ ts_mann_kendall agg_decay_sum feat_standardize stream_topk_merge
 ts_esd_outliers ab_welch_ttest ab_srm_check ab_cuped_adjust
 ts_kaplan_meier ab_power_mde dq_change_attribution
 recs_session_paths agg_geo_harmonic_mean ab_ratio_delta_method
-ts_alert_debounce
+ts_alert_debounce ts_sli_burn_rate
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
@@ -93,6 +93,7 @@ emb_normalize sim_topk emb_kmeans_assign dedup_semantic dedup_embedding
 emb_cosine_histogram emb_pca_power emb_quantize_error dq_embedding_drift
 emb_random_projection emb_mean_pool emb_outlier emb_truncate_quality
 sim_ivfpq_search sim_ivfpq_probe3 sim_ivfpq_stages sim_pq_assign
+emb_kcenter_init emb_dim_variance
 """.split()
 
 DEFAULT_KEYS = DOC_KEYS + EVENT_KEYS + EMB_KEYS + TPCH_KEYS
