@@ -38,6 +38,7 @@ def load() -> None:
         breadth_round20,
         breadth_round21,
         breadth_round22,
+        breadth_round23,
         experimentation,
         tokenizer_round2,
         engine_surface,

@@ -537,6 +537,18 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"partial_sum", "per-dim moment partials map-side combined"),
         (r"Generate.*posexplode", "narrow dim fan-out, no UDF"),
     ],
+    # round-23 batch
+    "ts_iqr_fence": [
+        (r"BroadcastHashJoin", "fence table broadcast onto the daily series"),
+    ],
+    "join_sample_consistent": [
+        (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+         "sampled tables equi-join on the shared key"),
+    ],
+    "agg_growth_accounting": [
+        (r"hashpartitioning\(user_id",
+         "state windows keyed by user (no single-partition window)"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -631,8 +643,10 @@ FORBIDDEN = (
       # ab_ratio_delta_method crossJoins its two ONE-ROW variant rows
       "ab_ratio_delta_method",
       # ts_sli_burn_rate crossJoins its ONE-ROW stream-start hour;
-      # emb_kcenter_init broadcasts ONE center row per round
-      "ts_sli_burn_rate", "emb_kcenter_init"}),
+      # emb_kcenter_init broadcasts ONE center row per round;
+      # agg_growth_accounting crossJoins its ONE-ROW stream-start day
+      "ts_sli_burn_rate", "emb_kcenter_init",
+      "agg_growth_accounting"}),
 )
 
 

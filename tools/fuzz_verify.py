@@ -66,7 +66,7 @@ ts_mann_kendall agg_decay_sum feat_standardize stream_topk_merge
 ts_esd_outliers ab_welch_ttest ab_srm_check ab_cuped_adjust
 ts_kaplan_meier ab_power_mde dq_change_attribution
 recs_session_paths agg_geo_harmonic_mean ab_ratio_delta_method
-ts_alert_debounce ts_sli_burn_rate
+ts_alert_debounce ts_sli_burn_rate ts_iqr_fence agg_growth_accounting
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
@@ -85,7 +85,7 @@ agg_approx_distinct agg_approx_quantile sketch_hll_merge
 sink_schema_evolution scan_txn_log
 ivm_retract_delta recs_item_cf agg_pushdown_join agg_mutual_info
 graph_label_prop ivm_topk_delta graph_ppr_seeded scan_log_parse
-graph_hits
+graph_hits join_sample_consistent
 """.split()
 
 EMB_KEYS = """
