@@ -39,6 +39,7 @@ def load() -> None:
         breadth_round21,
         breadth_round22,
         breadth_round23,
+        breadth_round24,
         experimentation,
         tokenizer_round2,
         engine_surface,

@@ -549,6 +549,16 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"hashpartitioning\(user_id",
          "state windows keyed by user (no single-partition window)"),
     ],
+    # round-24 batch (experimentation/statistics closers)
+    "dq_chi2_goodness": [
+        (r"partial_count", "category counts map-side combined"),
+    ],
+    "ab_metric_decompose": [
+        (r"partial_sum", "per-user partials map-side combined"),
+    ],
+    "ab_poisson_rate": [
+        (r"partial_count|HashAggregate", "grouped counts, 2-row fold"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -646,7 +656,9 @@ FORBIDDEN = (
       # emb_kcenter_init broadcasts ONE center row per round;
       # agg_growth_accounting crossJoins its ONE-ROW stream-start day
       "ts_sli_burn_rate", "emb_kcenter_init",
-      "agg_growth_accounting"}),
+      "agg_growth_accounting",
+      # round-24: one-row / k-row broadcast folds
+      "dq_chi2_goodness", "ab_metric_decompose", "ab_poisson_rate"}),
 )
 
 

@@ -67,6 +67,7 @@ ts_esd_outliers ab_welch_ttest ab_srm_check ab_cuped_adjust
 ts_kaplan_meier ab_power_mde dq_change_attribution
 recs_session_paths agg_geo_harmonic_mean ab_ratio_delta_method
 ts_alert_debounce ts_sli_burn_rate ts_iqr_fence agg_growth_accounting
+dq_chi2_goodness ab_metric_decompose ab_poisson_rate
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
