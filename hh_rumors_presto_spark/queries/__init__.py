@@ -40,6 +40,7 @@ def load() -> None:
         breadth_round22,
         breadth_round23,
         breadth_round24,
+        breadth_round25,
         experimentation,
         tokenizer_round2,
         engine_surface,

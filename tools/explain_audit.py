@@ -559,6 +559,19 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "ab_poisson_rate": [
         (r"partial_count|HashAggregate", "grouped counts, 2-row fold"),
     ],
+    # round-25 batch (graph_random_walk's per-step plans truncated by
+    # localCheckpoint; final plan is the step union)
+    "graph_random_walk": [
+        (r"Union", "walk steps unioned from checkpointed frontiers"),
+    ],
+    "ml_decision_stump": [
+        (r"partial_count|partial_sum",
+         "per-value (count, positives) partials map-side combined"),
+    ],
+    "text_ngram_novelty": [
+        (r"hashpartitioning\(doc_id",
+         "trigram window keyed by doc (no single-partition window)"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -658,7 +671,9 @@ FORBIDDEN = (
       "ts_sli_burn_rate", "emb_kcenter_init",
       "agg_growth_accounting",
       # round-24: one-row / k-row broadcast folds
-      "dq_chi2_goodness", "ab_metric_decompose", "ab_poisson_rate"}),
+      "dq_chi2_goodness", "ab_metric_decompose", "ab_poisson_rate",
+      # ml_decision_stump crossJoins its ONE-ROW (n, p) total
+      "ml_decision_stump"}),
 )
 
 
