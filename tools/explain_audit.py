@@ -572,6 +572,17 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"hashpartitioning\(doc_id",
          "trigram window keyed by doc (no single-partition window)"),
     ],
+    # round-26 batch
+    "corpus_source_overlap": [
+        (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+         "source pairs meet through the token equi-join, never all-pairs"),
+    ],
+    "dq_heavy_changers": [
+        (r"partial_sum", "per-user period sums map-side combined"),
+    ],
+    "ts_time_to_convert": [
+        (r"partial_min", "first-view/first-buy partials map-side combined"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -672,8 +683,9 @@ FORBIDDEN = (
       "agg_growth_accounting",
       # round-24: one-row / k-row broadcast folds
       "dq_chi2_goodness", "ab_metric_decompose", "ab_poisson_rate",
-      # ml_decision_stump crossJoins its ONE-ROW (n, p) total
-      "ml_decision_stump"}),
+      # ml_decision_stump crossJoins its ONE-ROW (n, p) total;
+      # dq_heavy_changers broadcasts its ONE-ROW midpoint
+      "ml_decision_stump", "dq_heavy_changers"}),
 )
 
 

@@ -52,7 +52,7 @@ graph_modularity corpus_epoch_expand dedup_ppjoin
 pipeline_contrastive_negatives text_unigram_viterbi
 feat_hashing_trick text_lm_bigram_backoff corpus_anneal_mix
 ml_naive_bayes text_zipf_fit pipeline_length_buckets text_hapax_ratio
-text_ngram_novelty
+text_ngram_novelty corpus_source_overlap
 """.split()
 
 EVENT_KEYS = """
@@ -69,6 +69,7 @@ ts_kaplan_meier ab_power_mde dq_change_attribution
 recs_session_paths agg_geo_harmonic_mean ab_ratio_delta_method
 ts_alert_debounce ts_sli_burn_rate ts_iqr_fence agg_growth_accounting
 dq_chi2_goodness ab_metric_decompose ab_poisson_rate ml_decision_stump
+dq_heavy_changers ts_time_to_convert
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
