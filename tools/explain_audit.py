@@ -583,6 +583,20 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "ts_time_to_convert": [
         (r"partial_min", "first-view/first-buy partials map-side combined"),
     ],
+    # round-27 batch
+    "graph_adamic_adar": [
+        (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+         "pairs form inside supplier blocks via the equi-join"),
+        (r"WindowGroupLimit|TakeOrderedAndProject",
+         "top-20 as a partial rank"),
+    ],
+    "pipeline_global_shuffle": [
+        (r"hashpartitioning",
+         "rank window keyed by shard (no global sort)"),
+    ],
+    "win_rolling_corr": [
+        (r"partial_sum", "daily (x, y) partials map-side combined"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
