@@ -597,6 +597,21 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "win_rolling_corr": [
         (r"partial_sum", "daily (x, y) partials map-side combined"),
     ],
+    # round-28 batch
+    "feat_woe_iv": [
+        (r"BroadcastHashJoin", "customer dim broadcast to the fact"),
+        (r"partial_sum", "per-segment label counts map-side combined"),
+    ],
+    "ts_dft_power": [
+        (r"partial_count|partial_sum",
+         "daily counts map-side combined before the harmonic fan-out"),
+    ],
+    "corpus_dsir_select": [
+        (r"BroadcastHashJoin",
+         "|V|-sized importance-weight table broadcast to the token stream"),
+        (r"WindowGroupLimit|TakeOrderedAndProject",
+         "top-k admission as a partial rank"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -699,7 +714,13 @@ FORBIDDEN = (
       "dq_chi2_goodness", "ab_metric_decompose", "ab_poisson_rate",
       # ml_decision_stump crossJoins its ONE-ROW (n, p) total;
       # dq_heavy_changers broadcasts its ONE-ROW midpoint
-      "ml_decision_stump", "dq_heavy_changers"}),
+      "ml_decision_stump", "dq_heavy_changers",
+      # round-28: feat_woe_iv crossJoins its ONE-ROW smoothed totals;
+      # ts_dft_power crossJoins its ONE-ROW bounds and the 8-row
+      # harmonic list onto the calendar-sized daily series;
+      # corpus_dsir_select crossJoins its ONE-ROW LM totals onto the
+      # |V|-sized vocab (the token-stream join is a hash join)
+      "feat_woe_iv", "ts_dft_power", "corpus_dsir_select"}),
 )
 
 

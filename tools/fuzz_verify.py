@@ -53,6 +53,7 @@ pipeline_contrastive_negatives text_unigram_viterbi
 feat_hashing_trick text_lm_bigram_backoff corpus_anneal_mix
 ml_naive_bayes text_zipf_fit pipeline_length_buckets text_hapax_ratio
 text_ngram_novelty corpus_source_overlap pipeline_global_shuffle
+corpus_dsir_select
 """.split()
 
 EVENT_KEYS = """
@@ -69,7 +70,7 @@ ts_kaplan_meier ab_power_mde dq_change_attribution
 recs_session_paths agg_geo_harmonic_mean ab_ratio_delta_method
 ts_alert_debounce ts_sli_burn_rate ts_iqr_fence agg_growth_accounting
 dq_chi2_goodness ab_metric_decompose ab_poisson_rate ml_decision_stump
-dq_heavy_changers ts_time_to_convert win_rolling_corr
+dq_heavy_changers ts_time_to_convert win_rolling_corr ts_dft_power
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
@@ -89,6 +90,7 @@ sink_schema_evolution scan_txn_log
 ivm_retract_delta recs_item_cf agg_pushdown_join agg_mutual_info
 graph_label_prop ivm_topk_delta graph_ppr_seeded scan_log_parse
 graph_hits join_sample_consistent graph_random_walk graph_adamic_adar
+feat_woe_iv
 """.split()
 
 EMB_KEYS = """
