@@ -612,6 +612,21 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"WindowGroupLimit|TakeOrderedAndProject",
          "top-k admission as a partial rank"),
     ],
+    # round-29 batch
+    "funnel_window": [
+        (r"hashpartitioning\(user_id",
+         "chain windows keyed by user, never global"),
+    ],
+    "eval_pass_at_k": [
+        (r"partial_sum|partial_count",
+         "per-problem sample counts map-side combined"),
+    ],
+    "agg_winsorized_mean": [
+        (r"BroadcastHashJoin",
+         "group-sized cut table broadcast back to the fact"),
+        (r"hashpartitioning\(event_type",
+         "rank window keyed by group"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
