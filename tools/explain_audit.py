@@ -627,6 +627,22 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"hashpartitioning\(event_type",
          "rank window keyed by group"),
     ],
+    # round-30 batch
+    # eval_bradley_terry's match-construction lag window is keyed by
+    # user but sits behind the localCheckpoint that truncates the MM
+    # lineage, so the final plan only shows the item-sized iteration
+    "eval_bradley_terry": [
+        (r"BroadcastHashJoin",
+         "item-vocabulary-sized theta tables broadcast through the MM rounds"),
+    ],
+    "join_asof_tolerance": [
+        (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+         "per-key equi-join, tolerance filter bounds the fan-in"),
+        (r"partial_min", "earliest-in-window pick map-side combined"),
+    ],
+    "win_rsi": [
+        (r"partial_sum", "daily cents partials map-side combined"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -735,7 +751,10 @@ FORBIDDEN = (
       # harmonic list onto the calendar-sized daily series;
       # corpus_dsir_select crossJoins its ONE-ROW LM totals onto the
       # |V|-sized vocab (the token-stream join is a hash join)
-      "feat_woe_iv", "ts_dft_power", "corpus_dsir_select"}),
+      "feat_woe_iv", "ts_dft_power", "corpus_dsir_select",
+      # eval_bradley_terry crossJoins its ONE-ROW normalizer onto the
+      # item-vocabulary table each MM round (ml_logreg_gd's shape)
+      "eval_bradley_terry"}),
 )
 
 
