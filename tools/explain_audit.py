@@ -643,6 +643,21 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "win_rsi": [
         (r"partial_sum", "daily cents partials map-side combined"),
     ],
+    # round-31 batch
+    "eval_auc_roc": [
+        (r"partial_sum|partial_count",
+         "per-distinct-score counts map-side combined"),
+    ],
+    "eval_ndcg": [
+        (r"WindowGroupLimit|hashpartitioning\(user_id",
+         "per-user top-10 as a keyed group-limited window"),
+        (r"BroadcastHashJoin",
+         "10-row discount table broadcast"),
+    ],
+    "eval_mrr": [
+        (r"WindowGroupLimit|hashpartitioning\(user_id",
+         "per-user top-10 as a keyed group-limited window"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all

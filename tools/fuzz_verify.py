@@ -72,7 +72,7 @@ ts_alert_debounce ts_sli_burn_rate ts_iqr_fence agg_growth_accounting
 dq_chi2_goodness ab_metric_decompose ab_poisson_rate ml_decision_stump
 dq_heavy_changers ts_time_to_convert win_rolling_corr ts_dft_power
 funnel_window eval_pass_at_k agg_winsorized_mean eval_bradley_terry
-join_asof_tolerance win_rsi
+join_asof_tolerance win_rsi eval_auc_roc eval_ndcg eval_mrr
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
