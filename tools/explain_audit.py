@@ -658,6 +658,19 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"WindowGroupLimit|hashpartitioning\(user_id",
          "per-user top-10 as a keyed group-limited window"),
     ],
+    # round-32 batch
+    "eval_calibration_ece": [
+        (r"partial_sum|partial_count",
+         "per-bin counts map-side combined"),
+    ],
+    "eval_f1_threshold": [
+        (r"BroadcastHashJoin|BroadcastNestedLoopJoin",
+         "3-row threshold table broadcast over one fact pass"),
+    ],
+    "eval_cohens_kappa": [
+        (r"partial_sum|partial_count",
+         "contingency counts map-side combined"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -768,8 +781,9 @@ FORBIDDEN = (
       # |V|-sized vocab (the token-stream join is a hash join)
       "feat_woe_iv", "ts_dft_power", "corpus_dsir_select",
       # eval_bradley_terry crossJoins its ONE-ROW normalizer onto the
-      # item-vocabulary table each MM round (ml_logreg_gd's shape)
-      "eval_bradley_terry"}),
+      # item-vocabulary table each MM round (ml_logreg_gd's shape);
+      # eval_f1_threshold crossJoins its THREE-ROW threshold table
+      "eval_bradley_terry", "eval_f1_threshold"}),
 )
 
 
