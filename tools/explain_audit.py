@@ -671,6 +671,22 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"partial_sum|partial_count",
          "contingency counts map-side combined"),
     ],
+    # round-33 batch
+    # graph_coreness's per-node h-index windows sit behind the
+    # per-round localCheckpoints that truncate the iterative lineage,
+    # so the final plan only shows the census fold
+    "graph_coreness": [
+        (r"partial_count|HashAggregate",
+         "coreness census as a plain aggregate over the fixpoint table"),
+    ],
+    "agg_abc_analysis": [
+        (r"partial_sum", "per-part revenue partials map-side combined"),
+    ],
+    "recs_coverage_diversity": [
+        (r"BroadcastHashJoin", "brand dim broadcast to the rec lists"),
+        (r"WindowGroupLimit|hashpartitioning\(cust",
+         "per-customer top-10 as a keyed group-limited window"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -782,8 +798,11 @@ FORBIDDEN = (
       "feat_woe_iv", "ts_dft_power", "corpus_dsir_select",
       # eval_bradley_terry crossJoins its ONE-ROW normalizer onto the
       # item-vocabulary table each MM round (ml_logreg_gd's shape);
-      # eval_f1_threshold crossJoins its THREE-ROW threshold table
-      "eval_bradley_terry", "eval_f1_threshold"}),
+      # eval_f1_threshold crossJoins its THREE-ROW threshold table;
+      # recs_coverage_diversity crossJoins its ONE-ROW coverage and
+      # catalog-size aggregates onto the one-row ILD fold
+      "eval_bradley_terry", "eval_f1_threshold",
+      "recs_coverage_diversity"}),
 )
 
 

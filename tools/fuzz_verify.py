@@ -93,7 +93,7 @@ sink_schema_evolution scan_txn_log
 ivm_retract_delta recs_item_cf agg_pushdown_join agg_mutual_info
 graph_label_prop ivm_topk_delta graph_ppr_seeded scan_log_parse
 graph_hits join_sample_consistent graph_random_walk graph_adamic_adar
-feat_woe_iv
+feat_woe_iv graph_coreness agg_abc_analysis recs_coverage_diversity
 """.split()
 
 EMB_KEYS = """
