@@ -687,6 +687,21 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"WindowGroupLimit|hashpartitioning\(cust",
          "per-customer top-10 as a keyed group-limited window"),
     ],
+    # round-34 batch
+    "olap_market_basket": [
+        (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+         "pairs form inside order baskets via the equi-join"),
+        (r"WindowGroupLimit|TakeOrderedAndProject",
+         "top-20 rules as a partial rank"),
+    ],
+    "feat_rfm_segmentation": [
+        (r"partial_sum|partial_count",
+         "per-customer RFM partials map-side combined"),
+    ],
+    "dq_fd_violations": [
+        (r"partial_count|partial_sum",
+         "(lhs, rhs) counts map-side combined per declared FD"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -802,7 +817,10 @@ FORBIDDEN = (
       # recs_coverage_diversity crossJoins its ONE-ROW coverage and
       # catalog-size aggregates onto the one-row ILD fold
       "eval_bradley_terry", "eval_f1_threshold",
-      "recs_coverage_diversity"}),
+      "recs_coverage_diversity",
+      # olap_market_basket and feat_rfm_segmentation crossJoin their
+      # ONE-ROW order-count / corpus-max aggregates
+      "olap_market_basket", "feat_rfm_segmentation"}),
 )
 
 

@@ -73,7 +73,7 @@ dq_chi2_goodness ab_metric_decompose ab_poisson_rate ml_decision_stump
 dq_heavy_changers ts_time_to_convert win_rolling_corr ts_dft_power
 funnel_window eval_pass_at_k agg_winsorized_mean eval_bradley_terry
 join_asof_tolerance win_rsi eval_auc_roc eval_ndcg eval_mrr
-eval_calibration_ece eval_f1_threshold
+eval_calibration_ece eval_f1_threshold dq_fd_violations
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
@@ -94,6 +94,7 @@ ivm_retract_delta recs_item_cf agg_pushdown_join agg_mutual_info
 graph_label_prop ivm_topk_delta graph_ppr_seeded scan_log_parse
 graph_hits join_sample_consistent graph_random_walk graph_adamic_adar
 feat_woe_iv graph_coreness agg_abc_analysis recs_coverage_diversity
+olap_market_basket feat_rfm_segmentation
 """.split()
 
 EMB_KEYS = """
