@@ -702,6 +702,19 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"partial_count|partial_sum",
          "(lhs, rhs) counts map-side combined per declared FD"),
     ],
+    # round-35 batch
+    "agg_bitmap_segments": [
+        (r"partial_bit_or|bit_or",
+         "per-word segment bitmaps built by bit_or aggregation"),
+    ],
+    "agg_cohort_ltv": [
+        (r"hashpartitioning\(cohort_m",
+         "cumulative window keyed by cohort, never global"),
+        (r"BroadcastHashJoin", "cohort-size table broadcast back"),
+    ],
+    "corpus_temperature_mix": [
+        (r"partial_sum", "per-language token masses map-side combined"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -819,8 +832,11 @@ FORBIDDEN = (
       "eval_bradley_terry", "eval_f1_threshold",
       "recs_coverage_diversity",
       # olap_market_basket and feat_rfm_segmentation crossJoin their
-      # ONE-ROW order-count / corpus-max aggregates
-      "olap_market_basket", "feat_rfm_segmentation"}),
+      # ONE-ROW order-count / corpus-max aggregates;
+      # corpus_temperature_mix crossJoins its ONE-ROW totals onto the
+      # language-cardinality table
+      "olap_market_basket", "feat_rfm_segmentation",
+      "corpus_temperature_mix"}),
 )
 
 

@@ -53,7 +53,7 @@ pipeline_contrastive_negatives text_unigram_viterbi
 feat_hashing_trick text_lm_bigram_backoff corpus_anneal_mix
 ml_naive_bayes text_zipf_fit pipeline_length_buckets text_hapax_ratio
 text_ngram_novelty corpus_source_overlap pipeline_global_shuffle
-corpus_dsir_select eval_cohens_kappa
+corpus_dsir_select eval_cohens_kappa corpus_temperature_mix
 """.split()
 
 EVENT_KEYS = """
@@ -74,6 +74,7 @@ dq_heavy_changers ts_time_to_convert win_rolling_corr ts_dft_power
 funnel_window eval_pass_at_k agg_winsorized_mean eval_bradley_terry
 join_asof_tolerance win_rsi eval_auc_roc eval_ndcg eval_mrr
 eval_calibration_ece eval_f1_threshold dq_fd_violations
+agg_bitmap_segments agg_cohort_ltv
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
