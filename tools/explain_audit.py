@@ -715,6 +715,20 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "corpus_temperature_mix": [
         (r"partial_sum", "per-language token masses map-side combined"),
     ],
+    # round-36 batch
+    "ml_knn_classifier": [
+        (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+         "pairs form inside hash blocks via the equi-join"),
+        (r"WindowGroupLimit|hashpartitioning\(vec_id",
+         "per-node top-k as a keyed group-limited window"),
+    ],
+    "agg_vwap_twap": [
+        (r"partial_sum", "daily price/volume partials map-side combined"),
+    ],
+    "win_streak_days": [
+        (r"hashpartitioning\(user_id",
+         "island window keyed by user, never global"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all

@@ -74,7 +74,7 @@ dq_heavy_changers ts_time_to_convert win_rolling_corr ts_dft_power
 funnel_window eval_pass_at_k agg_winsorized_mean eval_bradley_terry
 join_asof_tolerance win_rsi eval_auc_roc eval_ndcg eval_mrr
 eval_calibration_ece eval_f1_threshold dq_fd_violations
-agg_bitmap_segments agg_cohort_ltv
+agg_bitmap_segments agg_cohort_ltv win_streak_days
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
@@ -95,7 +95,7 @@ ivm_retract_delta recs_item_cf agg_pushdown_join agg_mutual_info
 graph_label_prop ivm_topk_delta graph_ppr_seeded scan_log_parse
 graph_hits join_sample_consistent graph_random_walk graph_adamic_adar
 feat_woe_iv graph_coreness agg_abc_analysis recs_coverage_diversity
-olap_market_basket feat_rfm_segmentation
+olap_market_basket feat_rfm_segmentation agg_vwap_twap
 """.split()
 
 EMB_KEYS = """
@@ -103,7 +103,7 @@ emb_normalize sim_topk emb_kmeans_assign dedup_semantic dedup_embedding
 emb_cosine_histogram emb_pca_power emb_quantize_error dq_embedding_drift
 emb_random_projection emb_mean_pool emb_outlier emb_truncate_quality
 sim_ivfpq_search sim_ivfpq_probe3 sim_ivfpq_stages sim_pq_assign
-emb_kcenter_init emb_dim_variance
+emb_kcenter_init emb_dim_variance ml_knn_classifier
 """.split()
 
 DEFAULT_KEYS = DOC_KEYS + EVENT_KEYS + EMB_KEYS + TPCH_KEYS
