@@ -729,6 +729,18 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"hashpartitioning\(user_id",
          "island window keyed by user, never global"),
     ],
+    # round-37 batch
+    "eval_brier_score": [
+        (r"partial_sum", "squared-error moments map-side combined"),
+    ],
+    "eval_lm_heldout_ppl": [
+        (r"BroadcastHashJoin",
+         "train-vocab table broadcast to the held-out token stream"),
+    ],
+    "scan_nested_prune": [
+        (r"ReadSchema: struct<who:struct<user_id:bigint>>",
+         "nested projection pruned to the single who.user_id leaf"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -850,7 +862,10 @@ FORBIDDEN = (
       # corpus_temperature_mix crossJoins its ONE-ROW totals onto the
       # language-cardinality table
       "olap_market_basket", "feat_rfm_segmentation",
-      "corpus_temperature_mix"}),
+      "corpus_temperature_mix",
+      # eval_lm_heldout_ppl crossJoins its ONE-ROW LM constants onto
+      # the held-out token stream (text_lm_score's sanctioned shape)
+      "eval_lm_heldout_ppl"}),
 )
 
 

@@ -54,6 +54,7 @@ feat_hashing_trick text_lm_bigram_backoff corpus_anneal_mix
 ml_naive_bayes text_zipf_fit pipeline_length_buckets text_hapax_ratio
 text_ngram_novelty corpus_source_overlap pipeline_global_shuffle
 corpus_dsir_select eval_cohens_kappa corpus_temperature_mix
+eval_lm_heldout_ppl
 """.split()
 
 EVENT_KEYS = """
@@ -75,6 +76,7 @@ funnel_window eval_pass_at_k agg_winsorized_mean eval_bradley_terry
 join_asof_tolerance win_rsi eval_auc_roc eval_ndcg eval_mrr
 eval_calibration_ece eval_f1_threshold dq_fd_violations
 agg_bitmap_segments agg_cohort_ltv win_streak_days
+eval_brier_score scan_nested_prune
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
