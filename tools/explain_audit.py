@@ -741,6 +741,19 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"ReadSchema: struct<who:struct<user_id:bigint>>",
          "nested projection pruned to the single who.user_id leaf"),
     ],
+    # round-38 batch
+    "win_hampel": [
+        (r"hashpartitioning\(day",
+         "median/MAD selections keyed per center day"),
+    ],
+    "sink_dynamic_overwrite": [
+        (r"partial_sum|partial_count",
+         "re-read census map-side combined"),
+    ],
+    "agg_tail_index_hill": [
+        (r"partial_sum|HashAggregate",
+         "k-row estimator fold after the partial rank"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -864,8 +877,10 @@ FORBIDDEN = (
       "olap_market_basket", "feat_rfm_segmentation",
       "corpus_temperature_mix",
       # eval_lm_heldout_ppl crossJoins its ONE-ROW LM constants onto
-      # the held-out token stream (text_lm_score's sanctioned shape)
-      "eval_lm_heldout_ppl"}),
+      # the held-out token stream (text_lm_score's sanctioned shape);
+      # agg_tail_index_hill crossJoins its ONE-ROW x_(k+1) reference
+      # onto the k-row top list
+      "eval_lm_heldout_ppl", "agg_tail_index_hill"}),
 )
 
 

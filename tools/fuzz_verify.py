@@ -76,7 +76,7 @@ funnel_window eval_pass_at_k agg_winsorized_mean eval_bradley_terry
 join_asof_tolerance win_rsi eval_auc_roc eval_ndcg eval_mrr
 eval_calibration_ece eval_f1_threshold dq_fd_violations
 agg_bitmap_segments agg_cohort_ltv win_streak_days
-eval_brier_score scan_nested_prune
+eval_brier_score scan_nested_prune win_hampel sink_dynamic_overwrite
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
@@ -98,6 +98,7 @@ graph_label_prop ivm_topk_delta graph_ppr_seeded scan_log_parse
 graph_hits join_sample_consistent graph_random_walk graph_adamic_adar
 feat_woe_iv graph_coreness agg_abc_analysis recs_coverage_diversity
 olap_market_basket feat_rfm_segmentation agg_vwap_twap
+agg_tail_index_hill
 """.split()
 
 EMB_KEYS = """
