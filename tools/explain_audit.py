@@ -754,6 +754,18 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"partial_sum|HashAggregate",
          "k-row estimator fold after the partial rank"),
     ],
+    # round-39 batch
+    "eval_confusion_multiclass": [
+        (r"partial_count|partial_sum",
+         "(actual, pred) counts map-side combined"),
+    ],
+    "sink_file_sizing": [
+        (r"partial_count|partial_sum",
+         "per-file row census map-side combined"),
+    ],
+    "agg_runs_test": [
+        (r"partial_sum", "daily totals map-side combined"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all

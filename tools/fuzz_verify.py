@@ -77,6 +77,7 @@ join_asof_tolerance win_rsi eval_auc_roc eval_ndcg eval_mrr
 eval_calibration_ece eval_f1_threshold dq_fd_violations
 agg_bitmap_segments agg_cohort_ltv win_streak_days
 eval_brier_score scan_nested_prune win_hampel sink_dynamic_overwrite
+eval_confusion_multiclass sink_file_sizing agg_runs_test
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
