@@ -766,6 +766,19 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "agg_runs_test": [
         (r"partial_sum", "daily totals map-side combined"),
     ],
+    # round-40 batch
+    "feat_lag_matrix": [
+        (r"hashpartitioning\(user_id",
+         "feature/label windows keyed by user, never global"),
+    ],
+    "emb_centroid_classifier": [
+        (r"BroadcastHashJoin",
+         "labels x dims centroid model broadcast to the test half"),
+    ],
+    "corpus_filter_ablation": [
+        (r"partial_sum|partial_count",
+         "per-doc token stats map-side combined"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all

@@ -54,7 +54,7 @@ feat_hashing_trick text_lm_bigram_backoff corpus_anneal_mix
 ml_naive_bayes text_zipf_fit pipeline_length_buckets text_hapax_ratio
 text_ngram_novelty corpus_source_overlap pipeline_global_shuffle
 corpus_dsir_select eval_cohens_kappa corpus_temperature_mix
-eval_lm_heldout_ppl
+eval_lm_heldout_ppl corpus_filter_ablation
 """.split()
 
 EVENT_KEYS = """
@@ -78,6 +78,7 @@ eval_calibration_ece eval_f1_threshold dq_fd_violations
 agg_bitmap_segments agg_cohort_ltv win_streak_days
 eval_brier_score scan_nested_prune win_hampel sink_dynamic_overwrite
 eval_confusion_multiclass sink_file_sizing agg_runs_test
+feat_lag_matrix
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
@@ -108,6 +109,7 @@ emb_cosine_histogram emb_pca_power emb_quantize_error dq_embedding_drift
 emb_random_projection emb_mean_pool emb_outlier emb_truncate_quality
 sim_ivfpq_search sim_ivfpq_probe3 sim_ivfpq_stages sim_pq_assign
 emb_kcenter_init emb_dim_variance ml_knn_classifier
+emb_centroid_classifier
 """.split()
 
 DEFAULT_KEYS = DOC_KEYS + EVENT_KEYS + EMB_KEYS + TPCH_KEYS
