@@ -779,6 +779,19 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"partial_sum|partial_count",
          "per-doc token stats map-side combined"),
     ],
+    # round-41 batch
+    "graph_assortativity": [
+        (r"BroadcastHashJoin",
+         "node-sized degree table broadcast to the edge list"),
+        (r"partial_sum", "edge moments map-side combined"),
+    ],
+    "text_char_coverage": [
+        (r"partial_count|partial_sum",
+         "character frequencies map-side combined"),
+    ],
+    "ts_granger_lite": [
+        (r"partial_sum", "daily (y, v) partials map-side combined"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all

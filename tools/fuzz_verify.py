@@ -54,7 +54,7 @@ feat_hashing_trick text_lm_bigram_backoff corpus_anneal_mix
 ml_naive_bayes text_zipf_fit pipeline_length_buckets text_hapax_ratio
 text_ngram_novelty corpus_source_overlap pipeline_global_shuffle
 corpus_dsir_select eval_cohens_kappa corpus_temperature_mix
-eval_lm_heldout_ppl corpus_filter_ablation
+eval_lm_heldout_ppl corpus_filter_ablation text_char_coverage
 """.split()
 
 EVENT_KEYS = """
@@ -78,7 +78,7 @@ eval_calibration_ece eval_f1_threshold dq_fd_violations
 agg_bitmap_segments agg_cohort_ltv win_streak_days
 eval_brier_score scan_nested_prune win_hampel sink_dynamic_overwrite
 eval_confusion_multiclass sink_file_sizing agg_runs_test
-feat_lag_matrix
+feat_lag_matrix ts_granger_lite
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
@@ -100,7 +100,7 @@ graph_label_prop ivm_topk_delta graph_ppr_seeded scan_log_parse
 graph_hits join_sample_consistent graph_random_walk graph_adamic_adar
 feat_woe_iv graph_coreness agg_abc_analysis recs_coverage_diversity
 olap_market_basket feat_rfm_segmentation agg_vwap_twap
-agg_tail_index_hill
+agg_tail_index_hill graph_assortativity
 """.split()
 
 EMB_KEYS = """
