@@ -204,22 +204,27 @@ def agg_vwap_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
         F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"),
     )
-    return t.groupBy("day").agg(
-        F.count("*").alias("n_fills"),
-        F.sum("qty").cast("long").alias("volume"),
-        F.floor(
-            (2000000 * F.sum(F.col("cents") * F.col("qty"))
-             + 100 * F.sum("qty"))
-            / (200 * F.sum("qty"))
+    # integral `div` (matches DuckDB //): the VWAP numerator passes
+    # 2^53 at modest scale, where floor(double-division) goes 1-off
+    return (
+        t.groupBy("day")
+        .agg(
+            F.count("*").alias("n_fills"),
+            F.sum("qty").alias("volume"),
+            F.sum(F.col("cents") * F.col("qty")).alias("pq"),
+            F.sum("cents").alias("p"),
         )
-        .cast("long")
-        .alias("vwap_micro"),
-        F.floor(
-            (2000000 * F.sum("cents") + 100 * F.count("*"))
-            / (200 * F.count("*"))
+        .select(
+            "day",
+            F.col("n_fills").cast("long").alias("n_fills"),
+            F.col("volume").cast("long").alias("volume"),
+            F.expr(
+                "(2000000 * pq + 100 * volume) div (200 * volume)"
+            ).alias("vwap_micro"),
+            F.expr(
+                "(2000000 * p + 100 * n_fills) div (200 * n_fills)"
+            ).alias("twap_micro"),
         )
-        .cast("long")
-        .alias("twap_micro"),
     )
 
 

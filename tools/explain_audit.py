@@ -792,6 +792,21 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "ts_granger_lite": [
         (r"partial_sum", "daily (y, v) partials map-side combined"),
     ],
+    # round-42 batch
+    "text_burstiness": [
+        (r"partial_count|partial_sum",
+         "(token, doc) counts map-side combined"),
+        (r"WindowGroupLimit|TakeOrderedAndProject",
+         "top-50 vocabulary cut as a partial rank"),
+    ],
+    "ts_autoperiod": [
+        (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+         "ACF lag joins are per-candidate equi-joins on shifted dates"),
+    ],
+    "eval_spearman_rho": [
+        (r"BroadcastHashJoin",
+         "distinct-value midrank tables broadcast back"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -918,7 +933,12 @@ FORBIDDEN = (
       # the held-out token stream (text_lm_score's sanctioned shape);
       # agg_tail_index_hill crossJoins its ONE-ROW x_(k+1) reference
       # onto the k-row top list
-      "eval_lm_heldout_ppl", "agg_tail_index_hill"}),
+      "eval_lm_heldout_ppl", "agg_tail_index_hill",
+      # text_burstiness crossJoins its ONE-ROW doc count onto the
+      # 50-row vocabulary head; ts_autoperiod crossJoins its ONE-ROW
+      # bounds/denominator and the 3-row candidate list onto the
+      # calendar-sized series
+      "text_burstiness", "ts_autoperiod"}),
 )
 
 
