@@ -16,7 +16,13 @@ Oracle-parity rules applied throughout (SURVEY.md §7.4):
   before using it;
 - every computed column aliased identically in Spark and SQL;
 - deterministic total orders (unique-key tiebreakers) wherever the surviving
-  or selected row matters.
+  or selected row matters;
+- half-up integer ratios whose numerator can pass 2^53 use integral
+  ``div`` (Spark) / ``//`` (DuckDB) — BOTH truncate toward zero, so they
+  match bit-for-bit on any sign — never ``floor(a / b)``: BIGINT ``/`` in
+  Spark routes through a double, and past 2^53 the floored quotient went
+  one off from DuckDB's exact ``//`` (found by ts_autoperiod's ACF sums;
+  the sub-2^53 floor sites are verified safe through ~sf10 magnitudes).
 """
 
 from __future__ import annotations
