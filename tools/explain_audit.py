@@ -807,6 +807,18 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"BroadcastHashJoin",
          "distinct-value midrank tables broadcast back"),
     ],
+    # round-43 batch
+    "agg_session_depth": [
+        (r"hashpartitioning\(user_id",
+         "sessionizing windows keyed by user, never global"),
+    ],
+    "scan_pushdown_in": [
+        (r"PushedFilters: \[.*In\(event_type",
+         "IN-list pushed into the parquet scan"),
+    ],
+    "eval_mcnemar": [
+        (r"partial_sum", "2x2 discordance cells map-side combined"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all

@@ -78,7 +78,8 @@ eval_calibration_ece eval_f1_threshold dq_fd_violations
 agg_bitmap_segments agg_cohort_ltv win_streak_days
 eval_brier_score scan_nested_prune win_hampel sink_dynamic_overwrite
 eval_confusion_multiclass sink_file_sizing agg_runs_test
-feat_lag_matrix ts_granger_lite
+feat_lag_matrix ts_granger_lite agg_session_depth scan_pushdown_in
+eval_mcnemar
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
