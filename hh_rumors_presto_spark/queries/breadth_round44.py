@@ -1,0 +1,412 @@
+"""Round-44 breadth batch: a global change-point locator, multi-turn
+chat formatting, and double-charge detection.
+
+- ``ts_changepoint_binseg`` — the first split of binary segmentation
+  (the workhorse of change-point detection): the day that maximizes
+  between-segment sum of squares, scored as (N*S_t - t*S)^2/(t(N-t))
+  from exact integer prefix sums — one pass, no per-candidate
+  rescan. Complements ts_cusum (per-user drift) with the corpus-
+  level WHERE-did-the-mean-shift answer.
+- ``pipeline_chat_multiturn`` — multi-turn SFT transcript assembly:
+  sessionized event streams become role-alternating conversations
+  (consecutive same-role events merge into one turn), rendered with
+  chat markers plus the assistant-character count that drives the
+  loss mask — pipeline_sft_format's single-turn discipline extended
+  to real dialogue structure.
+- ``dq_double_charge`` — the duplicate-payment audit: same user,
+  same amount, within 5 minutes — pairs form only inside
+  (user, cents) blocks, the classic fintech dedup/fraud primitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.registry import query
+
+# --------------------------------------------------------------------------
+# ts_changepoint_binseg
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ts_changepoint_binseg",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               sum(CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5)
+                        AS BIGINT)) AS y
+        FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+        GROUP BY 1
+    ),
+    pre AS (
+        SELECT day, y,
+               row_number() OVER (ORDER BY day) AS t,
+               sum(y) OVER (ORDER BY day) AS st,
+               count(*) OVER () AS n,
+               sum(y) OVER () AS s
+        FROM daily
+    ),
+    scored AS (
+        SELECT day, t, st, n, s,
+               CAST(n * st - t * s AS DOUBLE)
+               * CAST(n * st - t * s AS DOUBLE)
+               / (CAST(t AS DOUBLE) * (n - t)) AS score
+        FROM pre WHERE t < n
+    )
+    SELECT day AS split_day,
+           CAST(t AS BIGINT) AS split_t,
+           CAST(n AS BIGINT) AS n_days,
+           round(score, 4) AS score,
+           (2000000 * st + 100 * t) // (200 * t) AS mean_before_micro,
+           (2000000 * (s - st) + 100 * (n - t))
+               // (200 * (n - t)) AS mean_after_micro
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY score DESC, t) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point location by binary segmentation on the
+    daily purchase series: split at the t maximizing the between-
+    segment sum of squares, computed as (N*S_t - t*S)^2 / (t(N-t))
+    where S_t are exact integer prefix sums — so every candidate's
+    score comes from one window pass, not a per-candidate rescan,
+    and the argmax is deterministic (score DESC, t ASC). Before/
+    after means ship in exact micro-dollars so the answer is "the
+    level moved from A to B on day D", not just "day D".
+
+    Scale: fact -> daily rows -> one ordered prefix-sum window over
+    the calendar-sized series (per metric key at fleet scale) ->
+    partial top-1. Recursing on the two halves gives full binary
+    segmentation; the first split carries most of the signal."""
+    daily = (
+        io.load_events(spark, sf_dir)
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value").cast("double") * 100.0 + 0.5)
+                .cast("long")
+            ).alias("y")
+        )
+    )
+    wo = Window.orderBy("day")
+    wt = Window.partitionBy()
+    pre = daily.select(
+        "day",
+        F.row_number().over(wo).alias("t"),
+        F.sum("y").over(
+            wo.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("st"),
+        F.count("*").over(wt).alias("n"),
+        F.sum("y").over(wt).alias("s"),
+    )
+    dev = (F.col("n") * F.col("st") - F.col("t") * F.col("s")).cast(
+        "double"
+    )
+    scored = pre.filter(F.col("t") < F.col("n")).withColumn(
+        "score",
+        dev * dev / (F.col("t").cast("double") * (F.col("n") - F.col("t"))),
+    )
+    wr = Window.orderBy(F.col("score").desc(), "t")
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("day").alias("split_day"),
+            F.col("t").cast("long").alias("split_t"),
+            F.col("n").cast("long").alias("n_days"),
+            F.round("score", 4).alias("score"),
+            F.expr(
+                "(2000000 * st + 100 * t) div (200 * t)"
+            ).alias("mean_before_micro"),
+            F.expr(
+                "(2000000 * (s - st) + 100 * (n - t))"
+                " div (200 * (n - t))"
+            ).alias("mean_after_micro"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# pipeline_chat_multiturn
+# --------------------------------------------------------------------------
+
+_CM_GAP_MIN = 30
+
+
+@query(
+    "pipeline_chat_multiturn",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN event_type IN ('view', 'click')
+                    THEN 'user' ELSE 'assistant' END AS role,
+               event_type
+        FROM events
+    ),
+    marked AS (
+        SELECT *,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w
+                         > INTERVAL {_CM_GAP_MIN} MINUTE
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT *,
+               sum(is_new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_no
+        FROM marked
+    ),
+    turn_marked AS (
+        SELECT *,
+               CASE WHEN lag(role) OVER w2 IS NULL
+                      OR role <> lag(role) OVER w2
+                    THEN 1 ELSE 0 END AS is_new_turn
+        FROM sess
+        WINDOW w2 AS (PARTITION BY user_id, session_no
+                      ORDER BY ts, event_id)
+    ),
+    turns AS (
+        SELECT user_id, session_no, role,
+               min(ts) AS t0, min(event_id) AS e0,
+               string_agg(event_type, ',' ORDER BY ts, event_id)
+                   AS content
+        FROM (
+            SELECT *,
+                   sum(is_new_turn) OVER (
+                       PARTITION BY user_id, session_no
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS turn_no
+            FROM turn_marked
+        ) GROUP BY user_id, session_no, turn_no, role
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           string_agg('<|' || role || '|>' || content, ''
+                      ORDER BY t0, e0) AS transcript,
+           CAST(sum(CASE WHEN role = 'assistant'
+                    THEN length(content) ELSE 0 END) AS BIGINT)
+               AS assistant_chars
+    FROM turns GROUP BY user_id, session_no
+    """,
+)
+def pipeline_chat_multiturn(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-turn SFT transcript assembly: {_CM_GAP_MIN}-minute
+    sessions become conversations — view/click events speak as the
+    user, everything else as the assistant; consecutive same-role
+    events merge into ONE turn (gaps-and-islands on the role
+    sequence), turns render as '<|role|>content' in time order, and
+    the assistant character total ships alongside (it is the loss-
+    mask denominator: a transcript that is 95% user turns trains on
+    5% of its bytes). Every ordering carries the (ts, event_id)
+    total order, so transcripts are byte-reproducible.
+
+    Scale: three keyed windows (session split, turn split, running
+    numbers) all partitioned by user — zero global ordering; the
+    string assembly is per-session ordered aggregation, the
+    pipeline_pack/sft_format discipline."""
+    base = io.load_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.col("event_type").isin("view", "click"), "user"
+        )
+        .otherwise("assistant")
+        .alias("role"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = base.withColumn(
+        "is_new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts")
+                - F.unix_micros(F.lag("ts").over(w))
+                > _CM_GAP_MIN * 60 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_no",
+        F.sum("is_new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    w2 = Window.partitionBy("user_id", "session_no").orderBy(
+        "ts", "event_id"
+    )
+    turns = (
+        sess.withColumn(
+            "is_new_turn",
+            F.when(
+                F.lag("role").over(w2).isNull()
+                | (F.col("role") != F.lag("role").over(w2)),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "turn_no",
+            F.sum("is_new_turn").over(
+                w2.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "session_no", "turn_no", "role")
+        .agg(
+            F.min("ts").alias("t0"),
+            F.min("event_id").alias("e0"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", "event_type")
+                    )
+                ).getField("event_type"),
+                ",",
+            ).alias("content"),
+        )
+    )
+    return turns.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_turns"),
+        F.array_join(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "t0",
+                        "e0",
+                        F.concat(
+                            F.lit("<|"),
+                            F.col("role"),
+                            F.lit("|>"),
+                            F.col("content"),
+                        ).alias("seg"),
+                    )
+                )
+            ).getField("seg"),
+            "",
+        ).alias("transcript"),
+        F.sum(
+            F.when(
+                F.col("role") == "assistant", F.length("content")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("assistant_chars"),
+    ).select(
+        "user_id",
+        F.col("session_no").cast("long").alias("session_no"),
+        F.col("n_turns").cast("long").alias("n_turns"),
+        "transcript",
+        "assistant_chars",
+    )
+
+
+# --------------------------------------------------------------------------
+# dq_double_charge
+# --------------------------------------------------------------------------
+
+_DC_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+@query(
+    "dq_double_charge",
+    oracle=f"""
+    WITH pur AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5)
+                    AS BIGINT) // 100 AS dollars
+        FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+    )
+    SELECT a.user_id, CAST(a.dollars AS BIGINT) AS dollars,
+           a.event_id AS first_event, b.event_id AS second_event,
+           CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS gap_us
+    FROM pur a JOIN pur b
+      ON a.user_id = b.user_id AND a.dollars = b.dollars
+     AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= {_DC_WINDOW_US}
+    """,
+)
+def dq_double_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment audit: two purchases by the same user for
+    the same whole-dollar amount within 24 hours are flagged as a
+    suspected double charge (ordered by the (ts, event_id) total
+    order so each pair appears exactly once, earliest first). The
+    classic fintech data-quality primitive — upstream retries and
+    double-submits show up here before they show up in support
+    tickets. (Whole-dollar blocking: retried charges sometimes
+    differ by fees/FX cents — and it keeps the block key selective
+    without being exact-match brittle.)
+
+    Scale: pairs form ONLY inside (user, dollar-amount) blocks via
+    the equi-join — block sizes are per-user per-amount purchase
+    counts (tiny, and the 24-hour filter prunes further); never an
+    all-pairs or time-only join."""
+    pur = (
+        io.load_events(spark, sf_dir)
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+            F.expr(
+                "CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5)"
+                " AS BIGINT) div 100"
+            ).alias("dollars"),
+        )
+    )
+    a = pur.select(
+        "user_id",
+        "dollars",
+        F.col("event_id").alias("first_event"),
+        F.col("us").alias("us_a"),
+    )
+    b = pur.select(
+        F.col("user_id").alias("ub"),
+        F.col("dollars").alias("cb"),
+        F.col("event_id").alias("second_event"),
+        F.col("us").alias("us_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("ub"))
+            & (F.col("dollars") == F.col("cb")),
+        )
+        .filter(
+            (
+                (F.col("us_a") < F.col("us_b"))
+                | (
+                    (F.col("us_a") == F.col("us_b"))
+                    & (F.col("first_event") < F.col("second_event"))
+                )
+            )
+            & (F.col("us_b") - F.col("us_a") <= _DC_WINDOW_US)
+        )
+        .select(
+            "user_id",
+            "dollars",
+            "first_event",
+            "second_event",
+            (F.col("us_b") - F.col("us_a")).alias("gap_us"),
+        )
+    )

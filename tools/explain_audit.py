@@ -819,6 +819,18 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "eval_mcnemar": [
         (r"partial_sum", "2x2 discordance cells map-side combined"),
     ],
+    # round-44 batch
+    "ts_changepoint_binseg": [
+        (r"partial_sum", "daily totals map-side combined"),
+    ],
+    "pipeline_chat_multiturn": [
+        (r"hashpartitioning\(user_id",
+         "session/turn windows keyed by user, never global"),
+    ],
+    "dq_double_charge": [
+        (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+         "pairs form inside (user, dollar) blocks via the equi-join"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all

@@ -79,7 +79,8 @@ agg_bitmap_segments agg_cohort_ltv win_streak_days
 eval_brier_score scan_nested_prune win_hampel sink_dynamic_overwrite
 eval_confusion_multiclass sink_file_sizing agg_runs_test
 feat_lag_matrix ts_granger_lite agg_session_depth scan_pushdown_in
-eval_mcnemar
+eval_mcnemar ts_changepoint_binseg pipeline_chat_multiturn
+dq_double_charge
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
