@@ -831,6 +831,21 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
          "pairs form inside (user, dollar) blocks via the equi-join"),
     ],
+    # round-45 batch
+    "graph_truss_support": [
+        (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+         "triangles via canonical forward-edge equi-joins"),
+    ],
+    "dq_id_continuity": [
+        (r"partial_min|partial_max|partial_count",
+         "span/count partials map-side combined"),
+    ],
+    "text_lm_kneser_ney": [
+        (r"BroadcastHashJoin",
+         "vocab-sized context/continuation tables broadcast"),
+        (r"WindowGroupLimit|TakeOrderedAndProject",
+         "top-20 head as a partial rank"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -961,8 +976,9 @@ FORBIDDEN = (
       # text_burstiness crossJoins its ONE-ROW doc count onto the
       # 50-row vocabulary head; ts_autoperiod crossJoins its ONE-ROW
       # bounds/denominator and the 3-row candidate list onto the
-      # calendar-sized series
-      "text_burstiness", "ts_autoperiod"}),
+      # calendar-sized series; text_lm_kneser_ney crossJoins its
+      # ONE-ROW distinct-bigram total
+      "text_burstiness", "ts_autoperiod", "text_lm_kneser_ney"}),
 )
 
 

@@ -55,6 +55,7 @@ ml_naive_bayes text_zipf_fit pipeline_length_buckets text_hapax_ratio
 text_ngram_novelty corpus_source_overlap pipeline_global_shuffle
 corpus_dsir_select eval_cohens_kappa corpus_temperature_mix
 eval_lm_heldout_ppl corpus_filter_ablation text_char_coverage
+graph_truss_support text_lm_kneser_ney
 """.split()
 
 EVENT_KEYS = """
@@ -80,7 +81,7 @@ eval_brier_score scan_nested_prune win_hampel sink_dynamic_overwrite
 eval_confusion_multiclass sink_file_sizing agg_runs_test
 feat_lag_matrix ts_granger_lite agg_session_depth scan_pushdown_in
 eval_mcnemar ts_changepoint_binseg pipeline_chat_multiturn
-dq_double_charge
+dq_double_charge dq_id_continuity
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
