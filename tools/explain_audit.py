@@ -846,6 +846,18 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"WindowGroupLimit|TakeOrderedAndProject",
          "top-20 head as a partial rank"),
     ],
+    # round-46 batch
+    "agg_cvar_es": [
+        (r"partial_sum", "tail moments map-side combined"),
+    ],
+    "ts_xcorr_lead_scan": [
+        (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+         "per-lag equi-joins on shifted dates, never quadratic"),
+    ],
+    "scan_csv_multichar_delim": [
+        (r"partial_sum|partial_count",
+         "re-read census map-side combined"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -978,7 +990,11 @@ FORBIDDEN = (
       # bounds/denominator and the 3-row candidate list onto the
       # calendar-sized series; text_lm_kneser_ney crossJoins its
       # ONE-ROW distinct-bigram total
-      "text_burstiness", "ts_autoperiod", "text_lm_kneser_ney"}),
+      "text_burstiness", "ts_autoperiod", "text_lm_kneser_ney",
+      # ts_xcorr_lead_scan crossJoins its 15-row lag list and ONE-ROW
+      # bounds/denominator onto the calendar-sized series; agg_cvar_es
+      # crossJoins its ONE-ROW VaR cut row
+      "ts_xcorr_lead_scan", "agg_cvar_es"}),
 )
 
 

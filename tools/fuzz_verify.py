@@ -81,7 +81,8 @@ eval_brier_score scan_nested_prune win_hampel sink_dynamic_overwrite
 eval_confusion_multiclass sink_file_sizing agg_runs_test
 feat_lag_matrix ts_granger_lite agg_session_depth scan_pushdown_in
 eval_mcnemar ts_changepoint_binseg pipeline_chat_multiturn
-dq_double_charge dq_id_continuity
+dq_double_charge dq_id_continuity ts_xcorr_lead_scan
+scan_csv_multichar_delim
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
@@ -103,7 +104,7 @@ graph_label_prop ivm_topk_delta graph_ppr_seeded scan_log_parse
 graph_hits join_sample_consistent graph_random_walk graph_adamic_adar
 feat_woe_iv graph_coreness agg_abc_analysis recs_coverage_diversity
 olap_market_basket feat_rfm_segmentation agg_vwap_twap
-agg_tail_index_hill graph_assortativity
+agg_tail_index_hill graph_assortativity agg_cvar_es
 """.split()
 
 EMB_KEYS = """
