@@ -858,6 +858,20 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"partial_sum|partial_count",
          "re-read census map-side combined"),
     ],
+    # round-47 batch
+    "agg_lorenz_deciles": [
+        (r"partial_sum", "per-customer revenue map-side combined"),
+    ],
+    "ts_dow_profile": [
+        (r"partial_count|partial_sum",
+         "weekday counts map-side combined"),
+    ],
+    "text_prf_expansion": [
+        (r"BroadcastHashJoin",
+         "query-term and df tables broadcast to the postings"),
+        (r"WindowGroupLimit|hashpartitioning\(q",
+         "doc/term cuts as keyed group-limited ranks"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -994,7 +1008,10 @@ FORBIDDEN = (
       # ts_xcorr_lead_scan crossJoins its 15-row lag list and ONE-ROW
       # bounds/denominator onto the calendar-sized series; agg_cvar_es
       # crossJoins its ONE-ROW VaR cut row
-      "ts_xcorr_lead_scan", "agg_cvar_es"}),
+      "ts_xcorr_lead_scan", "agg_cvar_es",
+      # text_prf_expansion crossJoins its ONE-ROW doc count onto the
+      # query postings and expansion folds
+      "text_prf_expansion"}),
 )
 
 

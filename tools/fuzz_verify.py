@@ -55,7 +55,7 @@ ml_naive_bayes text_zipf_fit pipeline_length_buckets text_hapax_ratio
 text_ngram_novelty corpus_source_overlap pipeline_global_shuffle
 corpus_dsir_select eval_cohens_kappa corpus_temperature_mix
 eval_lm_heldout_ppl corpus_filter_ablation text_char_coverage
-graph_truss_support text_lm_kneser_ney
+graph_truss_support text_lm_kneser_ney text_prf_expansion
 """.split()
 
 EVENT_KEYS = """
@@ -82,7 +82,7 @@ eval_confusion_multiclass sink_file_sizing agg_runs_test
 feat_lag_matrix ts_granger_lite agg_session_depth scan_pushdown_in
 eval_mcnemar ts_changepoint_binseg pipeline_chat_multiturn
 dq_double_charge dq_id_continuity ts_xcorr_lead_scan
-scan_csv_multichar_delim
+scan_csv_multichar_delim ts_dow_profile
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
@@ -105,6 +105,7 @@ graph_hits join_sample_consistent graph_random_walk graph_adamic_adar
 feat_woe_iv graph_coreness agg_abc_analysis recs_coverage_diversity
 olap_market_basket feat_rfm_segmentation agg_vwap_twap
 agg_tail_index_hill graph_assortativity agg_cvar_es
+agg_lorenz_deciles
 """.split()
 
 EMB_KEYS = """
