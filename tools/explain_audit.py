@@ -872,6 +872,19 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"WindowGroupLimit|hashpartitioning\(q",
          "doc/term cuts as keyed group-limited ranks"),
     ],
+    # round-48 batch
+    "ab_did_estimator": [
+        (r"partial_sum|partial_count",
+         "2x2 cell counts map-side combined"),
+    ],
+    "ab_propensity_strata": [
+        (r"partial_sum|partial_count",
+         "user-grain folds map-side combined"),
+    ],
+    "ab_eb_shrinkage": [
+        (r"WindowGroupLimit|TakeOrderedAndProject",
+         "shrunk leaderboard as a partial rank"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -1010,8 +1023,10 @@ FORBIDDEN = (
       # crossJoins its ONE-ROW VaR cut row
       "ts_xcorr_lead_scan", "agg_cvar_es",
       # text_prf_expansion crossJoins its ONE-ROW doc count onto the
-      # query postings and expansion folds
-      "text_prf_expansion"}),
+      # query postings and expansion folds; ab_eb_shrinkage and
+      # ab_did_estimator crossJoin ONE-ROW prior/bounds rows
+      "text_prf_expansion", "ab_eb_shrinkage",
+      "ab_did_estimator"}),
 )
 
 

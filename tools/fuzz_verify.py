@@ -82,7 +82,8 @@ eval_confusion_multiclass sink_file_sizing agg_runs_test
 feat_lag_matrix ts_granger_lite agg_session_depth scan_pushdown_in
 eval_mcnemar ts_changepoint_binseg pipeline_chat_multiturn
 dq_double_charge dq_id_continuity ts_xcorr_lead_scan
-scan_csv_multichar_delim ts_dow_profile
+scan_csv_multichar_delim ts_dow_profile ab_did_estimator
+ab_propensity_strata ab_eb_shrinkage
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
