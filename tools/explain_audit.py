@@ -885,6 +885,18 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"WindowGroupLimit|TakeOrderedAndProject",
          "shrunk leaderboard as a partial rank"),
     ],
+    # round-49 batch
+    "graph_transitivity": [
+        (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+         "triangles via canonical forward-edge equi-joins"),
+    ],
+    "sink_zstd_codec": [
+        (r"partial_sum|partial_count",
+         "re-read census map-side combined"),
+    ],
+    "ab_tost_equivalence": [
+        (r"partial_sum", "per-arm moments map-side combined"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -1026,7 +1038,10 @@ FORBIDDEN = (
       # query postings and expansion folds; ab_eb_shrinkage and
       # ab_did_estimator crossJoin ONE-ROW prior/bounds rows
       "text_prf_expansion", "ab_eb_shrinkage",
-      "ab_did_estimator"}),
+      "ab_did_estimator",
+      # graph_transitivity crossJoins its two ONE-ROW wedge/triangle
+      # aggregates
+      "graph_transitivity"}),
 )
 
 

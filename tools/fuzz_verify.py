@@ -83,7 +83,7 @@ feat_lag_matrix ts_granger_lite agg_session_depth scan_pushdown_in
 eval_mcnemar ts_changepoint_binseg pipeline_chat_multiturn
 dq_double_charge dq_id_continuity ts_xcorr_lead_scan
 scan_csv_multichar_delim ts_dow_profile ab_did_estimator
-ab_propensity_strata ab_eb_shrinkage
+ab_propensity_strata ab_eb_shrinkage ab_tost_equivalence
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
@@ -106,7 +106,7 @@ graph_hits join_sample_consistent graph_random_walk graph_adamic_adar
 feat_woe_iv graph_coreness agg_abc_analysis recs_coverage_diversity
 olap_market_basket feat_rfm_segmentation agg_vwap_twap
 agg_tail_index_hill graph_assortativity agg_cvar_es
-agg_lorenz_deciles
+agg_lorenz_deciles graph_transitivity sink_zstd_codec
 """.split()
 
 EMB_KEYS = """
