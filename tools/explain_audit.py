@@ -897,6 +897,19 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "ab_tost_equivalence": [
         (r"partial_sum", "per-arm moments map-side combined"),
     ],
+    # round-50 batch
+    "win_underwater_spell": [
+        (r"partial_sum", "daily totals map-side combined"),
+    ],
+    "eval_roc_points": [
+        (r"BroadcastHashJoin|BroadcastNestedLoopJoin",
+         "9-row threshold table broadcast over one fact pass"),
+    ],
+    "dq_mahalanobis_outliers": [
+        (r"partial_sum", "covariance moments map-side combined"),
+        (r"WindowGroupLimit|TakeOrderedAndProject",
+         "top-10 distances as a partial rank"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -1040,8 +1053,10 @@ FORBIDDEN = (
       "text_prf_expansion", "ab_eb_shrinkage",
       "ab_did_estimator",
       # graph_transitivity crossJoins its two ONE-ROW wedge/triangle
-      # aggregates
-      "graph_transitivity"}),
+      # aggregates; eval_roc_points its 9-row threshold table;
+      # dq_mahalanobis_outliers its ONE-ROW covariance moments
+      "graph_transitivity", "eval_roc_points",
+      "dq_mahalanobis_outliers"}),
 )
 
 

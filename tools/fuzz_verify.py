@@ -84,6 +84,7 @@ eval_mcnemar ts_changepoint_binseg pipeline_chat_multiturn
 dq_double_charge dq_id_continuity ts_xcorr_lead_scan
 scan_csv_multichar_delim ts_dow_profile ab_did_estimator
 ab_propensity_strata ab_eb_shrinkage ab_tost_equivalence
+win_underwater_spell eval_roc_points dq_mahalanobis_outliers
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
