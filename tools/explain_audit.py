@@ -910,6 +910,20 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"WindowGroupLimit|TakeOrderedAndProject",
          "top-10 distances as a partial rank"),
     ],
+    # round-51 batch
+    "sim_hamming_topk": [
+        (r"WindowGroupLimit|hashpartitioning\(qid",
+         "per-query top-k as a keyed group-limited window"),
+    ],
+    "curation_quality_residual": [
+        (r"partial_sum", "OLS moments map-side combined"),
+        (r"WindowGroupLimit|TakeOrderedAndProject",
+         "review queue as a partial rank"),
+    ],
+    "dq_tz_shift": [
+        (r"partial_count|partial_sum",
+         "24x2 hour histogram map-side combined"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -1056,7 +1070,13 @@ FORBIDDEN = (
       # aggregates; eval_roc_points its 9-row threshold table;
       # dq_mahalanobis_outliers its ONE-ROW covariance moments
       "graph_transitivity", "eval_roc_points",
-      "dq_mahalanobis_outliers"}),
+      "dq_mahalanobis_outliers",
+      # sim_hamming_topk broadcasts its 5-ROW query signatures over
+      # one corpus scan (sim_topk's sanctioned brute-force shape);
+      # curation_quality_residual its ONE-ROW OLS fit; dq_tz_shift
+      # its 24-ROW shift list onto the 24-row histogram
+      "sim_hamming_topk", "curation_quality_residual",
+      "dq_tz_shift"}),
 )
 
 

@@ -56,6 +56,7 @@ text_ngram_novelty corpus_source_overlap pipeline_global_shuffle
 corpus_dsir_select eval_cohens_kappa corpus_temperature_mix
 eval_lm_heldout_ppl corpus_filter_ablation text_char_coverage
 graph_truss_support text_lm_kneser_ney text_prf_expansion
+curation_quality_residual
 """.split()
 
 EVENT_KEYS = """
@@ -85,6 +86,7 @@ dq_double_charge dq_id_continuity ts_xcorr_lead_scan
 scan_csv_multichar_delim ts_dow_profile ab_did_estimator
 ab_propensity_strata ab_eb_shrinkage ab_tost_equivalence
 win_underwater_spell eval_roc_points dq_mahalanobis_outliers
+dq_tz_shift
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
@@ -116,7 +118,7 @@ emb_cosine_histogram emb_pca_power emb_quantize_error dq_embedding_drift
 emb_random_projection emb_mean_pool emb_outlier emb_truncate_quality
 sim_ivfpq_search sim_ivfpq_probe3 sim_ivfpq_stages sim_pq_assign
 emb_kcenter_init emb_dim_variance ml_knn_classifier
-emb_centroid_classifier
+emb_centroid_classifier sim_hamming_topk
 """.split()
 
 DEFAULT_KEYS = DOC_KEYS + EVENT_KEYS + EMB_KEYS + TPCH_KEYS
