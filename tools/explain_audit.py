@@ -924,6 +924,18 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"partial_count|partial_sum",
          "24x2 hour histogram map-side combined"),
     ],
+    # round-52 batch
+    "text_script_mix": [
+        (r"partial_sum|partial_count",
+         "per-language script counts map-side combined"),
+    ],
+    "sink_decimal_contract": [
+        (r"partial_sum|partial_count",
+         "re-read decimal census map-side combined"),
+    ],
+    "agg_hhi": [
+        (r"partial_sum", "supplier revenue partials map-side combined"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all

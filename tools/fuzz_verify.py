@@ -56,7 +56,7 @@ text_ngram_novelty corpus_source_overlap pipeline_global_shuffle
 corpus_dsir_select eval_cohens_kappa corpus_temperature_mix
 eval_lm_heldout_ppl corpus_filter_ablation text_char_coverage
 graph_truss_support text_lm_kneser_ney text_prf_expansion
-curation_quality_residual
+curation_quality_residual text_script_mix
 """.split()
 
 EVENT_KEYS = """
@@ -110,6 +110,7 @@ feat_woe_iv graph_coreness agg_abc_analysis recs_coverage_diversity
 olap_market_basket feat_rfm_segmentation agg_vwap_twap
 agg_tail_index_hill graph_assortativity agg_cvar_es
 agg_lorenz_deciles graph_transitivity sink_zstd_codec
+sink_decimal_contract agg_hhi
 """.split()
 
 EMB_KEYS = """
