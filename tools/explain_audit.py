@@ -936,6 +936,19 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "agg_hhi": [
         (r"partial_sum", "supplier revenue partials map-side combined"),
     ],
+    # round-53 batch
+    "pipeline_split_leakage": [
+        (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+         "gram fingerprints via keyed adjacent-position equi-joins"),
+    ],
+    "eval_gains_chart": [
+        (r"BroadcastHashJoin|BroadcastNestedLoopJoin",
+         "10-row decile table broadcast over the ranked fact"),
+    ],
+    "ts_dispersion_test": [
+        (r"partial_count|partial_sum",
+         "hourly counts map-side combined"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -1088,7 +1101,10 @@ FORBIDDEN = (
       # curation_quality_residual its ONE-ROW OLS fit; dq_tz_shift
       # its 24-ROW shift list onto the 24-row histogram
       "sim_hamming_topk", "curation_quality_residual",
-      "dq_tz_shift"}),
+      "dq_tz_shift",
+      # eval_gains_chart broadcasts its 10-row decile list over the
+      # ranked fact (a <= range join, eval_f1_threshold's shape)
+      "eval_gains_chart"}),
 )
 
 

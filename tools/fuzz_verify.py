@@ -56,7 +56,7 @@ text_ngram_novelty corpus_source_overlap pipeline_global_shuffle
 corpus_dsir_select eval_cohens_kappa corpus_temperature_mix
 eval_lm_heldout_ppl corpus_filter_ablation text_char_coverage
 graph_truss_support text_lm_kneser_ney text_prf_expansion
-curation_quality_residual text_script_mix
+curation_quality_residual text_script_mix pipeline_split_leakage
 """.split()
 
 EVENT_KEYS = """
@@ -86,7 +86,7 @@ dq_double_charge dq_id_continuity ts_xcorr_lead_scan
 scan_csv_multichar_delim ts_dow_profile ab_did_estimator
 ab_propensity_strata ab_eb_shrinkage ab_tost_equivalence
 win_underwater_spell eval_roc_points dq_mahalanobis_outliers
-dq_tz_shift
+dq_tz_shift eval_gains_chart ts_dispersion_test
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
