@@ -949,6 +949,21 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"partial_count|partial_sum",
          "hourly counts map-side combined"),
     ],
+    # round-54 batch
+    "ts_markov_entropy_rate": [
+        (r"hashpartitioning\(user_id",
+         "transition window keyed by user, never global"),
+    ],
+    "ts_median_polish": [
+        (r"hashpartitioning\(dow|hashpartitioning\(wk",
+         "median selections keyed by grid row/column"),
+    ],
+    # hint_no_broadcast's shuffle-join assertion runs in-code against
+    # the live plan (the localCheckpoint hides it from this audit)
+    "hint_no_broadcast": [
+        (r"partial_count|HashAggregate",
+         "post-checkpoint census fold"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -1104,7 +1119,10 @@ FORBIDDEN = (
       "dq_tz_shift",
       # eval_gains_chart broadcasts its 10-row decile list over the
       # ranked fact (a <= range join, eval_f1_threshold's shape)
-      "eval_gains_chart"}),
+      "eval_gains_chart",
+      # ts_markov_entropy_rate crossJoins its ONE-ROW transition total
+      # onto the |types|^2 term table
+      "ts_markov_entropy_rate"}),
 )
 
 

@@ -87,6 +87,7 @@ scan_csv_multichar_delim ts_dow_profile ab_did_estimator
 ab_propensity_strata ab_eb_shrinkage ab_tost_equivalence
 win_underwater_spell eval_roc_points dq_mahalanobis_outliers
 dq_tz_shift eval_gains_chart ts_dispersion_test
+ts_markov_entropy_rate ts_median_polish
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
@@ -110,7 +111,7 @@ feat_woe_iv graph_coreness agg_abc_analysis recs_coverage_diversity
 olap_market_basket feat_rfm_segmentation agg_vwap_twap
 agg_tail_index_hill graph_assortativity agg_cvar_es
 agg_lorenz_deciles graph_transitivity sink_zstd_codec
-sink_decimal_contract agg_hhi
+sink_decimal_contract agg_hhi hint_no_broadcast
 """.split()
 
 EMB_KEYS = """
