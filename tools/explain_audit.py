@@ -964,6 +964,21 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"partial_count|HashAggregate",
          "post-checkpoint census fold"),
     ],
+    # round-55 batch — the daily partial-sum stages sit behind the
+    # localCheckpoints that truncate the path lineage, so the final
+    # plans show only the summary folds
+    "ab_sprt_boundary": [
+        (r"TakeOrderedAndProject|BroadcastExchange",
+         "final-day partial top-1 + one-row crossing broadcast"),
+    ],
+    "ts_page_hinkley": [
+        (r"HashAggregate|BroadcastHashJoin",
+         "summary fold + one-row alarm join after the checkpoint"),
+    ],
+    "ab_bayes_posterior": [
+        (r"partial_sum|partial_count",
+         "per-arm counts map-side combined"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -1121,8 +1136,11 @@ FORBIDDEN = (
       # ranked fact (a <= range join, eval_f1_threshold's shape)
       "eval_gains_chart",
       # ts_markov_entropy_rate crossJoins its ONE-ROW transition total
-      # onto the |types|^2 term table
-      "ts_markov_entropy_rate"}),
+      # onto the |types|^2 term table; ab_sprt_boundary and
+      # ts_page_hinkley left-join their ONE-ROW first-crossing/alarm
+      # rows onto the one-row summary (lit(True) joins)
+      "ts_markov_entropy_rate", "ab_sprt_boundary",
+      "ts_page_hinkley"}),
 )
 
 

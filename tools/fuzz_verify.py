@@ -87,7 +87,8 @@ scan_csv_multichar_delim ts_dow_profile ab_did_estimator
 ab_propensity_strata ab_eb_shrinkage ab_tost_equivalence
 win_underwater_spell eval_roc_points dq_mahalanobis_outliers
 dq_tz_shift eval_gains_chart ts_dispersion_test
-ts_markov_entropy_rate ts_median_polish
+ts_markov_entropy_rate ts_median_polish ab_sprt_boundary
+ts_page_hinkley ab_bayes_posterior
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
