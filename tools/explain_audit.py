@@ -979,6 +979,21 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"partial_sum|partial_count",
          "per-arm counts map-side combined"),
     ],
+    # round-56 batch
+    "text_template_mining": [
+        (r"partial_count",
+         "template counts map-side combined"),
+        (r"WindowGroupLimit|TakeOrderedAndProject|rnk",
+         "head cut as a rank over the template vocabulary"),
+    ],
+    "emb_anisotropy": [
+        (r"partial_sum",
+         "per-dimension unit-component sums map-side combined"),
+    ],
+    "agg_hazard_curve": [
+        (r"partial_count|partial_max",
+         "user lifetimes map-side combined"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -1140,7 +1155,10 @@ FORBIDDEN = (
       # ts_page_hinkley left-join their ONE-ROW first-crossing/alarm
       # rows onto the one-row summary (lit(True) joins)
       "ts_markov_entropy_rate", "ab_sprt_boundary",
-      "ts_page_hinkley"}),
+      "ts_page_hinkley",
+      # agg_hazard_curve and emb_anisotropy crossJoin ONE-ROW
+      # stream-start / vector-count aggregates
+      "agg_hazard_curve", "emb_anisotropy"}),
 )
 
 

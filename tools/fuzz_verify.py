@@ -57,6 +57,7 @@ corpus_dsir_select eval_cohens_kappa corpus_temperature_mix
 eval_lm_heldout_ppl corpus_filter_ablation text_char_coverage
 graph_truss_support text_lm_kneser_ney text_prf_expansion
 curation_quality_residual text_script_mix pipeline_split_leakage
+text_template_mining
 """.split()
 
 EVENT_KEYS = """
@@ -88,7 +89,7 @@ ab_propensity_strata ab_eb_shrinkage ab_tost_equivalence
 win_underwater_spell eval_roc_points dq_mahalanobis_outliers
 dq_tz_shift eval_gains_chart ts_dispersion_test
 ts_markov_entropy_rate ts_median_polish ab_sprt_boundary
-ts_page_hinkley ab_bayes_posterior
+ts_page_hinkley ab_bayes_posterior agg_hazard_curve
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
@@ -121,7 +122,7 @@ emb_cosine_histogram emb_pca_power emb_quantize_error dq_embedding_drift
 emb_random_projection emb_mean_pool emb_outlier emb_truncate_quality
 sim_ivfpq_search sim_ivfpq_probe3 sim_ivfpq_stages sim_pq_assign
 emb_kcenter_init emb_dim_variance ml_knn_classifier
-emb_centroid_classifier sim_hamming_topk
+emb_centroid_classifier sim_hamming_topk emb_anisotropy
 """.split()
 
 DEFAULT_KEYS = DOC_KEYS + EVENT_KEYS + EMB_KEYS + TPCH_KEYS
