@@ -994,6 +994,18 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"partial_count|partial_max",
          "user lifetimes map-side combined"),
     ],
+    # round-57 batch
+    "eval_cost_curve": [
+        (r"BroadcastHashJoin|BroadcastNestedLoopJoin",
+         "3-row threshold table broadcast over one fact pass"),
+    ],
+    "scan_recursive_lookup": [
+        (r"partial_count|partial_sum",
+         "recursive-lookup census map-side combined"),
+    ],
+    "agg_nps": [
+        (r"partial_count", "segment counts map-side combined"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -1157,8 +1169,9 @@ FORBIDDEN = (
       "ts_markov_entropy_rate", "ab_sprt_boundary",
       "ts_page_hinkley",
       # agg_hazard_curve and emb_anisotropy crossJoin ONE-ROW
-      # stream-start / vector-count aggregates
-      "agg_hazard_curve", "emb_anisotropy"}),
+      # stream-start / vector-count aggregates; eval_cost_curve its
+      # 3-row threshold table (eval_f1_threshold's shape)
+      "agg_hazard_curve", "emb_anisotropy", "eval_cost_curve"}),
 )
 
 

@@ -90,6 +90,7 @@ win_underwater_spell eval_roc_points dq_mahalanobis_outliers
 dq_tz_shift eval_gains_chart ts_dispersion_test
 ts_markov_entropy_rate ts_median_polish ab_sprt_boundary
 ts_page_hinkley ab_bayes_posterior agg_hazard_curve
+eval_cost_curve scan_recursive_lookup agg_nps
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
