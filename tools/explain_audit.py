@@ -1006,6 +1006,21 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "agg_nps": [
         (r"partial_count", "segment counts map-side combined"),
     ],
+    # round-58 batch
+    "agg_dau_mau": [
+        (r"partial_count|HashAggregate",
+         "distinct (user, day) collapse map-side combined"),
+    ],
+    "text_casing_profile": [
+        (r"partial_sum|partial_count",
+         "per-source casing counts map-side combined"),
+    ],
+    "dq_rank_stability": [
+        (r"hashpartitioning\(half",
+         "rank windows keyed by half over supplier rows"),
+        (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+         "half-to-half pairing as a supplier equi-join"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -1170,8 +1185,10 @@ FORBIDDEN = (
       "ts_page_hinkley",
       # agg_hazard_curve and emb_anisotropy crossJoin ONE-ROW
       # stream-start / vector-count aggregates; eval_cost_curve its
-      # 3-row threshold table (eval_f1_threshold's shape)
-      "agg_hazard_curve", "emb_anisotropy", "eval_cost_curve"}),
+      # 3-row threshold table (eval_f1_threshold's shape);
+      # dq_rank_stability its ONE-ROW date bounds
+      "agg_hazard_curve", "emb_anisotropy", "eval_cost_curve",
+      "dq_rank_stability"}),
 )
 
 

@@ -57,7 +57,7 @@ corpus_dsir_select eval_cohens_kappa corpus_temperature_mix
 eval_lm_heldout_ppl corpus_filter_ablation text_char_coverage
 graph_truss_support text_lm_kneser_ney text_prf_expansion
 curation_quality_residual text_script_mix pipeline_split_leakage
-text_template_mining
+text_template_mining text_casing_profile
 """.split()
 
 EVENT_KEYS = """
@@ -90,7 +90,7 @@ win_underwater_spell eval_roc_points dq_mahalanobis_outliers
 dq_tz_shift eval_gains_chart ts_dispersion_test
 ts_markov_entropy_rate ts_median_polish ab_sprt_boundary
 ts_page_hinkley ab_bayes_posterior agg_hazard_curve
-eval_cost_curve scan_recursive_lookup agg_nps
+eval_cost_curve scan_recursive_lookup agg_nps agg_dau_mau
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
@@ -115,6 +115,7 @@ olap_market_basket feat_rfm_segmentation agg_vwap_twap
 agg_tail_index_hill graph_assortativity agg_cvar_es
 agg_lorenz_deciles graph_transitivity sink_zstd_codec
 sink_decimal_contract agg_hhi hint_no_broadcast
+dq_rank_stability
 """.split()
 
 EMB_KEYS = """
