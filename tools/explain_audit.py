@@ -1021,6 +1021,18 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
          "half-to-half pairing as a supplier equi-join"),
     ],
+    # round-59 batch
+    "scan_csv_null_contract": [
+        (r"partial_sum|partial_count",
+         "null/cents census map-side combined"),
+    ],
+    "win_atr": [
+        (r"partial_min|partial_max|max_by",
+         "daily OHLC partials map-side combined"),
+    ],
+    "corpus_source_entropy": [
+        (r"partial_count", "source counts map-side combined"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -1186,9 +1198,10 @@ FORBIDDEN = (
       # agg_hazard_curve and emb_anisotropy crossJoin ONE-ROW
       # stream-start / vector-count aggregates; eval_cost_curve its
       # 3-row threshold table (eval_f1_threshold's shape);
-      # dq_rank_stability its ONE-ROW date bounds
+      # dq_rank_stability its ONE-ROW date bounds;
+      # corpus_source_entropy its ONE-ROW corpus totals
       "agg_hazard_curve", "emb_anisotropy", "eval_cost_curve",
-      "dq_rank_stability"}),
+      "dq_rank_stability", "corpus_source_entropy"}),
 )
 
 
