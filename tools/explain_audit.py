@@ -1033,6 +1033,19 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "corpus_source_entropy": [
         (r"partial_count", "source counts map-side combined"),
     ],
+    # round-60 batch
+    "text_burrows_delta": [
+        (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+         "source pairs blocked by word over the profile table"),
+    ],
+    "eval_selective_risk": [
+        (r"BroadcastHashJoin|BroadcastNestedLoopJoin",
+         "10-row coverage deciles broadcast over the ranked fact"),
+    ],
+    "dq_feed_gaps": [
+        (r"hashpartitioning\(event_type",
+         "gap lag and rank windows keyed per feed"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -1201,7 +1214,10 @@ FORBIDDEN = (
       # dq_rank_stability its ONE-ROW date bounds;
       # corpus_source_entropy its ONE-ROW corpus totals
       "agg_hazard_curve", "emb_anisotropy", "eval_cost_curve",
-      "dq_rank_stability", "corpus_source_entropy"}),
+      "dq_rank_stability", "corpus_source_entropy",
+      # eval_selective_risk its 10-row coverage deciles; the burrows
+      # profile grid crossJoins the 30-row word list onto sources
+      "eval_selective_risk", "text_burrows_delta"}),
 )
 
 

@@ -58,6 +58,7 @@ eval_lm_heldout_ppl corpus_filter_ablation text_char_coverage
 graph_truss_support text_lm_kneser_ney text_prf_expansion
 curation_quality_residual text_script_mix pipeline_split_leakage
 text_template_mining text_casing_profile corpus_source_entropy
+text_burrows_delta
 """.split()
 
 EVENT_KEYS = """
@@ -91,7 +92,7 @@ dq_tz_shift eval_gains_chart ts_dispersion_test
 ts_markov_entropy_rate ts_median_polish ab_sprt_boundary
 ts_page_hinkley ab_bayes_posterior agg_hazard_curve
 eval_cost_curve scan_recursive_lookup agg_nps agg_dau_mau
-scan_csv_null_contract win_atr
+scan_csv_null_contract win_atr eval_selective_risk dq_feed_gaps
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
