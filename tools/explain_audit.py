@@ -1046,6 +1046,19 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"hashpartitioning\(event_type",
          "gap lag and rank windows keyed per feed"),
     ],
+    # round-61 batch
+    "ts_records_test": [
+        (r"partial_sum", "daily totals map-side combined"),
+    ],
+    "join_role_playing": [
+        (r"BroadcastHashJoin",
+         "the one calendar dim broadcast for both roles"),
+    ],
+    "agg_abc_xyz": [
+        (r"partial_sum", "part-grain revenue/demand partials map-side"),
+        (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+         "ABC and XYZ labels joined at part grain"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all

@@ -117,7 +117,7 @@ olap_market_basket feat_rfm_segmentation agg_vwap_twap
 agg_tail_index_hill graph_assortativity agg_cvar_es
 agg_lorenz_deciles graph_transitivity sink_zstd_codec
 sink_decimal_contract agg_hhi hint_no_broadcast
-dq_rank_stability
+dq_rank_stability ts_records_test join_role_playing agg_abc_xyz
 """.split()
 
 EMB_KEYS = """
