@@ -1059,6 +1059,21 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
          "ABC and XYZ labels joined at part grain"),
     ],
+    # round-62 batch — early stopping's daily fold sits behind a
+    # localCheckpoint; the final plan shows the selection joins
+    "pipeline_early_stopping": [
+        (r"BroadcastExchange|BroadcastHashJoin",
+         "one-row stop/horizon rows broadcast into the selection"),
+    ],
+    "sim_rank_fusion": [
+        (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+         "the two rank lists joined at doc grain"),
+        (r"WindowGroupLimit|TakeOrderedAndProject",
+         "fused top-10 as a partial rank"),
+    ],
+    "agg_backlog_curve": [
+        (r"partial_count", "daily in/out counts map-side combined"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -1230,7 +1245,10 @@ FORBIDDEN = (
       "dq_rank_stability", "corpus_source_entropy",
       # eval_selective_risk its 10-row coverage deciles; the burrows
       # profile grid crossJoins the 30-row word list onto sources
-      "eval_selective_risk", "text_burrows_delta"}),
+      "eval_selective_risk", "text_burrows_delta",
+      # pipeline_early_stopping left-joins its ONE-ROW stop marker
+      # and crossJoins the ONE-ROW horizon (lit(True) joins)
+      "pipeline_early_stopping"}),
 )
 
 

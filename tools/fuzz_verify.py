@@ -58,7 +58,7 @@ eval_lm_heldout_ppl corpus_filter_ablation text_char_coverage
 graph_truss_support text_lm_kneser_ney text_prf_expansion
 curation_quality_residual text_script_mix pipeline_split_leakage
 text_template_mining text_casing_profile corpus_source_entropy
-text_burrows_delta
+text_burrows_delta sim_rank_fusion
 """.split()
 
 EVENT_KEYS = """
@@ -93,6 +93,7 @@ ts_markov_entropy_rate ts_median_polish ab_sprt_boundary
 ts_page_hinkley ab_bayes_posterior agg_hazard_curve
 eval_cost_curve scan_recursive_lookup agg_nps agg_dau_mau
 scan_csv_null_contract win_atr eval_selective_risk dq_feed_gaps
+pipeline_early_stopping
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
@@ -118,6 +119,7 @@ agg_tail_index_hill graph_assortativity agg_cvar_es
 agg_lorenz_deciles graph_transitivity sink_zstd_codec
 sink_decimal_contract agg_hhi hint_no_broadcast
 dq_rank_stability ts_records_test join_role_playing agg_abc_xyz
+agg_backlog_curve
 """.split()
 
 EMB_KEYS = """
