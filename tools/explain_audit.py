@@ -1074,6 +1074,18 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "agg_backlog_curve": [
         (r"partial_count", "daily in/out counts map-side combined"),
     ],
+    # round-63 batch
+    "ts_seasonal_strength": [
+        (r"partial_sum", "daily totals map-side combined"),
+        (r"BroadcastHashJoin", "7-row weekday means broadcast back"),
+    ],
+    "eval_win_matrix": [
+        (r"hashpartitioning\(user_id",
+         "match-construction lag window keyed by user"),
+    ],
+    "agg_price_endings": [
+        (r"partial_count", "ending histogram map-side combined"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -1247,8 +1259,9 @@ FORBIDDEN = (
       # profile grid crossJoins the 30-row word list onto sources
       "eval_selective_risk", "text_burrows_delta",
       # pipeline_early_stopping left-joins its ONE-ROW stop marker
-      # and crossJoins the ONE-ROW horizon (lit(True) joins)
-      "pipeline_early_stopping"}),
+      # and crossJoins the ONE-ROW horizon (lit(True) joins);
+      # ts_seasonal_strength crossJoins its ONE-ROW grand totals
+      "pipeline_early_stopping", "ts_seasonal_strength"}),
 )
 
 
