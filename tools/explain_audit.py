@@ -1086,6 +1086,21 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "agg_price_endings": [
         (r"partial_count", "ending histogram map-side combined"),
     ],
+    # round-64 batch
+    "eval_average_precision": [
+        (r"partial_sum|HashAggregate",
+         "positives-only AP fold after the rank window"),
+    ],
+    "agg_newsvendor_level": [
+        (r"hashpartitioning\(part",
+         "demand quantile windows keyed per part"),
+        (r"BroadcastHashJoin",
+         "top-revenue part list broadcast to the fact"),
+    ],
+    "sql_group_by_all": [
+        (r"partial_sum|partial_count",
+         "GROUP BY ALL resolves to a plain hash aggregate"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all

@@ -94,6 +94,7 @@ ts_page_hinkley ab_bayes_posterior agg_hazard_curve
 eval_cost_curve scan_recursive_lookup agg_nps agg_dau_mau
 scan_csv_null_contract win_atr eval_selective_risk dq_feed_gaps
 pipeline_early_stopping ts_seasonal_strength eval_win_matrix
+eval_average_precision
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
@@ -119,7 +120,8 @@ agg_tail_index_hill graph_assortativity agg_cvar_es
 agg_lorenz_deciles graph_transitivity sink_zstd_codec
 sink_decimal_contract agg_hhi hint_no_broadcast
 dq_rank_stability ts_records_test join_role_playing agg_abc_xyz
-agg_backlog_curve agg_price_endings
+agg_backlog_curve agg_price_endings agg_newsvendor_level
+sql_group_by_all
 """.split()
 
 EMB_KEYS = """
