@@ -1101,6 +1101,19 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"partial_sum|partial_count",
          "GROUP BY ALL resolves to a plain hash aggregate"),
     ],
+    # round-65 batch
+    "eval_distinct_n": [
+        (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+         "n-grams via keyed adjacent-position equi-joins"),
+    ],
+    "eval_self_bleu_lite": [
+        (r"BroadcastHashJoin",
+         "document-frequency table joined back, never a doc-pair join"),
+    ],
+    "corpus_dedup_rate_dashboard": [
+        (r"partial_count|HashAggregate",
+         "three fingerprint folds map-side combined"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all

@@ -58,7 +58,8 @@ eval_lm_heldout_ppl corpus_filter_ablation text_char_coverage
 graph_truss_support text_lm_kneser_ney text_prf_expansion
 curation_quality_residual text_script_mix pipeline_split_leakage
 text_template_mining text_casing_profile corpus_source_entropy
-text_burrows_delta sim_rank_fusion
+text_burrows_delta sim_rank_fusion eval_distinct_n
+eval_self_bleu_lite corpus_dedup_rate_dashboard
 """.split()
 
 EVENT_KEYS = """
