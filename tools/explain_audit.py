@@ -1114,6 +1114,19 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"partial_count|HashAggregate",
          "three fingerprint folds map-side combined"),
     ],
+    # round-66 batch
+    "agg_engagement_gini": [
+        (r"HashAggregate",
+         "Gini/top-share folds over the checkpointed rank table"),
+    ],
+    "dq_null_rate_trend": [
+        (r"HashAggregate|BroadcastNestedLoopJoin",
+         "day-grain null census + one-row half-delta broadcast"),
+    ],
+    "corpus_dup_inflation": [
+        (r"partial_count|HashAggregate",
+         "per-source and overall distinct-gram folds"),
+    ],
 }
 
 # keys whose plan must contain NO shuffle at all
@@ -1289,7 +1302,10 @@ FORBIDDEN = (
       # pipeline_early_stopping left-joins its ONE-ROW stop marker
       # and crossJoins the ONE-ROW horizon (lit(True) joins);
       # ts_seasonal_strength crossJoins its ONE-ROW grand totals
-      "pipeline_early_stopping", "ts_seasonal_strength"}),
+      "pipeline_early_stopping", "ts_seasonal_strength",
+      # dq_null_rate_trend crossJoins its ONE-ROW bounds and the
+      # one-row half-delta onto the day-grain census
+      "dq_null_rate_trend"}),
 )
 
 

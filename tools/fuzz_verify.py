@@ -59,7 +59,7 @@ graph_truss_support text_lm_kneser_ney text_prf_expansion
 curation_quality_residual text_script_mix pipeline_split_leakage
 text_template_mining text_casing_profile corpus_source_entropy
 text_burrows_delta sim_rank_fusion eval_distinct_n
-eval_self_bleu_lite corpus_dedup_rate_dashboard
+eval_self_bleu_lite corpus_dedup_rate_dashboard corpus_dup_inflation
 """.split()
 
 EVENT_KEYS = """
@@ -95,7 +95,7 @@ ts_page_hinkley ab_bayes_posterior agg_hazard_curve
 eval_cost_curve scan_recursive_lookup agg_nps agg_dau_mau
 scan_csv_null_contract win_atr eval_selective_risk dq_feed_gaps
 pipeline_early_stopping ts_seasonal_strength eval_win_matrix
-eval_average_precision
+eval_average_precision agg_engagement_gini dq_null_rate_trend
 """.split()
 
 # orders/lineitem consumers: keys are PRESERVED from the base fixture
