@@ -961,8 +961,8 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     # hint_no_broadcast's shuffle-join assertion runs in-code against
     # the live plan (the localCheckpoint hides it from this audit)
     "hint_no_broadcast": [
-        (r"partial_count|HashAggregate",
-         "post-checkpoint census fold"),
+        (r"Scan ExistingRDD|HashAggregate",
+         "checkpointed census scan (join asserted in-code pre-checkpoint)"),
     ],
     # round-55 batch — the daily partial-sum stages sit behind the
     # localCheckpoints that truncate the path lineage, so the final
@@ -1304,8 +1304,10 @@ FORBIDDEN = (
       # ts_seasonal_strength crossJoins its ONE-ROW grand totals
       "pipeline_early_stopping", "ts_seasonal_strength",
       # dq_null_rate_trend crossJoins its ONE-ROW bounds and the
-      # one-row half-delta onto the day-grain census
-      "dq_null_rate_trend"}),
+      # one-row half-delta onto the day-grain census;
+      # agg_lorenz_deciles broadcasts its 10-row decile list onto
+      # the ranked customer table (non-equi on a computed rank)
+      "dq_null_rate_trend", "agg_lorenz_deciles"}),
 )
 
 
