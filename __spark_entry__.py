@@ -49,31 +49,43 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 # bounded to the oracle's exact 64-dim domain with NULL-safe folds, and
 # sim_ivfpq_stages checksums each stage so any further driver red names
 # its divergent stage. Claims stay soft until a driver round lands green.
+# ROUND-6 curated window. Priorities per VERDICT.md round-5 "Next round":
+# (1) the 3 standing reds, fixed this round by casting their oracles'
+#     int128 output columns to BIGINT (the Spark side was never wrong);
+# (2) a sample of the other 38 newly-cast HUGEINT-oracle keys so the
+#     fix class is proven on fresh keys, not just the 3 re-proven reds;
+# (3) the §2.B contract stragglers that still lack any driver row;
+# (4) the LLM-pipeline capstones named in VERDICT item 7.
+# Everything else drains the 296-key never-evaluated backlog in
+# registration order via _ordered(). NO new keys were registered this
+# round (registry frozen at 527 until the backlog drains — VERDICT item 4).
 FRONT_KEYS = [
-    # the r3 red, fixed this round — highest-priority green to reclaim
-    "stream_stateful",
-    # remaining TPC-H coverage
-    "sql_tpch_q2", "sql_tpch_q9", "sql_tpch_q11", "sql_tpch_q16",
-    "sql_tpch_q20",
-    # ANN / PQ recall ladder + embedding ops
-    "dedup_minhash_recall", "sim_ivfpq_recall", "sim_pq_assign",
-    "sim_ivfpq_search", "sim_ivfpq_probe3", "emb_random_projection",
-    "emb_cosine_histogram", "dedup_lsh_bucket_stats",
-    # ts / spatial / multimodal / curation breadth
-    "ts_ewma", "join_spatial_grid", "mm_phash_dedup", "curation_skyline",
-    "ts_multires_rollup", "stream_rollup_merge", "stream_checkpoint_resume",
-    "ivm_join_delta", "graph_sssp_weighted", "graph_kcore",
-    "ts_interval_coverage", "ts_peak_concurrency", "mm_scene_cut",
-    "agg_attribution", "text_langid_accuracy", "dq_reconciliation",
-    "pipeline_eval_split", "ts_rate_limit", "agg_mom_change",
-    "sketch_hist_quantile",
-    # scans / sinks / corpus remainder
-    "sample_bottomk_merge", "scan_file_skipping", "scan_csv_malformed",
-    "sink_csv_roundtrip", "corpus_shard_manifest", "corpus_length_histogram",
-    # round-1-era keys that never got a driver row
-    "json_malformed", "sim_ivf", "dedup_best_of", "text_bm25",
-    "ts_resample_interp", "agg_bitwise", "str_codec", "sink_compact",
-    "emb_kmeans_iterate", "graph_pagerank",
+    # (1) the three reds — highest-priority greens to reclaim
+    "stream_stateful", "sim_ivfpq_search", "sim_ivfpq_probe3",
+    # (2) newly-cast HUGEINT-oracle keys (latent-red class representatives:
+    # one per family — agg / eval / text / ts / dq / graph / ml / win)
+    "stream_typed_state", "agg_hhi", "agg_dau_mau", "agg_engagement_gini",
+    "agg_vwap_twap", "eval_roc_points", "eval_f1_threshold",
+    "text_casing_profile", "ts_dow_profile", "dq_rank_stability",
+    "graph_transitivity", "ml_knn_classifier", "win_atr",
+    "pipeline_split_leakage",
+    # (3) §2.B stragglers without a driver row
+    "graph_bfs", "graph_degree", "ts_ohlc",
+    # (4) LLM-pipeline capstones (VERDICT item 7)
+    "corpus_build_e2e", "pipeline_tokenize_pack", "pipeline_span_corrupt",
+    "pipeline_fim_format", "dedup_semantic", "dedup_ppjoin",
+    "text_bpe_encode",
+    # (5) window fill: next never-evaluated keys in registration order —
+    # identical to what _ordered() would serve anyway; listed so the
+    # 50-key window is explicit and test_front_keys_valid can pin it
+    "corpus_ccnet_buckets", "aqp_sample_mean", "ml_logreg_gd",
+    "emb_pca_power", "sketch_hll_setops", "text_winnow", "ts_acf",
+    "ts_paa_sax", "emb_truncate_quality", "dedup_bloom_membership",
+    "text_rake_keywords", "dedup_incremental", "dedup_simhash_recall",
+    "graph_modularity", "corpus_epoch_expand", "dq_ks_test", "ts_dtw_paa",
+    "join_skew_hybrid", "layout_hilbert", "sketch_hll_window",
+    "sink_schema_evolution", "pipeline_contrastive_negatives",
+    "scan_txn_log",
 ]
 
 

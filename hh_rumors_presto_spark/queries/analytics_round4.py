@@ -462,7 +462,9 @@ _IVFPQ_CTES = f"""
     "sim_ivfpq_search",
     oracle=f"""
     {_IVFPQ_CTES}
-    SELECT query_id, neighbor_id, dist FROM (
+    -- outer CAST: exact.dist is an uncast sum() -> DuckDB HUGEINT, which
+    -- hash-diverges from Spark's LONG through the driver's Arrow path
+    SELECT query_id, neighbor_id, CAST(dist AS BIGINT) AS dist FROM (
         SELECT *, row_number() OVER (
             PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
         FROM exact)
@@ -651,7 +653,7 @@ _IVFPQ_P3_CTES = f"""
     oracle=f"""
     {_IVFPQ_CTES},
     {_IVFPQ_P3_CTES}
-    SELECT query_id, neighbor_id, dist FROM (
+    SELECT query_id, neighbor_id, CAST(dist AS BIGINT) AS dist FROM (
         SELECT *, row_number() OVER (
             PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
         FROM exact3)

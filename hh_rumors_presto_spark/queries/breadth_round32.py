@@ -148,16 +148,16 @@ def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 1 ELSE 0 END) AS BIGINT) AS fn,
            CAST(sum(CASE WHEN p.s < c.thr AND p.y = 0
                     THEN 1 ELSE 0 END) AS BIGINT) AS tn,
-           (2000000 * sum(CASE WHEN p.s >= c.thr AND p.y = 1
-                          THEN 1 ELSE 0 END)
+           CAST((2000000 * sum(CASE WHEN p.s >= c.thr AND p.y = 1
+                               THEN 1 ELSE 0 END)
             + sum(CASE WHEN p.s >= c.thr THEN 1 ELSE 0 END))
            // (2 * sum(CASE WHEN p.s >= c.thr THEN 1 ELSE 0 END))
-               AS precision_micro,
-           (2000000 * sum(CASE WHEN p.s >= c.thr AND p.y = 1
-                          THEN 1 ELSE 0 END)
-            + sum(p.y)) // (2 * sum(p.y)) AS recall_micro,
-           (2000000 * 2 * sum(CASE WHEN p.s >= c.thr AND p.y = 1
-                              THEN 1 ELSE 0 END)
+               AS BIGINT) AS precision_micro,
+           CAST((2000000 * sum(CASE WHEN p.s >= c.thr AND p.y = 1
+                               THEN 1 ELSE 0 END)
+            + sum(p.y)) // (2 * sum(p.y)) AS BIGINT) AS recall_micro,
+           CAST((2000000 * 2 * sum(CASE WHEN p.s >= c.thr AND p.y = 1
+                                   THEN 1 ELSE 0 END)
             + (2 * sum(CASE WHEN p.s >= c.thr AND p.y = 1
                        THEN 1 ELSE 0 END)
                + sum(CASE WHEN p.s >= c.thr AND p.y = 0
@@ -169,7 +169,7 @@ def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + sum(CASE WHEN p.s >= c.thr AND p.y = 0
                           THEN 1 ELSE 0 END)
                     + sum(CASE WHEN p.s < c.thr AND p.y = 1
-                          THEN 1 ELSE 0 END))) AS f1_micro
+                          THEN 1 ELSE 0 END))) AS BIGINT) AS f1_micro
     FROM pts p CROSS JOIN cuts c
     GROUP BY c.quartile, c.thr
     """,

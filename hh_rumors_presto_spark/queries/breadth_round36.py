@@ -80,9 +80,9 @@ _COS_AB = (
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CASE WHEN pred_label = true_label
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-           (2000000 * sum(CASE WHEN pred_label = true_label
-                          THEN 1 ELSE 0 END) + count(*))
-               // (2 * count(*)) AS acc_micro
+           CAST((2000000 * sum(CASE WHEN pred_label = true_label
+                               THEN 1 ELSE 0 END) + count(*))
+               // (2 * count(*)) AS BIGINT) AS acc_micro
     FROM pred GROUP BY true_label
     """,
 )
@@ -177,10 +177,10 @@ def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT day,
            CAST(count(*) AS BIGINT) AS n_fills,
            CAST(sum(qty) AS BIGINT) AS volume,
-           (2000000 * sum(cents * qty) + 100 * sum(qty))
-               // (200 * sum(qty)) AS vwap_micro,
-           (2000000 * sum(cents) + 100 * count(*))
-               // (200 * count(*)) AS twap_micro
+           CAST((2000000 * sum(cents * qty) + 100 * sum(qty))
+               // (200 * sum(qty)) AS BIGINT) AS vwap_micro,
+           CAST((2000000 * sum(cents) + 100 * count(*))
+               // (200 * count(*)) AS BIGINT) AS twap_micro
     FROM t GROUP BY day
     """,
 )

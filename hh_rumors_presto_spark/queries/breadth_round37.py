@@ -142,10 +142,10 @@ _LM_A = 0.5
     )
     SELECT CAST(count(*) AS BIGINT) AS n_tokens,
            CAST(sum(oov) AS BIGINT) AS n_oov,
-           (2000000 * sum(oov) + count(*)) // (2 * count(*))
-               AS oov_micro,
-           (-2 * sum(nll_micro) + count(*)) // (2 * count(*))
-               AS avg_nll_micro
+           CAST((2000000 * sum(oov) + count(*)) // (2 * count(*))
+               AS BIGINT) AS oov_micro,
+           CAST((-2 * sum(nll_micro) + count(*)) // (2 * count(*))
+               AS BIGINT) AS avg_nll_micro
     FROM scored
     """,
 )

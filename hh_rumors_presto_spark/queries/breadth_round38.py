@@ -292,12 +292,12 @@ _HILL_K = 100
     )
     SELECT CAST({_HILL_K} AS BIGINT) AS k,
            CAST(max(k2.x_ref) AS BIGINT) AS x_k1_cents,
-           (2 * sum(r.r_micro) + {_HILL_K}) // (2 * {_HILL_K})
-               AS hill_micro,
-           (2000000000000 + (2 * sum(r.r_micro) + {_HILL_K})
-                            // (2 * {_HILL_K}))
+           CAST((2 * sum(r.r_micro) + {_HILL_K}) // (2 * {_HILL_K})
+               AS BIGINT) AS hill_micro,
+           CAST((2000000000000 + (2 * sum(r.r_micro) + {_HILL_K})
+                                 // (2 * {_HILL_K}))
                // (2 * ((2 * sum(r.r_micro) + {_HILL_K})
-                        // (2 * {_HILL_K}))) AS alpha_micro
+                        // (2 * {_HILL_K}))) AS BIGINT) AS alpha_micro
     FROM ratios r CROSS JOIN xk1 k2
     """,
 )

@@ -83,8 +83,8 @@ _PRED_SQL = """
            CAST(prec_micro AS BIGINT) AS prec_micro,
            CAST(rec_micro AS BIGINT) AS rec_micro,
            CAST(f1_micro AS BIGINT) AS f1_micro,
-           (2 * sum(f1_micro) OVER () + count(*) OVER ())
-               // (2 * count(*) OVER ()) AS macro_f1_micro
+           CAST((2 * sum(f1_micro) OVER () + count(*) OVER ())
+               // (2 * count(*) OVER ()) AS BIGINT) AS macro_f1_micro
     FROM scored
     """,
 )

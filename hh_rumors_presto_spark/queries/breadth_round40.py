@@ -191,9 +191,9 @@ def feat_lag_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CASE WHEN pred_label = true_label
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-           (2000000 * sum(CASE WHEN pred_label = true_label
-                          THEN 1 ELSE 0 END) + count(*))
-               // (2 * count(*)) AS acc_micro
+           CAST((2000000 * sum(CASE WHEN pred_label = true_label
+                               THEN 1 ELSE 0 END) + count(*))
+               // (2 * count(*)) AS BIGINT) AS acc_micro
     FROM pred GROUP BY true_label
     """,
 )

@@ -139,8 +139,9 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 1 ELSE 0 END) AS BIGINT) AS alpha_999,
            CAST(sum(CASE WHEN 10000 * (cum - n) < 9995 * total
                     THEN 1 ELSE 0 END) AS BIGINT) AS alpha_9995,
-           (2000000 * max(CASE WHEN rk <= 100 THEN cum END)
-            + max(total)) // (2 * max(total)) AS top100_micro
+           CAST((2000000 * max(CASE WHEN rk <= 100 THEN cum END)
+            + max(total)) // (2 * max(total)) AS BIGINT)
+               AS top100_micro
     FROM ranked
     """,
 )

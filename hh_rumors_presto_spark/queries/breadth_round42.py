@@ -58,8 +58,8 @@ _BURST_TOP = 50
     SELECT t AS token,
            CAST(s AS BIGINT) AS total,
            CAST(df AS BIGINT) AS doc_freq,
-           (2000000 * (nd.nd * s2 - s * s) + nd.nd * s)
-               // (2 * nd.nd * s) AS vmr_micro,
+           CAST((2000000 * (nd.nd * s2 - s * s) + nd.nd * s)
+               // (2 * nd.nd * s) AS BIGINT) AS vmr_micro,
            CAST(rk AS BIGINT) AS rnk
     FROM ranked CROSS JOIN n_docs nd
     WHERE rk <= {_BURST_TOP}

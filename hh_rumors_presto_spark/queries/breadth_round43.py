@@ -65,8 +65,8 @@ _SD_GAP_MIN = 30
     )
     SELECT CAST(depth AS BIGINT) AS depth,
            CAST(count(*) AS BIGINT) AS n_sessions,
-           (2000000 * count(*) + sum(count(*)) OVER ())
-               // (2 * sum(count(*)) OVER ()) AS share_micro
+           CAST((2000000 * count(*) + sum(count(*)) OVER ())
+               // (2 * sum(count(*)) OVER ()) AS BIGINT) AS share_micro
     FROM depth GROUP BY depth
     """,
 )

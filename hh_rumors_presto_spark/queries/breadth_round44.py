@@ -61,9 +61,10 @@ from hh_rumors_presto_spark.registry import query
            CAST(t AS BIGINT) AS split_t,
            CAST(n AS BIGINT) AS n_days,
            round(score, 4) AS score,
-           (2000000 * st + 100 * t) // (200 * t) AS mean_before_micro,
-           (2000000 * (s - st) + 100 * (n - t))
-               // (200 * (n - t)) AS mean_after_micro
+           CAST((2000000 * st + 100 * t) // (200 * t) AS BIGINT)
+               AS mean_before_micro,
+           CAST((2000000 * (s - st) + 100 * (n - t))
+               // (200 * (n - t)) AS BIGINT) AS mean_after_micro
     FROM (
         SELECT *, row_number() OVER (ORDER BY score DESC, t) AS rn
         FROM scored

@@ -55,8 +55,8 @@ from hh_rumors_presto_spark.registry import query
     SELECT CAST(c.n AS BIGINT) AS n,
            CAST(c.var_cents AS BIGINT) AS var95_cents,
            CAST(count(*) AS BIGINT) AS tail_n,
-           (2000000 * sum(v.cents) + 100 * count(*))
-               // (200 * count(*)) AS es_micro
+           CAST((2000000 * sum(v.cents) + 100 * count(*))
+               // (200 * count(*)) AS BIGINT) AS es_micro
     FROM vals v CROSS JOIN cut c
     WHERE v.rk >= c.var_rk
     GROUP BY c.n, c.var_cents

@@ -52,8 +52,8 @@ from hh_rumors_presto_spark.registry import query
     SELECT CAST(dec.d AS BIGINT) AS decile,
            CAST(r.rk AS BIGINT) AS n_customers,
            CAST(r.cum AS BIGINT) AS cum_cents,
-           (2000000 * r.cum + r.total) // (2 * r.total)
-               AS share_micro
+           CAST((2000000 * r.cum + r.total) // (2 * r.total)
+               AS BIGINT) AS share_micro
     FROM dec JOIN ranked r ON r.rk = (dec.d * r.n + 9) // 10
     """,
 )
@@ -133,12 +133,13 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT CAST(dow AS BIGINT) AS dow,
                CAST(n AS BIGINT) AS n,
-               (2000000 * n + sum(n) OVER ())
-                   // (2 * sum(n) OVER ()) AS share_micro,
-               (2000000 * (7 * n - sum(n) OVER ())
-                        * (7 * n - sum(n) OVER ())
+               CAST((2000000 * n + sum(n) OVER ())
+                   // (2 * sum(n) OVER ()) AS BIGINT) AS share_micro,
+               CAST((2000000 * (7 * n - sum(n) OVER ())
+                             * (7 * n - sum(n) OVER ())
                 + 7 * sum(n) OVER ())
-                   // (14 * sum(n) OVER ()) AS chi2_term_micro
+                   // (14 * sum(n) OVER ()) AS BIGINT)
+                   AS chi2_term_micro
         FROM dow
     )
     """,

@@ -54,7 +54,7 @@ from hh_rumors_presto_spark.registry import query
     rates AS (
         SELECT grp, post,
                CAST(n AS BIGINT) AS n,
-               (2000000 * c + n) // (2 * n) AS rate_micro
+               CAST((2000000 * c + n) // (2 * n) AS BIGINT) AS rate_micro
         FROM cell
     )
     SELECT CAST(grp AS BIGINT) AS grp,

@@ -49,9 +49,9 @@ from hh_rumors_presto_spark.registry import query
     )
     SELECT CAST(w.w AS BIGINT) AS n_wedges,
            CAST(t.t AS BIGINT) AS n_triangles,
-           CASE WHEN w.w > 0
-                THEN (2000000 * 3 * t.t + w.w) // (2 * w.w)
-           END AS transitivity_micro
+           CAST(CASE WHEN w.w > 0
+                     THEN (2000000 * 3 * t.t + w.w) // (2 * w.w)
+                END AS BIGINT) AS transitivity_micro
     FROM wedges w CROSS JOIN tri t
     """,
 )

@@ -167,12 +167,12 @@ def win_underwater_spell(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(c.decile AS BIGINT) AS decile,
            CAST(c.thr AS BIGINT) AS threshold_cents,
-           (2000000 * sum(CASE WHEN p.s >= c.thr AND p.y = 1
-                          THEN 1 ELSE 0 END) + t.pos)
-               // (2 * t.pos) AS tpr_micro,
-           (2000000 * sum(CASE WHEN p.s >= c.thr AND p.y = 0
-                          THEN 1 ELSE 0 END) + t.neg)
-               // (2 * t.neg) AS fpr_micro
+           CAST((2000000 * sum(CASE WHEN p.s >= c.thr AND p.y = 1
+                               THEN 1 ELSE 0 END) + t.pos)
+               // (2 * t.pos) AS BIGINT) AS tpr_micro,
+           CAST((2000000 * sum(CASE WHEN p.s >= c.thr AND p.y = 0
+                               THEN 1 ELSE 0 END) + t.neg)
+               // (2 * t.neg) AS BIGINT) AS fpr_micro
     FROM pts p CROSS JOIN cuts c CROSS JOIN tot t
     GROUP BY c.decile, c.thr, t.pos, t.neg
     """,

@@ -50,9 +50,9 @@ from hh_rumors_presto_spark.registry import query
            CAST(sum(n_nonascii) AS BIGINT) AS nonascii_chars,
            CAST(sum(CASE WHEN n_ascii >= 5 AND n_nonascii >= 5
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed,
-           (2000000 * sum(CASE WHEN n_ascii >= 5 AND n_nonascii >= 5
-                          THEN 1 ELSE 0 END) + count(*))
-               // (2 * count(*)) AS mixed_rate_micro
+           CAST((2000000 * sum(CASE WHEN n_ascii >= 5 AND n_nonascii >= 5
+                               THEN 1 ELSE 0 END) + count(*))
+               // (2 * count(*)) AS BIGINT) AS mixed_rate_micro
     FROM sig GROUP BY lang
     """,
 )
@@ -171,10 +171,10 @@ def sink_decimal_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(k AS BIGINT) AS n_suppliers,
            CAST(tot AS BIGINT) AS total_kdollars,
-           (2000000 * sq + tot * tot) // (2 * tot * tot)
-               AS hhi_micro,
-           (2 * tot * tot + sq) // (2 * sq) AS effective_n,
-           (2000000 * top + tot) // (2 * tot) AS top_share_micro
+           CAST((2000000 * sq + tot * tot) // (2 * tot * tot)
+               AS BIGINT) AS hhi_micro,
+           CAST((2 * tot * tot + sq) // (2 * sq) AS BIGINT) AS effective_n,
+           CAST((2000000 * top + tot) // (2 * tot) AS BIGINT) AS top_share_micro
     FROM m
     """,
 )

@@ -82,8 +82,9 @@ _SL_SALT = "split-v1"
                 AS BIGINT) AS n_contaminated,
            CAST(sum(n_leaked) AS BIGINT) AS leaked_grams,
            CAST(sum(n_grams) AS BIGINT) AS total_grams,
-           (2000000 * sum(CASE WHEN n_leaked > 0 THEN 1 ELSE 0 END)
-            + count(*)) // (2 * count(*)) AS contamination_micro
+           CAST((2000000 * sum(CASE WHEN n_leaked > 0 THEN 1 ELSE 0 END)
+            + count(*)) // (2 * count(*)) AS BIGINT)
+               AS contamination_micro
     FROM val_docs
     """,
 )
@@ -214,10 +215,10 @@ def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec AS (SELECT CAST(range AS BIGINT) + 1 AS d FROM range(10))
     SELECT CAST(dec.d AS BIGINT) AS decile,
            CAST(sum(r.y) AS BIGINT) AS captured,
-           (2000000 * sum(r.y) + max(r.pos)) // (2 * max(r.pos))
-               AS gain_micro,
-           (2 * 10000 * sum(r.y) + dec.d * max(r.pos))
-               // (2 * dec.d * max(r.pos)) AS lift_milli
+           CAST((2000000 * sum(r.y) + max(r.pos)) // (2 * max(r.pos))
+               AS BIGINT) AS gain_micro,
+           CAST((2 * 10000 * sum(r.y) + dec.d * max(r.pos))
+               // (2 * dec.d * max(r.pos)) AS BIGINT) AS lift_milli
     FROM dec JOIN ranked r ON r.rn <= (dec.d * r.n + 9) // 10
     GROUP BY dec.d
     """,
@@ -303,8 +304,8 @@ def eval_gains_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(n AS BIGINT) AS n_hours,
            CAST(s AS BIGINT) AS n_events,
-           (2000000 * (n * ss - s * s) + n * s) // (2 * n * s)
-               AS vmr_micro,
+           CAST((2000000 * (n * ss - s * s) + n * s) // (2 * n * s)
+               AS BIGINT) AS vmr_micro,
            round(CAST(n * ss - s * s AS DOUBLE) / s, 4)
                AS chi2_stat,
            CAST(n - 1 AS BIGINT) AS df

@@ -53,7 +53,8 @@ _TM_TOP = 20
     SELECT CAST(rnk AS BIGINT) AS rnk,
            substring(template, 1, 80) AS template_head,
            CAST(n AS BIGINT) AS n,
-           (2000000 * n + total) // (2 * total) AS share_micro
+           CAST((2000000 * n + total) // (2 * total) AS BIGINT)
+               AS share_micro
     FROM ranked WHERE rnk <= {_TM_TOP}
     """,
 )
@@ -215,8 +216,8 @@ def emb_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(wk AS BIGINT) AS tenure_week,
            CAST(churned AS BIGINT) AS churned,
            CAST(at_risk AS BIGINT) AS at_risk,
-           (2000000 * churned + at_risk) // (2 * at_risk)
-               AS hazard_micro
+           CAST((2000000 * churned + at_risk) // (2 * at_risk)
+               AS BIGINT) AS hazard_micro
     FROM risk
     """,
 )

@@ -238,8 +238,8 @@ def scan_recursive_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT segment,
            CAST(count(*) AS BIGINT) AS n,
-           (2000000 * count(*) + sum(count(*)) OVER ())
-               // (2 * sum(count(*)) OVER ()) AS share_micro,
+           CAST((2000000 * count(*) + sum(count(*)) OVER ())
+               // (2 * sum(count(*)) OVER ()) AS BIGINT) AS share_micro,
            CAST((2000 * (sum(CASE WHEN segment = 'promoter'
                              THEN count(*) END) OVER ()
                          - sum(CASE WHEN segment = 'detractor'

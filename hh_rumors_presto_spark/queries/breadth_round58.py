@@ -53,8 +53,8 @@ from hh_rumors_presto_spark.registry import query
            CAST(d.n_days AS BIGINT) AS n_days,
            CAST(d.dau_sum AS BIGINT) AS dau_sum,
            CAST(w.wau AS BIGINT) AS wau,
-           (2000000 * d.dau_sum + d.n_days * w.wau)
-               // (2 * d.n_days * w.wau) AS stickiness_micro
+           CAST((2000000 * d.dau_sum + d.n_days * w.wau)
+               // (2 * d.n_days * w.wau) AS BIGINT) AS stickiness_micro
     FROM daily d JOIN wau w ON w.wk = d.wk
     """,
 )
@@ -126,10 +126,10 @@ def agg_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_tokens,
            CAST(sum(is_caps) AS BIGINT) AS n_allcaps,
            CAST(sum(is_title) AS BIGINT) AS n_titlecase,
-           (2000000 * sum(is_caps) + count(*)) // (2 * count(*))
-               AS caps_micro,
-           (2000000 * sum(is_title) + count(*)) // (2 * count(*))
-               AS title_micro
+           CAST((2000000 * sum(is_caps) + count(*)) // (2 * count(*))
+               AS BIGINT) AS caps_micro,
+           CAST((2000000 * sum(is_title) + count(*)) // (2 * count(*))
+               AS BIGINT) AS title_micro
     FROM sig GROUP BY source
     """,
 )
@@ -211,9 +211,9 @@ def text_casing_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(count(*) AS BIGINT) AS n_common,
            CAST(sum(abs(rk_a - rk_b)) AS BIGINT) AS footrule,
-           (2000000 * sum(abs(rk_a - rk_b))
+           CAST((2000000 * sum(abs(rk_a - rk_b))
             + count(*) * count(*)) // (2 * count(*) * count(*))
-               AS footrule_norm_micro,
+               AS BIGINT) AS footrule_norm_micro,
            CAST(sum(CASE WHEN rk_a <= 10 AND rk_b <= 10
                     THEN 1 ELSE 0 END) AS BIGINT) AS top10_overlap
     FROM paired

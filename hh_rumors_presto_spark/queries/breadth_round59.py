@@ -149,9 +149,9 @@ _ATR_N = 14
         FROM tr WHERE tr IS NOT NULL
     )
     SELECT day, CAST(tr AS BIGINT) AS true_range_cents,
-           CASE WHEN n_tr = {_ATR_N}
-                THEN (2000000 * tr_sum + 100 * n_tr)
-                     // (200 * n_tr) END AS atr_micro
+           CAST(CASE WHEN n_tr = {_ATR_N}
+                     THEN (2000000 * tr_sum + 100 * n_tr)
+                          // (200 * n_tr) END AS BIGINT) AS atr_micro
     FROM win
     """,
 )

@@ -241,8 +241,8 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(dec.d AS BIGINT) AS coverage_decile,
            CAST(count(*) AS BIGINT) AS n_kept,
            CAST(sum(r.correct) AS BIGINT) AS n_correct,
-           (2000000 * sum(r.correct) + count(*)) // (2 * count(*))
-               AS selective_acc_micro
+           CAST((2000000 * sum(r.correct) + count(*)) // (2 * count(*))
+               AS BIGINT) AS selective_acc_micro
     FROM dec JOIN ranked r ON r.rn <= (dec.d * r.n + 9) // 10
     GROUP BY dec.d
     """,

@@ -204,8 +204,8 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a AS model_a, b AS model_b,
            CAST(wins_a AS BIGINT) AS wins_a,
            CAST(wins_b AS BIGINT) AS wins_b,
-           (2000000 * wins_a + wins_a + wins_b)
-               // (2 * (wins_a + wins_b)) AS winrate_a_micro
+           CAST((2000000 * wins_a + wins_a + wins_b)
+               // (2 * (wins_a + wins_b)) AS BIGINT) AS winrate_a_micro
     FROM cells
     """,
 )
@@ -295,7 +295,8 @@ _PE_TOP = 10
     )
     SELECT CAST(ending AS BIGINT) AS cent_ending,
            CAST(n AS BIGINT) AS n,
-           (2000000 * n + total) // (2 * total) AS share_micro,
+           CAST((2000000 * n + total) // (2 * total) AS BIGINT)
+               AS share_micro,
            CAST(rnk AS BIGINT) AS rnk
     FROM (
         SELECT ending, n, sum(n) OVER () AS total,

@@ -54,8 +54,8 @@ from hh_rumors_presto_spark.registry import query
     )
     SELECT CAST(count(*) AS BIGINT) AS n_pos,
            CAST(sum(p_at_k_micro) AS BIGINT) AS ap_sum_micro,
-           (2 * sum(p_at_k_micro) + count(*)) // (2 * count(*))
-               AS ap_micro
+           CAST((2 * sum(p_at_k_micro) + count(*)) // (2 * count(*))
+               AS BIGINT) AS ap_micro
     FROM terms
     """,
 )

@@ -182,8 +182,8 @@ def eval_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_grams) AS BIGINT) AS total_distinct_bigrams,
            CAST(sum(n_shared) AS BIGINT) AS shared_bigrams,
-           (2000000 * sum(n_shared) + sum(n_grams))
-               // (2 * sum(n_grams)) AS self_overlap_micro
+           CAST((2000000 * sum(n_shared) + sum(n_grams))
+               // (2 * sum(n_grams)) AS BIGINT) AS self_overlap_micro
     FROM per_doc
     """,
 )

@@ -51,10 +51,10 @@ from hh_rumors_presto_spark.registry import query
     )
     SELECT CAST(g.n AS BIGINT) AS n_users,
            CAST(g.s AS BIGINT) AS n_events,
-           (2000000 * g.gnum + g.n * g.s) // (2 * g.n * g.s)
-               AS gini_micro,
-           (2000000 * top.top_c + g.s) // (2 * g.s)
-               AS top1pct_share_micro
+           CAST((2000000 * g.gnum + g.n * g.s) // (2 * g.n * g.s)
+               AS BIGINT) AS gini_micro,
+           CAST((2000000 * top.top_c + g.s) // (2 * g.s)
+               AS BIGINT) AS top1pct_share_micro
     FROM g CROSS JOIN top
     """,
 )
@@ -138,7 +138,8 @@ def agg_engagement_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT day,
            CAST(n AS BIGINT) AS n,
            CAST(n_null AS BIGINT) AS n_null,
-           (2000000 * n_null + n) // (2 * n) AS null_micro,
+           CAST((2000000 * n_null + n) // (2 * n) AS BIGINT)
+               AS null_micro,
            CAST((SELECT (2000000 * n_null + n) // (2 * n)
                  FROM halves WHERE half = 1)
                 - (SELECT (2000000 * n_null + n) // (2 * n)

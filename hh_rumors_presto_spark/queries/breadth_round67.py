@@ -221,8 +221,8 @@ def text_token_length_percentiles(
            CAST(count(*) AS BIGINT) AS n_forecasts,
            CAST(sum(abs_err) AS BIGINT) AS abs_err_cents,
            CAST(sum(actual) AS BIGINT) AS actual_cents,
-           (2000000 * sum(abs_err) + sum(actual))
-               // (2 * sum(actual)) AS wape_micro
+           CAST((2000000 * sum(abs_err) + sum(actual))
+               // (2 * sum(actual)) AS BIGINT) AS wape_micro
     FROM scored GROUP BY dow
     """,
 )

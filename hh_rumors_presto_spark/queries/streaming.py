@@ -163,15 +163,47 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_df(dedup, output_mode="append")
 
 
-@query("stream_watermark")  # rows-only: drop count depends on batch order
+@query(
+    "stream_watermark",
+    oracle="""
+    -- Append-mode watermark contract on a deterministic single-batch
+    -- arrival: nothing is ever late, the final watermark is
+    -- floor_ms(max(ts)) - 30min (Spark's EventTimeStats tracks event time
+    -- in whole milliseconds), and the emitted set is exactly the windows
+    -- with window_end <= watermark (predicate verified empirically: a
+    -- window whose end EQUALS the watermark is emitted). Hour windows are
+    -- epoch-aligned in both engines (F.window == date_trunc('hour')).
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t FROM events),
+    mx AS (
+        SELECT time_bucket(INTERVAL 1 MILLISECOND, max(t))
+               - INTERVAL 30 MINUTE AS wm
+        FROM e
+    ),
+    w AS (
+        SELECT date_trunc('hour', t) AS window_start,
+               count(*) AS n
+        FROM e GROUP BY 1
+    )
+    SELECT w.window_start, CAST(w.n AS BIGINT) AS n
+    FROM w CROSS JOIN mx
+    WHERE w.window_start + INTERVAL 1 HOUR <= mx.wm
+    """,
+)
 def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark + append-mode tumbling count: windows are emitted only
-    once the 30-minute watermark passes, and late rows behind it are
-    dropped. With the single-file fixture everything arrives in one batch,
-    so this key exercises the watermark plumbing end-to-end (rows-only
-    check); the multi-batch late-data drop is asserted in
-    tests/test_streaming.py with a controlled two-file source."""
-    ev = read_events_stream(spark, sf_dir)
+    """Watermark + append-mode tumbling count: a window is emitted only
+    once the 30-minute watermark passes its end, and late rows behind the
+    watermark are dropped.
+
+    The late-DROP set is inherently a function of micro-batch
+    partitioning (the driver's knob, not the query's), so the
+    hash-verifiable contract pins ``single_batch=True``: everything
+    arrives in one batch, nothing is late, and the output is exactly the
+    windows closed by the final watermark — deterministic under any
+    environment, including HH_STREAM_SPLIT. The multi-batch late-data
+    drop path is asserted in tests/test_streaming.py with a controlled
+    two-file source. Graduated from rows-only in round 6 (VERDICT item 6).
+    """
+    ev = read_events_stream(spark, sf_dir, single_batch=True)
     agg = (
         ev.withWatermark("ts", "30 minutes")
         .groupBy(F.window("ts", "1 hour"))
@@ -220,7 +252,11 @@ def _running_totals(
     "stream_stateful",
     oracle="""
     SELECT user_id, count(*) AS n_events,
-           sum(CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT)) AS total_cents
+           -- outer CAST: DuckDB sum(BIGINT) -> HUGEINT (int128); via the
+           -- driver's Arrow materialization that renders as decimal128 and
+           -- hash-diverges from Spark's LONG even when values are equal
+           CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
     FROM events
     GROUP BY user_id
     """,
@@ -324,8 +360,8 @@ def _latest_state_answer(spark: SparkSession, out: DataFrame) -> DataFrame:
 
 _STATEFUL_ORACLE = """
     SELECT user_id, count(*) AS n_events,
-           sum(CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT))
-               AS total_cents
+           CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
     FROM events
     GROUP BY user_id
     """

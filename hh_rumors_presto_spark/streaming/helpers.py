@@ -51,17 +51,31 @@ def _split_events_dir(spark: SparkSession, sf_dir: str, n: int) -> str:
 
 
 def read_events_stream(
-    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    single_batch: bool = False,
 ) -> DataFrame:
     """File-source stream over the events fixture with ``ts`` normalized to
     a microsecond TimestampType (same truncation as io.load_events).
 
     HH_STREAM_SPLIT=<n> (env var, harness-only) reroutes the source
     through n interleaved files at one file per micro-batch, forcing the
-    multi-batch arrival order the external driver may impose."""
+    multi-batch arrival order the external driver may impose.
+
+    ``single_batch=True`` pins the canonical one-file source regardless of
+    HH_STREAM_SPLIT, guaranteeing ONE micro-batch under availableNow (a
+    file source with no maxFilesPerTrigger takes every available file in
+    the first batch). Watermark LATE-DROP keys use it: the set of dropped
+    rows is by definition a function of the micro-batch partitioning —
+    which the driver, not the query, controls — so the hash-verifiable
+    contract is the single-batch arrival, where nothing is ever late and
+    the final watermark deterministically selects the emitted windows."""
     import os
 
-    split_n = int(os.environ.get("HH_STREAM_SPLIT", "0") or 0)
+    split_n = 0 if single_batch else int(
+        os.environ.get("HH_STREAM_SPLIT", "0") or 0
+    )
     if split_n > 1:
         src_dir, glob_filter = (
             _split_events_dir(spark, sf_dir, split_n),

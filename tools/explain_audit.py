@@ -1186,6 +1186,9 @@ FORBIDDEN = (
       # hottest key; sketch_hll_setops crossJoins four ONE-ROW estimate/
       # truth aggregates
       "dq_join_skew", "sketch_hll_setops",
+      # agg_engagement_gini crossJoins its ONE-ROW gini fold with the
+      # ONE-ROW top-1% share fold (same sanctioned one-row-fold shape)
+      "agg_engagement_gini",
       # dedup_simhash_recall crossJoins its three ONE-ROW count aggregates
       # (same shape as dedup_minhash_recall)
       "dedup_simhash_recall",

@@ -18,6 +18,7 @@ import sys
 import time
 import traceback
 from datetime import date, datetime
+from decimal import Decimal
 
 sys.path.insert(0, "/root/repo")
 
@@ -31,6 +32,13 @@ def _norm_cell(v):
         return "NULL"
     if isinstance(v, bool):
         return str(v).lower()
+    if isinstance(v, Decimal):
+        # Type-tagged: an int128/decimal cell must NOT hash equal to a
+        # BIGINT cell with the same digits — that distinction is exactly
+        # what the external driver enforces (rounds-3-5 reds). A true
+        # DECIMAL(p,s) oracle column only matches a Spark DecimalType
+        # column, which also arrives here as Decimal.
+        return f"dec:{v}"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -64,6 +72,14 @@ def value_hash(rows, colnames) -> str:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--duckdb-arrow",
+        action="store_true",
+        help="materialize DuckDB results through Arrow->pandas like the "
+        "external driver does (fetchall() returns Python ints for "
+        "HUGEINT and hid the rounds-3-5 int128 divergence; this mode "
+        "reproduces it locally)",
+    )
     ap.add_argument("keys", nargs="*")
     args = ap.parse_args()
 
@@ -103,7 +119,18 @@ def main() -> int:
         try:
             rel = con.execute(oracles[key])
             dcols = [d[0] for d in rel.description]
-            drows = rel.fetchall()
+            if args.duckdb_arrow:
+                # Driver-fidelity path: HUGEINT materializes through Arrow
+                # as decimal128(38,0) (Decimal objects), which _norm_cell
+                # renders distinctly from Spark's LONG so the rounds-3-5
+                # int128 divergence reproduces locally. to_pylist (not
+                # to_pandas) keeps NULLs as None instead of NaN-in-float64,
+                # matching the driver's observed treatment of nullable
+                # BIGINT columns (outer-join keys have always been green).
+                tbl = rel.fetch_arrow_table()
+                drows = [tuple(d[c] for c in dcols) for d in tbl.to_pylist()]
+            else:
+                drows = rel.fetchall()
         except Exception:
             print(f"FAIL  {key}: duckdb raised")
             traceback.print_exc()
