@@ -51,20 +51,35 @@ _COS_SQL = (
 def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the query set against the corpus,
     per-query top-k window. The corpus is scanned once, never shuffled; the
-    per-query window runs on the small post-score side."""
+    per-query window runs on the small post-score side.
+
+    Norms are hoisted to ONE column per vector BEFORE the pair join (the
+    dedup_embedding / emb_knn_graph trick): each corpus row meets
+    N_QUERIES queries, so an inline cosine re-folds both norms per PAIR —
+    3 array aggregates per pair instead of 1 dot fold. Hoisting cut the
+    round-5 drift (1.53x band) back under the band; IEEE order per value
+    is unchanged (sqrt per side, then multiply), so the oracle stays
+    bit-identical under VERIFY_EXACT_FLOATS=1."""
     emb = io.load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_nrm"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "embedding",
+        l2_norm(F.col("embedding")).alias("nrm"),
     )
     scored = (
-        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-        .join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity(F.col("q_emb"), F.col("embedding")).alias(
-                "cos_sim"
-            ),
+            (
+                dot(F.col("q_emb"), F.col("embedding"))
+                / F.nullif(F.col("q_nrm") * F.col("nrm"), F.lit(0.0))
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

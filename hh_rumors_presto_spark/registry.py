@@ -22,7 +22,19 @@ Oracle-parity rules applied throughout (SURVEY.md §7.4):
   match bit-for-bit on any sign — never ``floor(a / b)``: BIGINT ``/`` in
   Spark routes through a double, and past 2^53 the floored quotient went
   one off from DuckDB's exact ``//`` (found by ts_autoperiod's ACF sums;
-  the sub-2^53 floor sites are verified safe through ~sf10 magnitudes).
+  the sub-2^53 floor sites are verified safe through ~sf10 magnitudes);
+- the ``(2000000 * num + den) // (2 * den)`` micro-ratio numerators are
+  BIGINT on the Spark side but silently promote to HUGEINT in DuckDB, so
+  the engines only agree while ``2000000 * num`` stays under 2^63 —
+  i.e. num < ~4.6e12. num is a row/term count (or cents sum) at every
+  micro-ratio site, so the bound holds through ~sf10,000 for counts and
+  ~sf100 for cents sums; past that the Spark side must widen the
+  numerator to DECIMAL(38,0) before the integral division. Oracle OUTPUT
+  columns additionally must not be int128-typed — the driver's Arrow
+  materialization renders HUGEINT as decimal128 and the hash diverges
+  from Spark's LONG — so every micro-ratio is wrapped in
+  ``CAST(... AS BIGINT)`` in its final SELECT and
+  tests/test_oracle_types.py gates the whole registry (round 6).
 """
 
 from __future__ import annotations

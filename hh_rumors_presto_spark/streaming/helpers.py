@@ -40,7 +40,14 @@ def _split_events_dir(spark: SparkSession, sf_dir: str, n: int) -> str:
     import os
     import tempfile
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    # Cache tag includes the fixture's (mtime, size): a regenerated
+    # events.parquet at the same path must invalidate the split copy, or
+    # every HH_STREAM_SPLIT run would silently reuse stale data
+    # (round-5 ADVICE item).
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    ident = f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}"
+    tag = hashlib.md5(ident.encode()).hexdigest()[:8]
     out = os.path.join(tempfile.gettempdir(), f"hh_evsplit_{tag}_{n}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
