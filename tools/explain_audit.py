@@ -1189,6 +1189,20 @@ FORBIDDEN = (
       # agg_engagement_gini crossJoins its ONE-ROW gini fold with the
       # ONE-ROW top-1% share fold (same sanctioned one-row-fold shape)
       "agg_engagement_gini",
+      # round-6 full-registry sweep (first FORBIDDEN pass over all 527
+      # keys) — each audited to the sanctioned bounded-side shapes:
+      # text_bm25 broadcasts its ONE-ROW (N, avgdl) corpus stats;
+      # ts_forecast_backtest / corpus_epoch_expand / dq_freshness /
+      # sql_tpch_q11 broadcast ONE-ROW global aggregates (max ts, totals,
+      # the q11 scalar threshold); graph_modularity broadcasts the
+      # ONE-ROW 2m edge total; agg_heavy_hitters its ONE-ROW count total;
+      # emb_kmeans_assign / sim_ivf broadcast the k-ROW (k<=16) centroid
+      # table — the map-side flat loop a cluster kmeans does; join_cross
+      # is the deliberate cross-join demo (also the CartesianProduct
+      # allowlist) whose broadcast variant plans as BNLJ.
+      "text_bm25", "ts_forecast_backtest", "graph_modularity",
+      "corpus_epoch_expand", "emb_kmeans_assign", "agg_heavy_hitters",
+      "sim_ivf", "dq_freshness", "sql_tpch_q11", "join_cross",
       # dedup_simhash_recall crossJoins its three ONE-ROW count aggregates
       # (same shape as dedup_minhash_recall)
       "dedup_simhash_recall",
