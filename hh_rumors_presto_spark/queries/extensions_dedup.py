@@ -395,7 +395,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     component; singleton docs cluster to themselves.
 
     The oracle computes the same components with a recursive CTE — the
-    batch-SQL expression of the fixpoint."""
+    batch-SQL expression of the fixpoint.
+
+    100 TB / >=1e9-node upgrade path (not needed at fixture scale, where
+    near-dup components are shallow and O(diameter) rounds are cheap):
+    switch min-label propagation to the LARGE-STAR / SMALL-STAR operator
+    pair (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14). Each round still costs one keyed shuffle, but the two
+    alternating star contractions hook whole trees instead of advancing
+    labels one hop, so convergence drops from O(diameter) to
+    O(log^2 n) rounds in the worst case (near-linear chains from
+    templated/boilerplate near-dup runs are exactly where diameter
+    explodes). Spark shape: large-star = groupBy(node) over the edge list
+    emitting (neighbor -> min(neighbor, node-min)) for neighbors > node;
+    small-star = same with the inequality flipped; iterate the pair until
+    the edge list is a fixpoint star forest. Keep the per-round
+    localCheckpoint lineage truncation and the convergence probe — they
+    apply unchanged; partition both intermediate edge lists by the same
+    node key so rounds reuse one exchange."""
     # checkpoint the pair list BEFORE mirroring it: both union branches
     # read the materialized pairs instead of running the expensive
     # shingle-inverted-index join once per branch

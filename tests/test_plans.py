@@ -33,3 +33,22 @@ def test_plan_properties(spark, sf_dir, key):
 def test_zero_shuffle_plans(spark, sf_dir, key):
     plan = _plan(spark, key, sf_dir)
     assert "Exchange" not in plan, f"{key}: bucketing failed to co-locate\n{plan[:3000]}"
+
+
+def test_checks_literal_has_no_duplicate_keys():
+    """A duplicate key in the CHECKS dict literal silently shadows the
+    earlier entry (Python keeps the last), so a gate can vanish without
+    any test failing — caught live in round 6 when new entries duplicated
+    existing ones. Parse the literal and reject duplicates."""
+    import ast
+
+    tree = ast.parse(open("/root/repo/tools/explain_audit.py").read())
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.Assign, ast.AnnAssign)):
+            t = node.targets[0] if isinstance(node, ast.Assign) else node.target
+            if getattr(t, "id", "") == "CHECKS" and node.value is not None:
+                keys = [k.value for k in node.value.keys]
+                dups = sorted({k for k in keys if keys.count(k) > 1})
+                assert not dups, f"duplicate CHECKS keys (earlier shadowed): {dups}"
+                return
+    raise AssertionError("CHECKS literal not found")

@@ -69,6 +69,15 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"Window", "running sentinel numbering per doc"),
         (r"HashAggregate", "span and example reassembly aggregations"),
     ],
+    # round-6 window flagships (VERDICT item 8): most already carried
+    # gates further down this dict; only the genuinely ungated are added
+    "pipeline_tokenize_pack": [
+        (r"Window", "per-shard running-sum packing window"),
+    ],
+    "graph_degree": [
+        (r"BroadcastHashJoin", "node dimension broadcast"),
+        (r"HashAggregate", "degree counting as hash aggregation"),
+    ],
     "scan_partition_pruned": [
         (r"PartitionFilters: \[[^\]]*o_orderstatus", "partition pruning"),
     ],
@@ -1139,6 +1148,8 @@ NO_EXCHANGE_KEYS = (
     "emb_random_projection",
     # BPE application is a pure narrow map: HOF merge chain in codegen
     "text_bpe_encode",
+    # FIM reformat is a pure narrow map: substring splits + concat projection
+    "pipeline_fim_format",
 )
 
 FORBIDDEN = (
