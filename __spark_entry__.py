@@ -40,43 +40,20 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 # ANY front key stayed red, starving the never-evaluated tail).
 # Sanity-check any round with `python tools/rotation_check.py`.
 #
-# ROUND-6 curated window. Priorities per VERDICT.md round-5 "Next round":
-# (1) the 3 standing reds, fixed this round by casting their oracles'
-#     int128 output columns to BIGINT (the Spark side was never wrong);
-# (2) a sample of the other 38 newly-cast HUGEINT-oracle keys so the
-#     fix class is proven on fresh keys, not just the 3 re-proven reds;
-# (3) the §2.B contract stragglers that still lack any driver row;
-# (4) the LLM-pipeline capstones named in VERDICT item 7.
-# Everything else drains the 296-key never-evaluated backlog in
-# registration order via _ordered(). NO new keys were registered this
-# round (registry frozen at 527 until the backlog drains — VERDICT item 4).
+# ROUND-7 curated window. Round 6 went 50/50 green, so every previous
+# FRONT_KEY yields its slot (they are all in the ledger's green set) and
+# the window is the never-evaluated backlog in registration order — with
+# ONE curated exception per VERDICT.md round-6 item 2:
+# ``stream_watermark`` is the last §2.B contract key without a driver
+# CORRECTNESS row (its oracle graduated in round 6, after its only
+# rows-only row), and it sits deep in the backlog (serving position ~222)
+# because queries/streaming.py registers after the breadth modules. It is
+# fronted here so the §2.B contract closes at 105/105 driver-green this
+# round; the other 49 slots drain the backlog in registration order
+# exactly as _ordered() would serve anyway. NO new keys this round
+# (registry frozen at 527 until the backlog drains — VERDICT item 1).
 FRONT_KEYS = [
-    # (1) the three reds — highest-priority greens to reclaim
-    "stream_stateful", "sim_ivfpq_search", "sim_ivfpq_probe3",
-    # (2) newly-cast HUGEINT-oracle keys (latent-red class representatives:
-    # one per family — agg / eval / text / ts / dq / graph / ml / win)
-    "stream_typed_state", "agg_hhi", "agg_dau_mau", "agg_engagement_gini",
-    "agg_vwap_twap", "eval_roc_points", "eval_f1_threshold",
-    "text_casing_profile", "ts_dow_profile", "dq_rank_stability",
-    "graph_transitivity", "ml_knn_classifier", "win_atr",
-    "pipeline_split_leakage",
-    # (3) §2.B stragglers without a driver row
-    "graph_bfs", "graph_degree", "ts_ohlc",
-    # (4) LLM-pipeline capstones (VERDICT item 7)
-    "corpus_build_e2e", "pipeline_tokenize_pack", "pipeline_span_corrupt",
-    "pipeline_fim_format", "dedup_semantic", "dedup_ppjoin",
-    "text_bpe_encode",
-    # (5) window fill: next never-evaluated keys in registration order —
-    # identical to what _ordered() would serve anyway; listed so the
-    # 50-key window is explicit and test_front_keys_valid can pin it
-    "corpus_ccnet_buckets", "aqp_sample_mean", "ml_logreg_gd",
-    "emb_pca_power", "sketch_hll_setops", "text_winnow", "ts_acf",
-    "ts_paa_sax", "emb_truncate_quality", "dedup_bloom_membership",
-    "text_rake_keywords", "dedup_incremental", "dedup_simhash_recall",
-    "graph_modularity", "corpus_epoch_expand", "dq_ks_test", "ts_dtw_paa",
-    "join_skew_hybrid", "layout_hilbert", "sketch_hll_window",
-    "sink_schema_evolution", "pipeline_contrastive_negatives",
-    "scan_txn_log",
+    "stream_watermark",
 ]
 
 
@@ -223,64 +200,37 @@ def oracle_sql() -> dict[str, str]:
 # the window rotates correctly even with zero manual staging).
 # Regenerate the picture any time with `python tools/rotation_check.py`.
 #
-# ROUND-6 STATUS: the window below is FRONT_KEYS verbatim (50 keys, all
-# non-green). PRE-VALIDATED this round: the round-6 window AND the
-# projected round-7 (keys 51-100), round-8 (101-150) and round-9
-# (151-200) windows are each 50/50 double-run idempotent; rounds 6-9
-# windows are each 50/50 env-parity stable across default-conf +
-# splitstream. With 296 never-evaluated
-# keys at r5 close and 50/round, every key has a driver row after
-# round 11 if each window goes green.
+# CORRECTION (round 7): the round-6 commits bd080d2/69a6c9a documented
+# projected round-7/8/9 windows starting at `set_except_all` — that list
+# was STALE: it described the never-evaluated tail of the CORE modules
+# (relational/scans/streaming/tpch), but registration order puts the
+# breadth_round* modules first, so the real backlog head after round 6
+# is `feat_hashing_trick ...` (breadth_round11 onward). The keys named
+# in those stale lists are still in the backlog and will be served at
+# their true registration positions (set_except_all ~#207,
+# stream_watermark ~#222 — hence its curated FRONT_KEYS slot this
+# round). The round-6 prevalidation RUNS (double-run idempotency of the
+# whole backlog, env-parity for the first 150) were executed against
+# serving order produced by rotation_check at the time, so the
+# properties hold for the real backlog keys regardless of the mislabeled
+# comment.
 #
-# Historical windows (rounds 5 and earlier), kept for the ledger:
-#
-# ROUND-5 window (50) — AUTHORITATIVE order from rotation_check: the
-# three r4 reds (stream_stateful sim_ivfpq_search sim_ivfpq_probe3),
-# the three graduated keys (agg_approx_quantile agg_approx_distinct
-# sim_ann_lsh), then this never-evaluated list (the round-5 additions
-# sim_ivfpq_stages / ts_downsample_ltob / text_winnow / ts_acf /
-# ts_paa_sax / emb_truncate_quality / stream_typed_state interleave at
-# their registration points, displacing the tail into round 6):
-#   sketch_hll_merge win_ntile sketch_countmin win_running_distinct
-#   win_drawdown ts_cross_correlation ts_cusum agg_mad agg_gini
-#   win_rolling_slope ts_seasonal_decompose feat_target_encode
-#   join_pit_multi ts_holt_winters dim_calendar_join ts_forecast_backtest
-#   array_hof inverted_index global_row_number table_checksum
-#   emb_mean_pool win_pattern_match dedup_url text_pii_mask
-#   scan_binaryfile join_interval_bin udf_arrow_batch agg_share_of_total
-#   json_variant try_fns win_rolling_median emb_knn_graph
-#   win_anomaly_zscore agg_regression text_entropy text_lm_score
-#   agg_weighted_median sql_recursive_paths agg_grouping_id sql_pivot
-#   sql_unpivot sketch_hll_det corpus_ccnet_buckets aqp_sample_mean
-#   ml_logreg_gd emb_pca_power sketch_hll_setops cache_reuse
-#   sql_function_registry hint_rebalance
-# ROUND-6 window (50):
-#   scan_xml sql_pipe_syntax sql_scripting agg_session_window
-#   sample_weighted layout_range_cluster pipeline_sft_format layout_zorder
-#   dedup_semantic text_bpe_encode curation_pipeline_e2e text_containment
-#   text_bpe_fertility text_collocations_pmi pipeline_tokenize_pack
-#   corpus_build_e2e ts_ohlc dedup_substring corpus_token_budget
-#   dedup_incremental emb_outlier emb_quantize_error text_readability
-#   text_code_detect text_bpe_merges udaf_arrow_grouped graph_degree
-#   graph_bfs graph_triangles graph_link_predict join_nearest join_hinted
-#   unpivot_stack scd2_asof_lookup merge_upsert agg_bool str_slugify_fast
-#   sink_partitioned profile_table mm_meta_extract mm_audio_window
-#   mm_resize_plan debug_counters dq_drift_psi dq_impute dq_benford
-#   dq_freshness dq_join_skew dq_embedding_drift set_intersect_all
-# ROUND-7 window (39 + any registry additions):
-#   set_except_all array_explode str_sanitize_html scan_partition_pruned
-#   join_bloom_pruned pipeline_rlhf_pairs corpus_mix_weights
-#   sink_parquet_roundtrip scan_paged_dsv2 map_ops sink_text_roundtrip
-#   scan_provenance sql_lateral_topk win_gaps_islands sql_parameterized
-#   stream_watermark stream_join stream_foreach_batch stream_join_outer
-#   stream_merge_upsert str_like str_misc null_fns sql_tpch_q5 sql_tpch_q8
-#   sql_tpch_q13 sql_tpch_q15 sql_tpch_q17 sql_tpch_q19 sql_tpch_q21
-#   sql_tpch_q10 sql_tpch_q14 sql_tpch_q18 filter_disjunctive
-#   win_distribution array_set_ops sql_tpch_q7 udtf_native
-#   explode_outer_preserve
-#   plus the oracle graduations whose only driver rows predate their
-#   oracles (err=no_oracle — supersede with a green value row):
-#   sim_ann_lsh agg_approx_distinct agg_approx_quantile
-#   (sketch_hll_merge's graduation is covered by its staged r5 slot)
-#   plus the round-4 additions: graph_wcc dedup_simhash_recall
-#   stream_session_state ivm_retract_delta ts_downsample_ltob
+# ROUND-7 STATUS: window = stream_watermark (curated, last §2.B key
+# without a driver row) + the first 49 never-evaluated keys in
+# registration order: feat_hashing_trick aqp_bootstrap_ci
+# text_lm_bigram_backoff recs_item_cf agg_pushdown_join corpus_anneal_mix
+# ml_naive_bayes agg_mutual_info ts_theil_sen graph_triangles
+# graph_clustering_coeff graph_link_predict graph_wcc graph_label_prop
+# recs_covisit_next ts_mann_kendall agg_decay_sum feat_standardize
+# ivm_topk_delta graph_ppr_seeded stream_topk_merge ts_esd_outliers
+# ts_kaplan_meier ab_power_mde dq_change_attribution recs_session_paths
+# scan_log_parse agg_geo_harmonic_mean ab_ratio_delta_method graph_hits
+# text_zipf_fit ts_alert_debounce pipeline_length_buckets
+# text_hapax_ratio ts_sli_burn_rate emb_kcenter_init emb_dim_variance
+# ts_iqr_fence join_sample_consistent agg_growth_accounting
+# dq_chi2_goodness ab_metric_decompose ab_poisson_rate graph_random_walk
+# ml_decision_stump text_ngram_novelty corpus_source_overlap
+# dq_heavy_changers ts_time_to_convert graph_adamic_adar
+# (verified 50/50 green twice locally this round — see BASELINE.md).
+# Backlog after this window: 199 keys; at 50/round every key has a
+# driver row after round 11.

@@ -293,6 +293,14 @@ def sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CN_HARD = 3  # hard negatives per anchor
 _CN_RAND = 2  # random negatives per anchor
+# Random-negative pool bucket count. Each anchor draws its random
+# negatives from ONE hash bucket of the pool (bucket = doc_id % B on
+# both sides), so the pool join is an EQUI-join on bkt and per-anchor
+# candidate work is |pool|/B instead of |pool| — the production shape
+# at 100 TB, where B scales with the pool so a bucket stays a few
+# thousand rows. B=4 keeps every (bucket, lang) cell >= _CN_RAND
+# cross-language candidates at all three test SFs (min 5 at sf0.01).
+_CN_BUCKETS = 4
 
 _CN_SHINGLE_SQL = """
     sh AS (
@@ -349,7 +357,8 @@ _CN_SHINGLE_SQL = """
               FROM scored WHERE NOT is_neardup)
         WHERE r <= {_CN_HARD}
     ),
-    pool AS (SELECT doc_id AS cand_id, lang FROM documents
+    pool AS (SELECT doc_id AS cand_id, lang,
+                    doc_id % {_CN_BUCKETS} AS bkt FROM documents
              WHERE doc_id % 11 = 3),
     rand AS (
         SELECT anchor_id, 'rand_neg' AS kind, CAST(r AS BIGINT) AS rnk,
@@ -360,7 +369,8 @@ _CN_SHINGLE_SQL = """
                          ORDER BY md5(CAST(a.doc_id AS VARCHAR) || '#'
                                       || CAST(p.cand_id AS VARCHAR)),
                                   p.cand_id) AS r
-              FROM anchors a JOIN pool p ON p.lang <> a.lang)
+              FROM anchors a JOIN pool p
+                ON p.bkt = a.doc_id % {_CN_BUCKETS} AND p.lang <> a.lang)
         WHERE r <= {_CN_RAND}
     )
     SELECT * FROM pos
@@ -384,10 +394,12 @@ def pipeline_contrastive_negatives(
     Scale: the similarity join is language-blocked (same discipline as
     emb_knn_graph — pair mass is Sum(block_a * block_b), never corpus
     n^2) with the anchor side pre-filtered into the join condition;
-    per-anchor windows partition by anchor. The random pool is a
-    bounded broadcast (the one sanctioned nested-loop shape);
-    production would hash-bucket anchors against an equally bounded
-    per-bucket pool."""
+    per-anchor windows partition by anchor. The random pool is
+    HASH-BUCKETED (bkt = doc_id % _CN_BUCKETS on both sides): each
+    anchor equi-joins exactly its own pool bucket with the
+    language-inequality as a residual filter, so the join plans as a
+    hash join (gated: no BroadcastNestedLoopJoin) and per-anchor
+    candidate work is |pool|/B — B scales with the pool at 100 TB."""
     docs = io.load_table(spark, sf_dir, "documents")
     sh = (
         docs.select(
@@ -468,12 +480,17 @@ def pipeline_contrastive_negatives(
         .select("doc_id", "lang")
     )
     pool = docs.filter(F.col("doc_id") % 11 == 3).select(
-        F.col("doc_id").alias("cand_id"), F.col("lang").alias("p_lang")
+        F.col("doc_id").alias("cand_id"),
+        F.col("lang").alias("p_lang"),
+        (F.col("doc_id") % _CN_BUCKETS).alias("bkt"),
     )
     wr = Window.partitionBy("anchor_id").orderBy("h", "cand_id")
     rand = (
-        anchors.join(
-            F.broadcast(pool), F.col("p_lang") != F.col("lang")
+        anchors.withColumn("a_bkt", F.col("doc_id") % _CN_BUCKETS)
+        .join(
+            F.broadcast(pool),
+            (F.col("bkt") == F.col("a_bkt"))
+            & (F.col("p_lang") != F.col("lang")),
         )
         .select(
             F.col("doc_id").alias("anchor_id"),

@@ -41,8 +41,10 @@ def test_front_keys_valid():
     remainder — no ever-green key may occupy a window slot while any
     never-evaluated key waits."""
     qs = ent.queries()
-    assert len(ent.FRONT_KEYS) == 50
-    assert len(set(ent.FRONT_KEYS)) == 50
+    # Round 7+: FRONT_KEYS carries only curated exceptions (keys that must
+    # jump the registration-order backlog queue), not a full 50-key window.
+    assert 1 <= len(ent.FRONT_KEYS) <= 50
+    assert len(set(ent.FRONT_KEYS)) == len(ent.FRONT_KEYS)
     missing = [k for k in ent.FRONT_KEYS if k not in qs]
     assert not missing, missing
 

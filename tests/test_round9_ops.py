@@ -338,6 +338,9 @@ def test_contrastive_triplets_structure_and_pos_is_argmax(spark, sf_dir):
         for r in rand:
             assert r.cand_id % 11 == 3
             assert docs[r.cand_id].lang != docs[anchor].lang
+            # round-7: pool is hash-bucketed; each anchor draws only
+            # from its own bucket (equi-join, no BNLJ theta join)
+            assert r.cand_id % 4 == anchor % 4
 
 
 def test_viterbi_matches_brute_force_enumeration(spark, sf_dir):

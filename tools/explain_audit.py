@@ -61,6 +61,13 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "dedup_bloom_membership": [
         (r"BroadcastHashJoin", "kilobyte bloom-position set broadcast to the probe"),
     ],
+    "pipeline_contrastive_negatives": [
+        # round-7: the random-negative pool join graduated from the BNLJ
+        # allowlist to a hash-bucketed EQUI-join (bkt = doc_id % B both
+        # sides, lang-inequality as residual) — must plan as a hash join.
+        (r"BroadcastHashJoin.*\[bkt", "bucketed pool equi-join on bkt"),
+        (r"Window", "per-anchor rank windows"),
+    ],
     "text_rake_keywords": [
         (r"Window", "stopword gaps-and-islands + per-doc top-k"),
         (r"HashAggregate", "phrase/word-stat aggregations"),
@@ -1221,11 +1228,6 @@ FORBIDDEN = (
       # corpus (sim_topk's sanctioned brute-force-baseline shape);
       # sim_ivfpq_stages crossJoins five ONE-ROW stage-checksum aggregates
       "emb_truncate_quality", "sim_ivfpq_stages",
-      # pipeline_contrastive_negatives broadcasts its BOUNDED random-
-      # negative pool (46 rows at sf0.01) over the anchor set for the
-      # lang != lang theta join; the similarity join itself is a
-      # lang-blocked equi-join
-      "pipeline_contrastive_negatives",
       # aqp_bootstrap_ci crossJoins its ONE-ROW point estimate with the
       # 32-row replica ranking; text_lm_bigram_backoff crossJoins its
       # ONE-ROW corpus token total (same shape as text_lm_score)
