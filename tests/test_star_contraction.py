@@ -1,0 +1,82 @@
+"""Direct drive of the large-star/small-star contraction phase of
+dedup_clusters (extensions_dedup.star_contract) on adversarial graph
+shapes the parquet fixtures never produce — in particular CHAINS far past
+the phase-1 propagation horizon, which is exactly the 100 TB failure mode
+the hybrid exists for (templated/boilerplate near-dup runs whose dup graph
+is near-linear). Ground truth: union-find in Python."""
+
+from __future__ import annotations
+
+import pytest
+
+from hh_rumors_presto_spark.queries.extensions_dedup import star_contract
+
+
+def _components(edge_list):
+    """Union-find ground truth: node -> min node id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _run(spark, edge_list, max_rounds=12):
+    canon = sorted({(max(a, b), min(a, b)) for a, b in edge_list if a != b})
+    df = spark.createDataFrame(canon, "big long, small long")
+    got = {r.big: r.small for r in star_contract(df, max_rounds).collect()}
+    want = _components(edge_list)
+    # star forest: every non-minimum member points at the component min;
+    # centers (component minima) carry no row
+    for node, comp_min in want.items():
+        if node == comp_min:
+            assert node not in got, f"center {node} has an outgoing edge"
+        else:
+            assert got.get(node) == comp_min, (
+                f"node {node}: got {got.get(node)}, want {comp_min}"
+            )
+    assert len(got) == sum(1 for n, m in want.items() if n != m)
+
+
+@pytest.mark.parametrize("n", [64, 257])
+def test_long_chain(spark, n):
+    """A single path graph of n nodes — diameter n-1, the propagation
+    killer. Star contraction must resolve it in <= 12 alternations
+    (O(log^2 n))."""
+    _run(spark, [(i, i + 1) for i in range(n)])
+
+
+def test_chain_reversed_ids(spark):
+    """Chain whose min sits at the FAR end (worst hooking direction)."""
+    n = 100
+    _run(spark, [(n - i, n - i - 1) for i in range(n)])
+
+
+def test_star_already_fixpoint(spark):
+    """An existing star forest must pass through unchanged (fixpoint)."""
+    _run(spark, [(0, i) for i in range(1, 20)] + [(100, 100 + i) for i in range(1, 5)])
+
+
+def test_forest_of_mixed_shapes(spark):
+    """Multiple components: a chain, a clique, a binary tree, singleton
+    pair — all resolved to their own minima, no cross-linking."""
+    chain = [(1000 + i, 1001 + i) for i in range(40)]
+    clique = [(a, b) for a in range(200, 210) for b in range(200, a)]
+    tree = [(i, 2 * i) for i in range(1, 32)] + [(i, 2 * i + 1) for i in range(1, 32)]
+    pair = [(99991, 99990)]
+    _run(spark, chain + clique + tree + pair)
+
+
+def test_duplicate_and_both_direction_input(spark):
+    """Input robustness: duplicated edges collapse to one canonical row."""
+    edges = [(5, 9), (9, 5), (5, 9), (9, 12), (12, 5)]
+    _run(spark, edges)
