@@ -7,7 +7,14 @@ noop sink (full plan runs, zero driver-transfer overhead), wall-clock
 timed after a JVM/scan warmup.
 
 Output: {"metric": "headline_total", "value": <sum sec>, "unit": "sec",
-         "queries": {name: sec, ...}, "sf": <sf>}
+         "queries": {name: sec, ...}, "sf": <sf>,
+         "host_probe": {"single_core_sec": ..., "parallel32_sec": ...}}
+
+The host_probe pair is the load witness (BASELINE.md probe protocol):
+rounds 1-6 showed uniform 1.15-2x host-speed shifts between driver
+sessions, and headline totals scale ~linearly with parallel32_sec —
+so a BENCH_r{N} total only carries cross-round signal after comparing
+its embedded probes (idle band: ~0.70-0.78 single / ~1.2-1.4 parallel).
 """
 
 from __future__ import annotations
@@ -42,6 +49,40 @@ HEADLINE = [
 ]
 
 
+_PROBE_N = 5_000_000
+_PROBE_SCALE = 20_000_000 / _PROBE_N  # report in the canonical 20M units
+
+
+def _probe_burn(_=None) -> int:
+    x = 0
+    for i in range(_PROBE_N):
+        x += i
+    return x
+
+
+def _host_probe() -> dict:
+    """Pure-CPython, Spark-free load witness (tools/host_probe.py inlined
+    with a smaller burn so it adds ~1.5 s to the bench): single-core and
+    32-way-parallel busy-loop seconds, scaled to the canonical 20M-iter
+    units BASELINE.md bands are recorded in."""
+    import multiprocessing as mp
+
+    t0 = time.time()
+    _probe_burn()
+    single = (time.time() - t0) * _PROBE_SCALE
+    try:
+        t0 = time.time()
+        with mp.Pool(32) as pool:
+            pool.map(_probe_burn, range(32))
+        par = (time.time() - t0) * _PROBE_SCALE
+    except Exception:  # restricted fork environments: single-core only
+        par = None
+    return {
+        "single_core_sec": round(single, 3),
+        "parallel32_sec": round(par, 3) if par is not None else None,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -67,6 +108,11 @@ def main() -> None:
     run("flagship_pipeline")
     run("stream_tumbling")
 
+    # probe BEFORE the timed set (after warmup, so the JVM is quiet):
+    # the pair is recorded in the JSON so every BENCH_r{N} carries its
+    # own load witness (BASELINE.md probe protocol, VERDICT r6 item 6)
+    probe = _host_probe()
+
     timings = {name: round(run(name), 3) for name in HEADLINE}
     print(
         json.dumps(
@@ -76,6 +122,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "host_probe": probe,
             }
         )
     )

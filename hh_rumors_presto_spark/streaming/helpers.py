@@ -43,13 +43,38 @@ def _split_events_dir(spark: SparkSession, sf_dir: str, n: int) -> str:
     # Cache tag includes the fixture's (mtime, size): a regenerated
     # events.parquet at the same path must invalidate the split copy, or
     # every HH_STREAM_SPLIT run would silently reuse stale data
-    # (round-5 ADVICE item).
+    # (round-5 ADVICE item). If the source is a DIRECTORY of part files
+    # (not the single-file fixture), stat the newest data file instead —
+    # os.stat on the directory itself would not reflect content rewrites
+    # (round-6 ADVICE item).
     src = os.path.join(sf_dir, "events.parquet")
     st = os.stat(src)
+    if os.path.isdir(src):
+        parts = [
+            os.path.join(src, f)
+            for f in os.listdir(src)
+            if f.endswith(".parquet")
+        ]
+        if parts:
+            st = max((os.stat(p) for p in parts), key=lambda s: s.st_mtime_ns)
     ident = f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}"
     tag = hashlib.md5(ident.encode()).hexdigest()[:8]
-    out = os.path.join(tempfile.gettempdir(), f"hh_evsplit_{tag}_{n}")
+    # Prefix keyed by sf_dir so superseded split copies of the SAME
+    # fixture can be pruned when a new tag appears (regeneration would
+    # otherwise accumulate stale hh_evsplit_* dirs across a session).
+    prefix = "hh_evsplit_%s_" % hashlib.md5(
+        os.path.abspath(sf_dir).encode()
+    ).hexdigest()[:6]
+    tmp = tempfile.gettempdir()
+    out = os.path.join(tmp, f"{prefix}{tag}_{n}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        # best-effort prune of older split copies for this fixture (other
+        # tags = superseded content; same tag other n values stay valid)
+        import shutil
+
+        for d in os.listdir(tmp):
+            if d.startswith(prefix) and not d.startswith(f"{prefix}{tag}_"):
+                shutil.rmtree(os.path.join(tmp, d), ignore_errors=True)
         ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         ev.repartition(n, F.col("event_id") % n).write.mode(
             "overwrite"

@@ -41,12 +41,28 @@ def test_checks_literal_has_no_duplicate_keys():
     any test failing — caught live in round 6 when new entries duplicated
     existing ones. Parse the literal and reject duplicates."""
     import ast
+    import os
 
-    tree = ast.parse(open("/root/repo/tools/explain_audit.py").read())
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "explain_audit.py",
+    )
+    tree = ast.parse(open(path).read())
     for node in ast.walk(tree):
         if isinstance(node, (ast.Assign, ast.AnnAssign)):
             t = node.targets[0] if isinstance(node, ast.Assign) else node.target
             if getattr(t, "id", "") == "CHECKS" and node.value is not None:
+                # the gate only works on a literal dict of constant keys:
+                # a **spread entry (key is None) or computed key would
+                # evade the duplicate scan, so reject those outright
+                assert isinstance(node.value, ast.Dict), (
+                    "CHECKS must be a dict literal"
+                )
+                assert all(
+                    k is not None and isinstance(k, ast.Constant)
+                    for k in node.value.keys
+                ), "CHECKS keys must be plain string constants (no ** or computed keys)"
                 keys = [k.value for k in node.value.keys]
                 dups = sorted({k for k in keys if keys.count(k) > 1})
                 assert not dups, f"duplicate CHECKS keys (earlier shadowed): {dups}"

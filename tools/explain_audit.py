@@ -61,6 +61,48 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "dedup_bloom_membership": [
         (r"BroadcastHashJoin", "kilobyte bloom-position set broadcast to the probe"),
     ],
+    # ---- round-7 window gates (every window key gets >=1 positive row)
+    "feat_hashing_trick": [
+        (r"Generate", "token explode (no driver-side vectorization)"),
+        (r"HashAggregate", "bucketed counts via two-level hash agg"),
+    ],
+    "aqp_bootstrap_ci": [
+        (r"Window", "replica ranking window"),
+        (r"HashAggregate", "per-replica partial means"),
+    ],
+    "text_lm_bigram_backoff": [
+        (r"BroadcastHashJoin", "bigram/unigram count tables broadcast"),
+        (r"Window", "adjacent-token bigram window"),
+    ],
+    "graph_clustering_coeff": [
+        (r"SortMergeJoin", "edge-keyed triangle enumeration joins"),
+        (r"HashAggregate", "degree + triangle-count aggregation"),
+    ],
+    "graph_link_predict": [
+        (r"SortMergeJoin", "common-neighbor equi-join"),
+        (r"BroadcastHashJoin", "small degree table broadcast"),
+    ],
+    # graph_wcc's iterative star/propagation rounds run BEFORE the final
+    # checkpoint, so the returned plan is just the component rollup; the
+    # per-round plans are covered by the dedup_clusters/star gates.
+    "graph_wcc": [
+        (r"HashAggregate", "component rollup over checkpointed labels"),
+    ],
+    # stream_topk_merge / stream_watermark return post-streaming results
+    # (memory-sink materialization) — the streaming plan itself is not
+    # visible in the returned DataFrame; assert the visible merge shape.
+    "stream_topk_merge": [
+        (r"Window", "cross-batch per-key rank merge"),
+    ],
+    "stream_watermark": [
+        (r"LocalTableScan|Scan ExistingRDD", "memory-sink result scan"),
+    ],
+    # scan_log_parse materializes the text round trip eagerly (the temp
+    # dir is deleted in its finally block), so the returned plan is the
+    # checkpointed scan; the parse/agg shape is proven by the oracle.
+    "scan_log_parse": [
+        (r"Scan ExistingRDD", "materialized text-roundtrip parse result"),
+    ],
     "pipeline_contrastive_negatives": [
         # round-7: the random-negative pool join graduated from the BNLJ
         # allowlist to a hash-bucketed EQUI-join (bkt = doc_id % B both

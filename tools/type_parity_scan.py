@@ -110,6 +110,7 @@ def main() -> int:
 
     keys = args.keys or sorted(k for k in QUERIES if k in ORACLES)
     mismatches: dict[str, list] = {}
+    order_skews: dict[str, dict] = {}
     errors: dict[str, str] = {}
     for key in keys:
         try:
@@ -120,6 +121,7 @@ def main() -> int:
             errors[key] = f"{type(e).__name__}: {e}"[:160]
             continue
         bad = []
+        dnames = [name for name, *_ in drows]
         for name, dtype, *_ in drows:
             if name not in stypes:
                 bad.append((name, "MISSING-IN-SPARK", dtype))
@@ -127,11 +129,26 @@ def main() -> int:
             sf_, df_ = spark_family(stypes[name]), duck_family(dtype)
             if sf_ != df_:
                 bad.append((name, f"spark:{stypes[name]}({sf_})", f"duck:{dtype}({df_})"))
+        # reverse direction: a Spark column the oracle never emits would
+        # otherwise pass silently (the driver compares full column sets)
+        for name in stypes:
+            if name not in dnames:
+                bad.append((name, "MISSING-IN-ORACLE", stypes[name]))
+        # column ORDER parity: the harness/driver hash sorts columns by
+        # name, so order skew never breaks a hash — but it usually means
+        # an oracle was edited without its Spark twin. Reported in a
+        # separate informational bucket that does NOT affect the exit
+        # code, so real family mismatches stay the only red signal.
+        snames = list(stypes)
+        if snames != dnames and sorted(snames) == sorted(dnames):
+            order_skews[key] = {"spark": snames, "duck": dnames}
         if bad:
             mismatches[key] = bad
-    print(json.dumps({"mismatches": mismatches, "errors": errors,
+    print(json.dumps({"mismatches": mismatches, "order_skews": order_skews,
+                      "errors": errors,
                       "checked": len(keys)}, indent=2, default=str))
     print(f"\n{len(mismatches)} keys with family mismatches; "
+          f"{len(order_skews)} order-only skews (informational); "
           f"{len(errors)} errors", file=sys.stderr)
     return 1 if mismatches else 0
 

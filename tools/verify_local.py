@@ -127,8 +127,12 @@ def main() -> int:
                 # to_pandas) keeps NULLs as None instead of NaN-in-float64,
                 # matching the driver's observed treatment of nullable
                 # BIGINT columns (outer-join keys have always been green).
+                # Rows are built POSITIONALLY from the Arrow columns —
+                # to_pylist() dicts keyed by column name would silently
+                # collapse duplicate output column names into one value
+                # (diverging from both fetchall mode and the real driver).
                 tbl = rel.fetch_arrow_table()
-                drows = [tuple(d[c] for c in dcols) for d in tbl.to_pylist()]
+                drows = list(zip(*[col.to_pylist() for col in tbl.columns])) if tbl.num_columns else []
             else:
                 drows = rel.fetchall()
         except Exception:
