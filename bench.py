@@ -49,8 +49,10 @@ HEADLINE = [
 ]
 
 
-_PROBE_N = 5_000_000
-_PROBE_SCALE = 20_000_000 / _PROBE_N  # report in the canonical 20M units
+_PROBE_N = 20_000_000  # the canonical tools/host_probe.py burn: a smaller
+# scaled burn over-weights the ~0.15 s pool-startup constant (measured:
+# scaled-4x parallel read 1.8-2.2 on a 1.25 standalone box), so the full
+# burn is the only reading comparable to the BASELINE.md bands
 
 
 def _probe_burn(_=None) -> int:
@@ -61,20 +63,20 @@ def _probe_burn(_=None) -> int:
 
 
 def _host_probe() -> dict:
-    """Pure-CPython, Spark-free load witness (tools/host_probe.py inlined
-    with a smaller burn so it adds ~1.5 s to the bench): single-core and
-    32-way-parallel busy-loop seconds, scaled to the canonical 20M-iter
-    units BASELINE.md bands are recorded in."""
+    """Pure-CPython, Spark-free load witness (tools/host_probe.py inlined;
+    adds ~2 s to the bench): single-core and 32-way-parallel busy-loop
+    seconds in the units BASELINE.md bands are recorded in (idle band
+    ~0.70-0.78 single / ~1.2-1.4 parallel)."""
     import multiprocessing as mp
 
     t0 = time.time()
     _probe_burn()
-    single = (time.time() - t0) * _PROBE_SCALE
+    single = time.time() - t0
     try:
         t0 = time.time()
         with mp.Pool(32) as pool:
             pool.map(_probe_burn, range(32))
-        par = (time.time() - t0) * _PROBE_SCALE
+        par = time.time() - t0
     except Exception:  # restricted fork environments: single-core only
         par = None
     return {
@@ -86,6 +88,13 @@ def _host_probe() -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    # probe BEFORE the SparkSession exists: with the JVM up, its 32
+    # executor threads' background work inflates the parallel reading by
+    # ~0.5 s (measured: 1.75 embedded vs 1.25 standalone on an idle box),
+    # which would make the recorded witness incomparable to the
+    # BASELINE.md idle bands (~0.70-0.78 single / ~1.2-1.4 parallel)
+    probe = _host_probe()
 
     from hh_rumors_presto_spark.session import get_spark
     import __spark_entry__ as ent
@@ -107,11 +116,6 @@ def main() -> None:
     run("agg_basic")
     run("flagship_pipeline")
     run("stream_tumbling")
-
-    # probe BEFORE the timed set (after warmup, so the JVM is quiet):
-    # the pair is recorded in the JSON so every BENCH_r{N} carries its
-    # own load witness (BASELINE.md probe protocol, VERDICT r6 item 6)
-    probe = _host_probe()
 
     timings = {name: round(run(name), 3) for name in HEADLINE}
     print(
