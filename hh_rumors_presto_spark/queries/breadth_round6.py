@@ -561,8 +561,15 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations as a broadcast 64-row table / one-row array column.
     """
     s = _PCA_SCALE
+    # slice to the _PCA_DIM-dimension domain the oracle iterates — the
+    # registry-wide embedding dim contract (round-5 audit; re-proven on an
+    # 80-dim adversarial fixture in round 7, where unsliced posexplode
+    # emitted 80 loading rows vs the oracle's 64)
     e = io.load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id",
+        F.slice(F.col("embedding").cast("array<double>"), 1, _PCA_DIM).alias(
+            "v"
+        ),
     )
     lng = e.select(
         "vec_id", F.posexplode("v").alias("pos", "val")
