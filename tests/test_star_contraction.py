@@ -80,3 +80,29 @@ def test_duplicate_and_both_direction_input(spark):
     """Input robustness: duplicated edges collapse to one canonical row."""
     edges = [(5, 9), (9, 5), (5, 9), (9, 12), (12, 5)]
     _run(spark, edges)
+
+
+def test_random_graphs_property(spark):
+    """Property sweep: random sparse graphs across densities and id
+    distributions (including sparse 64-bit ids, which would overflow any
+    dense-array shortcut) always contract to the union-find components.
+    Seeded stdlib RNG — deterministic, no flaky reruns."""
+    import random
+
+    rng = random.Random(0x5CA1E)
+    for trial in range(8):
+        n = rng.randrange(2, 120)
+        m = rng.randrange(1, 3 * n)
+        # half the trials use huge sparse ids
+        ids = (
+            list(range(n))
+            if trial % 2 == 0
+            else [rng.randrange(1, 2**62) for _ in range(n)]
+        )
+        edges = [
+            (rng.choice(ids), rng.choice(ids)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        _run(spark, edges)
