@@ -775,12 +775,16 @@ def graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    # Loop until a full double-step changes nothing. The cap only bounds a
-    # pathological graph (label needs one hop per round, so 64 rounds cover
-    # eccentricity 128); falling out of the loop UNCONVERGED would silently
-    # return wrong components the recursive-CTE oracle flags — raise instead.
+    # PHASE 1: propagate until a full double-step changes nothing — the
+    # 10-hop horizon resolves the dense trading clusters this graph
+    # actually produces. PHASE 2 (round 7, replacing the old 64-round cap
+    # + RuntimeError): a graph still unconverged past the horizon is
+    # chain-shaped — hand the ORIGINAL edge list to the alternating
+    # large-star/small-star contraction (dedup_clusters' deep-graph
+    # phase), which converges in O(log^2 n) alternations instead of
+    # O(diameter) and cannot fall off a round cap at any eccentricity.
     converged = False
-    for _ in range(64):
+    for _ in range(5):
         stepped = propagate(propagate(labels.select("node", "component")))
         merged = (
             labels.select("node", F.col("component").alias("old_label"))
@@ -798,9 +802,30 @@ def graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
             converged = True
             break
     if not converged:
-        raise RuntimeError(
-            "graph_wcc: min-label propagation did not converge in 64 "
-            "double-steps (component eccentricity > 128?)"
+        from hh_rumors_presto_spark.queries.extensions_dedup import (
+            star_contract,
+        )
+
+        stars = star_contract(
+            pairs.select(
+                F.greatest("c_node", "s_node").alias("big"),
+                F.least("c_node", "s_node").alias("small"),
+            )
+        )
+        labels = (
+            edges.select(F.col("a").alias("node"))
+            .distinct()
+            .join(
+                stars.select(
+                    F.col("big").alias("node"),
+                    F.col("small").alias("center"),
+                ),
+                "node",
+                "left",
+            )
+            .select(
+                "node", F.coalesce("center", "node").alias("component")
+            )
         )
     return labels.groupBy("component").agg(
         F.count("*").alias("n_nodes"),
