@@ -514,22 +514,33 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def star_contract(edges: DataFrame, max_rounds: int = 12) -> DataFrame:
+def star_contract(edges: DataFrame, max_rounds: int = 1024) -> DataFrame:
     """Alternating large-star/small-star contraction (Kiveris et al.,
     SoCC'14) to the star-forest fixpoint. Input: canonical undirected
     edges as columns (big, small) with big > small (self-loops excluded).
     Output: the star forest — one (member, component_min) row per
     non-center node; centers/singletons carry no row. Converges in
     O(log^2 n) alternations; each is two keyed shuffle-aggregations over
-    the (monotonically shrinking) edge list. Driven directly on
-    adversarial chain/star/forest graphs by
+    the (monotonically shrinking) edge list.
+
+    The loop runs UNTIL the per-alternation convergence probe fires (the
+    edge set provably reaches the star-forest fixpoint, so termination is
+    guaranteed — paper Theorem 1); `max_rounds` is only a safety net
+    against an implementation bug, set far above the O(log^2 n) bound for
+    any realistic graph (log2(1e9)^2 ≈ 900), and exhausting it RAISES
+    rather than returning a partial — and therefore silently wrong —
+    edge list (round-8 fix of the round-7 silent-truncation bug, which a
+    5000-node chain at the old cap of 12 demonstrably hit). Driven
+    directly on adversarial chain/star/forest graphs by
     tests/test_star_contraction.py; the dedup_clusters oracle covers the
     composed path."""
     edges = edges.select("big", "small").localCheckpoint()
     n_edges = edges.count()
+    converged = n_edges == 0
 
     for _ in range(max_rounds):
         if n_edges == 0:
+            converged = True
             break
         # LARGE-STAR over the bidirectional view: for each u, hook every
         # LARGER neighbor v to m = min(neighbors + u). Output (v, m) is
@@ -578,6 +589,15 @@ def star_contract(edges: DataFrame, max_rounds: int = 12) -> DataFrame:
         edges, n_edges = new_edges, new_count
         if converged:
             break
+    if not converged:
+        raise RuntimeError(
+            "star_contract exhausted max_rounds=%d without reaching the "
+            "star-forest fixpoint (%d edges remain) — refusing to return "
+            "a partial edge list, which would yield silently wrong "
+            "component ids. This indicates an implementation bug: the "
+            "alternation provably converges in O(log^2 n) rounds."
+            % (max_rounds, n_edges)
+        )
     return edges
 
 

@@ -782,7 +782,10 @@ def graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chain-shaped — hand the ORIGINAL edge list to the alternating
     # large-star/small-star contraction (dedup_clusters' deep-graph
     # phase), which converges in O(log^2 n) alternations instead of
-    # O(diameter) and cannot fall off a round cap at any eccentricity.
+    # O(diameter). star_contract loops to its probed fixpoint and RAISES
+    # if its (generous, 1024-round) safety cap is ever exhausted — it
+    # never returns a partial edge list, so this path cannot silently
+    # mislabel components (round-8 fix; the old cap of 12 could).
     converged = False
     for _ in range(5):
         stepped = propagate(propagate(labels.select("node", "component")))

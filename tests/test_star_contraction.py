@@ -30,10 +30,15 @@ def _components(edge_list):
     return {n: find(n) for n in parent}
 
 
-def _run(spark, edge_list, max_rounds=12):
+def _run(spark, edge_list, max_rounds=None):
     canon = sorted({(max(a, b), min(a, b)) for a, b in edge_list if a != b})
     df = spark.createDataFrame(canon, "big long, small long")
-    got = {r.big: r.small for r in star_contract(df, max_rounds).collect()}
+    result = (
+        star_contract(df)
+        if max_rounds is None
+        else star_contract(df, max_rounds)
+    )
+    got = {r.big: r.small for r in result.collect()}
     want = _components(edge_list)
     # star forest: every non-minimum member points at the component min;
     # centers (component minima) carry no row
@@ -80,6 +85,30 @@ def test_duplicate_and_both_direction_input(spark):
     """Input robustness: duplicated edges collapse to one canonical row."""
     edges = [(5, 9), (9, 5), (5, 9), (9, 12), (12, 5)]
     _run(spark, edges)
+
+
+def test_deep_chain_past_old_cap(spark):
+    """The round-7 silent-truncation case (ADVICE r7, high): a 5000-node
+    chain needs more than 12 alternations; the old fixed cap of 12 made
+    star_contract return a PARTIAL edge list — 904 nodes pointing at
+    non-minimum centers — which dedup_clusters/graph_wcc then read as a
+    star forest, silently mislabeling components. The round-8 contract:
+    the loop runs to the probed fixpoint, so the full chain resolves to
+    its single component minimum."""
+    n = 5000
+    _run(spark, [(i, i + 1) for i in range(n)])
+
+
+def test_exhausted_cap_raises_not_partial(spark):
+    """Safety-net semantics: if max_rounds IS exhausted unconverged (here
+    forced with an absurdly low cap on a deep chain), star_contract must
+    RAISE — matching graph_wcc's pre-round-7 explicit-error behavior —
+    never return the partial (silently wrong) edge list."""
+    edges = [(i, i + 1) for i in range(600)]
+    canon = sorted({(max(a, b), min(a, b)) for a, b in edges})
+    df = spark.createDataFrame(canon, "big long, small long")
+    with pytest.raises(RuntimeError, match="star-forest fixpoint"):
+        star_contract(df, max_rounds=2)
 
 
 def test_random_graphs_property(spark):
