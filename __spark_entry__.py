@@ -50,10 +50,19 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 # because queries/streaming.py registers after the breadth modules. It is
 # fronted here so the §2.B contract closes at 105/105 driver-green this
 # round; the other 49 slots drain the backlog in registration order
-# exactly as _ordered() would serve anyway. NO new keys this round
-# (registry frozen at 527 until the backlog drains — VERDICT item 1).
+# exactly as _ordered() would serve anyway.
+#
+# ROUND-8 curated window: one exception again, per VERDICT.md round-7
+# item 4 — ``stream_watermark_latedrop``, the new (and only) r8 key (the
+# registry is otherwise frozen at 527+1 until the backlog drains), is the
+# rows-only multi-batch late-drop companion the verdict asked to see
+# driver-green this round; like its parent last round it registers deep
+# in the backlog, so it is fronted. stream_watermark itself went green in
+# r7, so it yields its slot automatically; the other 49 slots drain the
+# never-evaluated backlog in registration order.
 FRONT_KEYS = [
     "stream_watermark",
+    "stream_watermark_latedrop",
 ]
 
 

@@ -213,6 +213,81 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("window.start").alias("window_start"), "n")
 
 
+@query("stream_watermark_latedrop")  # rows-only: the drop SET is a
+# function of micro-batch arrival, which this key pins itself — but the
+# semantics are not batch-SQL-expressible (DuckDB has no notion of
+# watermark eviction), so the driver records rows-only; the in-code
+# raise below is the value-level evidence.
+def stream_watermark_latedrop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-batch companion to ``stream_watermark`` (VERDICT r7 item 4):
+    driver-visible evidence for the late-data DROP path, which the
+    single-batch pin deliberately excludes from the oracle key.
+
+    The source is pinned to a 5-file interleaved split at one file per
+    micro-batch (``force_split=5`` — part of the QUERY, independent of
+    HH_STREAM_SPLIT, so every environment runs the same arrival order).
+    Each interleaved file spans the full time range, so batch 1 advances
+    the watermark to ~(max ts - 30 min) and most rows in batches 2-5
+    arrive BEHIND it: windows already emitted drop them. The result is
+    the per-window drop census for emitted windows —
+    (window_start_epoch_s, n_emitted, n_total, n_dropped) with
+    n_dropped = n_total - n_emitted — plus a hard in-code raise if the
+    stream dropped nothing (the path this key exists to prove).
+    window_start is epoch SECONDS (long), so the output is
+    session-tz-invariant unlike the parent key's timestamp column.
+
+    Scale: identical plan shape to stream_watermark (one keyed state
+    shuffle with partial agg; watermark bounds state); the census join
+    is an after-the-fact batch equi-join on window start."""
+    ev = read_events_stream(spark, sf_dir, force_split=5)
+    agg = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    emitted = run_stream_to_df(agg, output_mode="append").select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start_epoch_s"),
+        F.col("n").alias("n_emitted"),
+    )
+    from hh_rumors_presto_spark import io
+
+    totals = (
+        io.load_events(spark, sf_dir)
+        .groupBy(
+            F.unix_timestamp(
+                F.date_trunc("hour", F.col("ts"))
+            ).alias("window_start_epoch_s")
+        )
+        .agg(F.count("*").alias("n_total"))
+    )
+    census = (
+        emitted.join(totals, "window_start_epoch_s")
+        .select(
+            "window_start_epoch_s",
+            "n_emitted",
+            "n_total",
+            (F.col("n_total") - F.col("n_emitted")).alias("n_dropped"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    agg_row = census.agg(
+        F.sum("n_dropped").alias("dropped"),
+        F.min("n_dropped").alias("min_dropped"),
+    ).collect()[0]
+    if not agg_row.dropped or agg_row.dropped <= 0:
+        raise AssertionError(
+            "stream_watermark_latedrop: the forced 5-batch out-of-order "
+            "arrival dropped zero late rows — the late-drop path this key "
+            "exists to prove did not execute"
+        )
+    if agg_row.min_dropped is not None and agg_row.min_dropped < 0:
+        raise AssertionError(
+            "stream_watermark_latedrop: emitted count exceeds the batch "
+            "total for some window — append-mode emission double-counted"
+        )
+    return census
+
+
 _STATE_SCHEMA = "user_id bigint, n_events bigint, total_cents bigint"
 _OUT_SCHEMA = _STATE_SCHEMA
 

@@ -37,6 +37,23 @@ TZ_SENSITIVE_KEYS = frozenset({
     "win_pattern_match",
 })
 
+# Keys whose VALUE HASH depends on the runner's micro-batch arrival
+# order (the HH_STREAM_SPLIT / driver_sim --env-parity "splitstream"
+# variant). Root cause — inherent to streaming semantics, not a bug:
+# a TIGHT watermark makes outer-join NULL emission and late-drop sets a
+# function of when the watermark advances, which is decided by how the
+# source batches files — something the query cannot control. The
+# canonical driver source is the SINGLE-FILE parquet fixture (one
+# micro-batch under availableNow), where execution is deterministic and
+# the DuckDB oracle models the boundary exactly. Under a forced
+# out-of-order multi-file split, stream_join_outer's matched set shrinks
+# (mid-stream eviction drops late matches) and its NULL set shifts —
+# the bounded divergence tests/test_splitstream_contract.py pins.
+# Every OTHER streaming key is batching-invariant by construction
+# (associative merges / span-covering watermarks) and stays in the
+# env-parity stable set.
+SPLITSTREAM_SENSITIVE_KEYS = frozenset({"stream_join_outer"})
+
 
 def get_spark(app_name: str = "hh_rumors_presto_spark") -> SparkSession:
     """Build (or fetch) the session.

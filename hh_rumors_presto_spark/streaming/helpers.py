@@ -69,12 +69,32 @@ def _split_events_dir(spark: SparkSession, sf_dir: str, n: int) -> str:
     out = os.path.join(tmp, f"{prefix}{tag}_{n}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         # best-effort prune of older split copies for this fixture (other
-        # tags = superseded content; same tag other n values stay valid)
+        # tags = superseded content; same tag other n values stay valid).
+        # AGE-GATED (round-8, ADVICE item): only dirs untouched for >1h
+        # are removed, so a concurrent session still streaming from an
+        # older-tag copy (fixture regenerated mid-run) keeps its source —
+        # a just-superseded dir survives until every plausible reader is
+        # done. Legacy-format dirs (pre-round-6 `hh_evsplit_<tag8>_<n>`,
+        # no sf_dir prefix — never matched by any current prefix and so
+        # never pruned before) are swept under the same age gate.
+        import re
         import shutil
+        import time
 
+        cutoff = time.time() - 3600
+        legacy = re.compile(r"^hh_evsplit_[0-9a-f]{8}_\d+$")
         for d in os.listdir(tmp):
-            if d.startswith(prefix) and not d.startswith(f"{prefix}{tag}_"):
-                shutil.rmtree(os.path.join(tmp, d), ignore_errors=True)
+            superseded = d.startswith(prefix) and not d.startswith(
+                f"{prefix}{tag}_"
+            )
+            if not (superseded or legacy.match(d)):
+                continue
+            p = os.path.join(tmp, d)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
         ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         ev.repartition(n, F.col("event_id") % n).write.mode(
             "overwrite"
@@ -87,6 +107,7 @@ def read_events_stream(
     sf_dir: str,
     max_files_per_trigger: int | None = None,
     single_batch: bool = False,
+    force_split: int | None = None,
 ) -> DataFrame:
     """File-source stream over the events fixture with ``ts`` normalized to
     a microsecond TimestampType (same truncation as io.load_events).
@@ -102,11 +123,21 @@ def read_events_stream(
     rows is by definition a function of the micro-batch partitioning —
     which the driver, not the query, controls — so the hash-verifiable
     contract is the single-batch arrival, where nothing is ever late and
-    the final watermark deterministically selects the emitted windows."""
+    the final watermark deterministically selects the emitted windows.
+
+    ``force_split=<n>`` pins an n-file interleaved multi-batch source
+    regardless of environment — the inverse of ``single_batch``. The
+    late-drop companion keys use it: they EXIST to exercise mid-stream
+    watermark advance, so their batching must be part of the query, not
+    left to the runner (the result is then identical whether or not the
+    harness sets HH_STREAM_SPLIT)."""
     import os
 
-    split_n = 0 if single_batch else int(
-        os.environ.get("HH_STREAM_SPLIT", "0") or 0
+    if single_batch and force_split:
+        raise ValueError("single_batch and force_split are exclusive")
+    split_n = 0 if single_batch else (
+        force_split
+        or int(os.environ.get("HH_STREAM_SPLIT", "0") or 0)
     )
     if split_n > 1:
         src_dir, glob_filter = (

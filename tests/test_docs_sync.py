@@ -31,8 +31,12 @@ def test_every_key_has_oracle_or_is_declared_rows_only():
     # oracle by pinning a deterministic single-batch arrival (the late-DROP
     # set is a function of micro-batch partitioning — the driver's knob —
     # so the hash-verifiable contract is the window-closing semantics).
-    # Every registered key now has a value-hash oracle.
-    declared_rows_only: set[str] = set()
+    # Round 8: stream_watermark_latedrop added as the deliberate rows-only
+    # companion — it pins its own multi-batch source to exercise the
+    # late-DROP path, whose eviction semantics have no batch-SQL
+    # expression (VERDICT r7 item 4); its value evidence is the in-code
+    # drop-census raise.
+    declared_rows_only: set[str] = {"stream_watermark_latedrop"}
     missing = set(QUERIES) - set(ORACLES) - declared_rows_only
     assert not missing, f"keys without oracle nor declaration: {sorted(missing)}"
     assert declared_rows_only <= set(QUERIES)

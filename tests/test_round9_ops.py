@@ -340,7 +340,11 @@ def test_contrastive_triplets_structure_and_pos_is_argmax(spark, sf_dir):
             assert docs[r.cand_id].lang != docs[anchor].lang
             # round-7: pool is hash-bucketed; each anchor draws only
             # from its own bucket (equi-join, no BNLJ theta join)
-            assert r.cand_id % 4 == anchor % 4
+            from hh_rumors_presto_spark.queries.breadth_round10 import (
+                _CN_BUCKETS,
+            )
+
+            assert r.cand_id % _CN_BUCKETS == anchor % _CN_BUCKETS
 
 
 def test_viterbi_matches_brute_force_enumeration(spark, sf_dir):
