@@ -8,13 +8,22 @@ timed after a JVM/scan warmup.
 
 Output: {"metric": "headline_total", "value": <sum sec>, "unit": "sec",
          "queries": {name: sec, ...}, "sf": <sf>,
-         "host_probe": {"single_core_sec": ..., "parallel32_sec": ...}}
+         "host_probe": {"single_core_sec": ..., "parallel32_sec": ...},
+         "heavy_min_of_2": {name: [run1_sec, run2_sec], ...}}
 
 The host_probe pair is the load witness (BASELINE.md probe protocol):
 rounds 1-6 showed uniform 1.15-2x host-speed shifts between driver
 sessions, and headline totals scale ~linearly with parallel32_sec —
 so a BENCH_r{N} total only carries cross-round signal after comparing
 its embedded probes (idle band: ~0.70-0.78 single / ~1.2-1.4 parallel).
+
+Round 8 (VERDICT r7 item 5): the three heavies that historically drew
+ambient-load re-litigation (dedup_clusters, graph_pagerank,
+emb_knn_graph) run TWICE; the recorded per-query timing (and the total)
+uses the MIN, and both raw runs are emitted under "heavy_min_of_2" so
+each heavy carries its own load witness — a wide spread between the two
+runs IS the hypervisor-noise signature, visible per query instead of
+only via the session-level probe pair.
 """
 
 from __future__ import annotations
@@ -117,7 +126,16 @@ def main() -> None:
     run("flagship_pipeline")
     run("stream_tumbling")
 
-    timings = {name: round(run(name), 3) for name in HEADLINE}
+    heavy = {"dedup_clusters", "graph_pagerank", "emb_knn_graph"}
+    timings: dict[str, float] = {}
+    heavy_runs: dict[str, list[float]] = {}
+    for name in HEADLINE:
+        t1 = run(name)
+        if name in heavy:
+            t2 = run(name)
+            heavy_runs[name] = [round(t1, 3), round(t2, 3)]
+            t1 = min(t1, t2)
+        timings[name] = round(t1, 3)
     print(
         json.dumps(
             {
@@ -127,6 +145,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "host_probe": probe,
+                "heavy_min_of_2": heavy_runs,
             }
         )
     )

@@ -97,6 +97,13 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "stream_watermark": [
         (r"LocalTableScan|Scan ExistingRDD", "memory-sink result scan"),
     ],
+    # r8: the multi-batch late-drop companion materializes its census
+    # eagerly (the in-code drop assertion needs it), so the returned
+    # plan is the checkpointed census scan; the streaming + batch-join
+    # shape runs at construction time and is proven by the in-code raise.
+    "stream_watermark_latedrop": [
+        (r"Scan ExistingRDD", "checkpointed late-drop census"),
+    ],
     # scan_log_parse materializes the text round trip eagerly (the temp
     # dir is deleted in its finally block), so the returned plan is the
     # checkpointed scan; the parse/agg shape is proven by the oracle.

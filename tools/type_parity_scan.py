@@ -85,6 +85,37 @@ def duck_family(dt: str) -> str:
     return f"other:{dt}"
 
 
+def diff_types(
+    stypes: dict[str, str], drows: list[tuple]
+) -> tuple[list[tuple], dict | None]:
+    """Per-key schema diff: (family mismatches, order skew or None).
+
+    ``stypes`` is the ORDERED Spark name->simpleString map; ``drows`` is
+    the oracle's DESCRIBE rows (name, type, ...). BOTH directions are
+    checked: an oracle column Spark never emits (MISSING-IN-SPARK) and —
+    the reverse direction VERDICT r7 item 7 pinned — a Spark column the
+    oracle never emits (MISSING-IN-ORACLE), which would otherwise pass
+    silently even though the driver compares full column sets.
+    Unit-tested by tests/test_verify_tools.py."""
+    bad: list[tuple] = []
+    dnames = [name for name, *_ in drows]
+    for name, dtype, *_ in drows:
+        if name not in stypes:
+            bad.append((name, "MISSING-IN-SPARK", dtype))
+            continue
+        sf_, df_ = spark_family(stypes[name]), duck_family(dtype)
+        if sf_ != df_:
+            bad.append((name, f"spark:{stypes[name]}({sf_})", f"duck:{dtype}({df_})"))
+    for name in stypes:
+        if name not in dnames:
+            bad.append((name, "MISSING-IN-ORACLE", stypes[name]))
+    snames = list(stypes)
+    skew = None
+    if snames != dnames and sorted(snames) == sorted(dnames):
+        skew = {"spark": snames, "duck": dnames}
+    return bad, skew
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
@@ -120,28 +151,13 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             errors[key] = f"{type(e).__name__}: {e}"[:160]
             continue
-        bad = []
-        dnames = [name for name, *_ in drows]
-        for name, dtype, *_ in drows:
-            if name not in stypes:
-                bad.append((name, "MISSING-IN-SPARK", dtype))
-                continue
-            sf_, df_ = spark_family(stypes[name]), duck_family(dtype)
-            if sf_ != df_:
-                bad.append((name, f"spark:{stypes[name]}({sf_})", f"duck:{dtype}({df_})"))
-        # reverse direction: a Spark column the oracle never emits would
-        # otherwise pass silently (the driver compares full column sets)
-        for name in stypes:
-            if name not in dnames:
-                bad.append((name, "MISSING-IN-ORACLE", stypes[name]))
-        # column ORDER parity: the harness/driver hash sorts columns by
-        # name, so order skew never breaks a hash — but it usually means
-        # an oracle was edited without its Spark twin. Reported in a
-        # separate informational bucket that does NOT affect the exit
-        # code, so real family mismatches stay the only red signal.
-        snames = list(stypes)
-        if snames != dnames and sorted(snames) == sorted(dnames):
-            order_skews[key] = {"spark": snames, "duck": dnames}
+        # column ORDER parity (the skew bucket): the harness/driver hash
+        # sorts columns by name, so order skew never breaks a hash — but
+        # it usually means an oracle was edited without its Spark twin.
+        # Informational only; family mismatches stay the only red signal.
+        bad, skew = diff_types(stypes, drows)
+        if skew:
+            order_skews[key] = skew
         if bad:
             mismatches[key] = bad
     print(json.dumps({"mismatches": mismatches, "order_skews": order_skews,

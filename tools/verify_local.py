@@ -57,6 +57,21 @@ def _norm_cell(v):
     return str(v)
 
 
+def arrow_rows(rel) -> list[tuple]:
+    """Materialize a DuckDB relation through Arrow the way the external
+    driver does, rebuilding rows POSITIONALLY from the Arrow columns.
+
+    to_pylist() dicts (keyed by column name) would silently collapse
+    DUPLICATE output column names into one value — diverging from both
+    fetchall mode and the real driver (VERDICT r7 item 7; unit-tested by
+    tests/test_verify_tools.py). to_pylist per column (not to_pandas)
+    keeps NULLs as None instead of NaN-in-float64."""
+    tbl = rel.fetch_arrow_table()
+    if not tbl.num_columns:
+        return []
+    return list(zip(*[col.to_pylist() for col in tbl.columns]))
+
+
 def value_hash(rows, colnames) -> str:
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     lines = sorted(
@@ -123,16 +138,9 @@ def main() -> int:
                 # Driver-fidelity path: HUGEINT materializes through Arrow
                 # as decimal128(38,0) (Decimal objects), which _norm_cell
                 # renders distinctly from Spark's LONG so the rounds-3-5
-                # int128 divergence reproduces locally. to_pylist (not
-                # to_pandas) keeps NULLs as None instead of NaN-in-float64,
-                # matching the driver's observed treatment of nullable
-                # BIGINT columns (outer-join keys have always been green).
-                # Rows are built POSITIONALLY from the Arrow columns —
-                # to_pylist() dicts keyed by column name would silently
-                # collapse duplicate output column names into one value
-                # (diverging from both fetchall mode and the real driver).
-                tbl = rel.fetch_arrow_table()
-                drows = list(zip(*[col.to_pylist() for col in tbl.columns])) if tbl.num_columns else []
+                # int128 divergence reproduces locally. See arrow_rows for
+                # the positional-rebuild / duplicate-column contract.
+                drows = arrow_rows(rel)
             else:
                 drows = rel.fetchall()
         except Exception:
