@@ -233,8 +233,12 @@ def stream_watermark_latedrop(spark: SparkSession, sf_dir: str) -> DataFrame:
     (window_start_epoch_s, n_emitted, n_total, n_dropped) with
     n_dropped = n_total - n_emitted — plus a hard in-code raise if the
     stream dropped nothing (the path this key exists to prove).
-    window_start is epoch SECONDS (long), so the output is
-    session-tz-invariant unlike the parent key's timestamp column.
+    window_start is epoch SECONDS (long) — but the key is still in
+    session.TZ_SENSITIVE_KEYS like its parent: the fixture's NTZ
+    timestamps are interpreted in the session zone, so the window
+    INSTANTS (not just their rendering) shift under non-UTC. The census
+    values themselves are tz-invariant (measured: identical
+    n_emitted/n_total/n_dropped pattern, starts shifted by the offset).
 
     Scale: identical plan shape to stream_watermark (one keyed state
     shuffle with partial agg; watermark bounds state); the census join

@@ -32,6 +32,7 @@ TZ_SENSITIVE_KEYS = frozenset({
     "sketch_hll_window", "stream_merge_upsert", "stream_ohlc",
     "stream_rollup_merge", "stream_session", "stream_session_state",
     "stream_sliding", "stream_tumbling", "stream_watermark",
+    "stream_watermark_latedrop",
     "ts_downsample_ltob", "ts_gapfill", "ts_multires_rollup", "ts_ohlc",
     "ts_resample_interp", "ts_seasonal_decompose", "ts_sessionize",
     "win_pattern_match",
