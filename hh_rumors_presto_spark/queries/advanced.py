@@ -20,7 +20,7 @@ from hh_rumors_presto_spark.registry import query
     SELECT l_orderkey, CAST(round(revenue, 2) AS DOUBLE) AS revenue, orderdate
     FROM (
         SELECT l.l_orderkey,
-               sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS revenue,
+               sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))) AS revenue,
                CAST(o.o_orderdate AS DATE) AS orderdate
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
@@ -47,7 +47,7 @@ def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_orderkey, CAST(round(revenue, 2) AS DOUBLE) AS revenue, orderdate
         FROM (
             SELECT l.l_orderkey,
-                   sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS revenue,
+                   sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))) AS revenue,
                    CAST(o.o_orderdate AS DATE) AS orderdate
             FROM customer c
             JOIN orders o ON c.c_custkey = o.o_custkey
@@ -66,7 +66,7 @@ def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_filtered_q6",
     oracle="""
-    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue,
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_lines
     FROM lineitem
     WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
@@ -92,7 +92,7 @@ def agg_filtered_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(
                     (F.col("l_extendedprice") * F.col("l_discount")).cast(
-                        "decimal(28,10)"
+                        "decimal(28,4)"
                     )
                 ),
                 2,

@@ -33,8 +33,8 @@ def _dec(c: F.Column, scale: int = 2) -> F.Column:
         SELECT l_returnflag, l_linestatus,
                sum(CAST(l_quantity AS DECIMAL(28,2))) AS sum_qty,
                sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS sum_base_price,
-               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS sum_disc_price,
-               sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))) AS sum_charge,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS sum_disc_price,
+               sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS sum_charge,
                sum(CAST(l_discount AS DECIMAL(28,2))) AS sum_disc,
                count(*) AS count_order
         FROM lineitem
@@ -61,12 +61,15 @@ def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal.Decimal and DuckDB DECIMAL->float64 differently (r1 hash-fails).
     High-scale sums are first round(x, 2)-ed: (a) DuckDB's decimal->double
     goes int128->double / 10^scale, only correctly rounded when the
-    unscaled value fits in 2^53 — at scale 10 a ~1e8 sum has a ~1e18
-    unscaled value and lands 1 ulp off Spark's BigDecimal conversion; (b) a
-    bare CAST to DECIMAL(28,2) truncates in DuckDB but HALF_UPs in Spark.
-    round() is half-away-from-zero in BOTH engines (verified), and at scale
-    2 the double conversion is exact+correctly rounded, hence
-    bit-identical."""
+    unscaled value fits in 2^53; (b) a bare CAST to DECIMAL(28,2)
+    truncates in DuckDB but HALF_UPs in Spark. round() is
+    half-away-from-zero in BOTH engines (verified), and at low scale the
+    double conversion is exact+correctly rounded, hence bit-identical.
+    PRODUCT casts quantize at their true decimal grid — (28,4) for
+    price x (1-disc), (28,6) with the extra (1+tax) factor — because at
+    scale 10 the two engines' double->DECIMAL conversions can disagree by
+    1e-10 per row and a group sum can straddle a round(...,2)
+    half-boundary (the round-8 fuzz-seed-7 find; see tpch_full._REV_DEC)."""
     li = io.load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
@@ -76,8 +79,8 @@ def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(_dec(F.col("l_quantity"))).alias("sum_qty"),
             F.sum(_dec(F.col("l_extendedprice"))).alias("sum_base_price"),
-            F.sum(_dec(disc_price, 10)).alias("sum_disc_price"),
-            F.sum(_dec(charge, 10)).alias("sum_charge"),
+            F.sum(_dec(disc_price, 4)).alias("sum_disc_price"),
+            F.sum(_dec(charge, 6)).alias("sum_charge"),
             F.sum(_dec(F.col("l_discount"))).alias("sum_disc"),
             F.count("*").alias("count_order"),
         )
@@ -235,8 +238,8 @@ def agg_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_linestatus,
            CAST(round(sum(CASE WHEN l_returnflag = 'R'
-                    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))
-                    ELSE CAST(0 AS DECIMAL(28,10)) END), 2) AS DOUBLE) AS returned_revenue,
+                    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))
+                    ELSE CAST(0 AS DECIMAL(28,4)) END), 2) AS DOUBLE) AS returned_revenue,
            count(CASE WHEN l_quantity > 40 THEN 1 END) AS n_bulk,
            CAST(sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_full_price
     FROM lineitem
@@ -250,8 +253,8 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_linestatus").agg(
         F.round(
             F.sum(
-                F.when(F.col("l_returnflag") == "R", _dec(revenue, 10)).otherwise(
-                    F.lit(0).cast("decimal(28,10)")
+                F.when(F.col("l_returnflag") == "R", _dec(revenue, 4)).otherwise(
+                    F.lit(0).cast("decimal(28,4)")
                 )
             ),
             2,

@@ -352,7 +352,7 @@ def udf_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per_nation AS (
         SELECT n.n_name,
                sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                        AS DECIMAL(28,10))) AS revenue
+                        AS DECIMAL(28,4))) AS revenue
         FROM lineitem l
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
         JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -378,7 +378,7 @@ def agg_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = io.load_table(spark, sf_dir, "supplier")
     nation = io.load_table(spark, sf_dir, "nation")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(28,10)"
+        "decimal(28,4)"
     )
     per_nation = (
         li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)

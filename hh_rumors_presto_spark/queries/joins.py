@@ -70,7 +70,7 @@ def join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_star",
     oracle="""
     SELECT r.r_name AS region_name, n.n_name AS nation_name,
-           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_lines
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -104,7 +104,7 @@ def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation_name"),
         )
         .agg(
-            F.round(F.sum(revenue.cast("decimal(28,10)")), 2)
+            F.round(F.sum(revenue.cast("decimal(28,4)")), 2)
             .cast("double")
             .alias("revenue"),
             F.count("*").alias("n_lines"),

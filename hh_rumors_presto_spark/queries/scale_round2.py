@@ -39,7 +39,7 @@ _BLOOM_CONFS = {
     SELECT l.l_returnflag,
            CAST(count(*) AS BIGINT) AS n,
            CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                               AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
+                               AS DECIMAL(28,4))), 2) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN (SELECT o_orderkey FROM orders WHERE o_totalprice > 350000) o
       ON l.l_orderkey = o.o_orderkey
@@ -64,7 +64,7 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey")
         )
         rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-            "decimal(28,10)"
+            "decimal(28,4)"
         )
         df = (
             li.join(sel, li.l_orderkey == sel.o_orderkey)

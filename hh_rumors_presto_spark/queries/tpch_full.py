@@ -21,9 +21,15 @@ q17 per-part avg join, q21 per-order stats join) are the standard
 shuffle-bounded rewrites of the spec's correlated subqueries — no
 nested-loop or per-row subquery execution anywhere.
 
-Decimal discipline: money sums accumulate in DECIMAL(28,10) (exact,
-reduction-order-insensitive under any partitioning), rounded and cast to
+Decimal discipline: money sums accumulate in exact DECIMAL
+(reduction-order-insensitive under any partitioning), rounded and cast to
 DOUBLE only in the final projection — in BOTH engines (registry.py rules).
+PRODUCT expressions quantize at their true decimal grid — DECIMAL(28,4)
+for price x (1 - discount) — not at scale 10; see the _REV_DEC note.
+Single 2-dec columns and integer-valued quantities may keep wider scales
+(their nearest-double error is under the scale-10 half-grid, and their
+true sums sit on the 2-dec grid where a round(...,2) boundary cannot
+fire), so those sites are unchanged.
 """
 
 from __future__ import annotations
@@ -34,12 +40,21 @@ from pyspark.sql import functions as F
 from hh_rumors_presto_spark import io
 from hh_rumors_presto_spark.registry import query
 
-_REV_DEC = "CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))"
+# Revenue quantizes at DECIMAL(28,4) — the PRODUCT's true decimal grid
+# (2-dec price x 2-dec discount factor): a two-op double product can sit
+# ~1.5 ulp (~2e-10 at 5e5) off its grid value, which at scale 10 is wider
+# than the half-grid (5e-11), so Spark's string-mediated and DuckDB's
+# value-mediated double->DECIMAL casts disagree per-row and a group sum
+# can land a round(...,2) half-boundary one cent apart (found by fuzz
+# seed 7, sql_tpch_q10). At scale 4 the grid is 5e-5 — 10^5 wider than
+# the worst-case product error — so BOTH conversion styles provably land
+# the same grid point and sums stay exact and engine-identical.
+_REV_DEC = "CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))"
 
 
 def _rev() -> F.Column:
     return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(28,10)"
+        "decimal(28,4)"
     )
 
 
@@ -99,7 +114,7 @@ def sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT o_year,
            CAST(sum(CASE WHEN nation = 'NATION_7' THEN v
-                    ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE)
+                    ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE)
                / CAST(sum(v) AS DOUBLE) AS mkt_share
     FROM (
         SELECT year(CAST(o.o_orderdate AS DATE)) AS o_year,
@@ -143,7 +158,7 @@ def sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = io.load_table(spark, sf_dir, "region").filter(
         F.col("r_name") == "ASIA"
     )
-    zero = F.lit(0).cast("decimal(28,10)")
+    zero = F.lit(0).cast("decimal(28,4)")
     base = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -216,7 +231,7 @@ def sql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH revenue0 AS (
         SELECT l_suppkey AS supplier_no,
                sum(CAST(l_extendedprice * (1 - l_discount)
-                   AS DECIMAL(28,10))) AS total_revenue
+                   AS DECIMAL(28,4))) AS total_revenue
         FROM lineitem
         WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
           AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'

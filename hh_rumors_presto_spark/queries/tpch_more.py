@@ -17,7 +17,7 @@ from hh_rumors_presto_spark.registry import query
     SELECT c_custkey, c_name, n_name, CAST(round(revenue, 2) AS DOUBLE) AS revenue
     FROM (
         SELECT c.c_custkey, c.c_name, n.n_name,
-               sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS revenue
+               sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))) AS revenue
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -42,7 +42,7 @@ def sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = io.load_table(spark, sf_dir, "customer")
     nation = io.load_table(spark, sf_dir, "nation")
     revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(28,10)"
+        "decimal(28,4)"
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -66,10 +66,10 @@ def sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
         CAST(sum(CASE WHEN p.p_type = 'PROMO'
-                 THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))
-                 ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE)
+                 THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))
+                 ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE)
         * 100.0
-        / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS DOUBLE)
+        / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE)
             AS promo_revenue_pct
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE CAST(l.l_shipdate AS DATE) >= DATE '1995-09-01'
@@ -83,9 +83,9 @@ def sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = io.load_table(spark, sf_dir, "part")
     sd = F.col("l_shipdate").cast("date")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(28,10)"
+        "decimal(28,4)"
     )
-    zero = F.lit(0).cast("decimal(28,10)")
+    zero = F.lit(0).cast("decimal(28,4)")
     agg = (
         li.filter(
             (sd >= F.lit("1995-09-01").cast("date"))
@@ -259,7 +259,7 @@ def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            year(l.l_shipdate) AS l_year,
-           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))), 2) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN supplier s ON s.s_suppkey = l.l_suppkey % 10 + 1
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -285,7 +285,7 @@ def sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = nation.alias("sn")
     cn = nation.alias("cn")
     revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(28,10)"
+        "decimal(28,4)"
     )
     return (
         li.join(F.broadcast(sup), sup.s_suppkey == li.l_suppkey % 10 + 1)

@@ -22,7 +22,10 @@ lineitem-spine distinct (the only corpus-scale shuffle each query adds);
 dimensions broadcast; q2's correlated min decorrelates to a keyed
 min-aggregate joined back; q16's NOT IN is a broadcast anti-join; q20's
 correlated availqty threshold decorrelates to a keyed half-sum join.
-Money/profit sums accumulate in DECIMAL(28,10) (reduction-order-exact),
+Money/profit sums accumulate in DECIMAL(28,4) — the products' true
+decimal grid (2-dec supplycost/price x integer qty / 2-dec discount
+factor), where Spark's string-mediated and DuckDB's value-mediated
+double->DECIMAL casts provably agree (see tpch_full._REV_DEC) —
 rounded and cast to DOUBLE only in the final projection, both engines.
 """
 
@@ -165,8 +168,8 @@ def sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n.n_name AS nation,
            CAST(year(CAST(o.o_orderdate AS DATE)) AS INT) AS o_year,
            CAST(round(sum(
-               CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))
-               - CAST(ps.ps_supplycost * l.l_quantity AS DECIMAL(28,10))
+               CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))
+               - CAST(ps.ps_supplycost * l.l_quantity AS DECIMAL(28,4))
            ), 2) AS DOUBLE) AS profit
     FROM lineitem l
     JOIN ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
@@ -186,7 +189,7 @@ def sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: lineitem joins partsupp on its natural (part, supp) key —
     co-partitioned shuffle; part/supplier/nation broadcast; orders joins
-    on the orderkey spine; profit terms accumulate in DECIMAL(28,10)."""
+    on the orderkey spine; profit terms accumulate in DECIMAL(28,4)."""
     li = io.load_table(spark, sf_dir, "lineitem")
     ps = partsupp(spark, sf_dir)
     part = io.load_table(spark, sf_dir, "part").filter(
@@ -197,9 +200,9 @@ def sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = io.load_table(spark, sf_dir, "orders")
     profit_term = (
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    ).cast("decimal(28,10)") - (
+    ).cast("decimal(28,4)") - (
         F.col("ps_supplycost") * F.col("l_quantity")
-    ).cast("decimal(28,10)")
+    ).cast("decimal(28,4)")
     return (
         li.join(
             ps,
@@ -229,7 +232,7 @@ def sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_PS_SQL},
     natps AS (
         SELECT ps.ps_partkey,
-               CAST(ps.ps_supplycost * ps.ps_availqty AS DECIMAL(28,10))
+               CAST(ps.ps_supplycost * ps.ps_availqty AS DECIMAL(28,4))
                    AS v
         FROM ps
         JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
@@ -257,7 +260,7 @@ def sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     form on partsupp.
 
     Shape: partsupp distinct is the one big shuffle; supplier/nation
-    broadcast; the threshold compares exact DECIMAL(28,10) sums scaled by
+    broadcast; the threshold compares exact DECIMAL(28,4) sums scaled by
     an integer (no double rounding on the comparison), so the surviving
     row set is bit-deterministic in both engines; doubles appear only in
     the final projection."""
@@ -275,7 +278,7 @@ def sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 (F.col("ps_supplycost") * F.col("ps_availqty")).cast(
-                    "decimal(28,10)"
+                    "decimal(28,4)"
                 )
             ).alias("value_dec")
         )

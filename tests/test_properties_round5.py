@@ -208,3 +208,92 @@ def test_interval_merge_state_is_order_and_batching_invariant(ts, cuts, seed):
     got = list(zip(starts, ends, counts))
     want = _sessions_reference(ts, _SESS_GAP_US)
     assert got == want
+
+
+# --- round-8 addition: PRODUCT casts must quantize at their true grid ---
+
+
+def _spark_cast_emulated(x: float, scale: int):
+    """Spark's double->DECIMAL path: shortest decimal string (repr ==
+    Double.toString for finite doubles) then HALF_UP at the target
+    scale — the same emulation the scale-2 test above uses."""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    return Decimal(repr(x)).quantize(Decimal(1).scaleb(-scale), ROUND_HALF_UP)
+
+
+def test_product_cast_diverges_at_scale_10_agrees_at_grid_scale_4():
+    """Round-8 fuzz-seed-7 find (sql_tpch_q10, one cent off at a
+    round(...,2) half-boundary): IN-CONTRACT money products —
+    2-decimal price x (1 - 2-decimal discount), a double up to ~1.5 ulp
+    (~2e-10 at 5e5) off its true 4-decimal value — cast DIFFERENTLY to
+    DECIMAL(28,10) in the two engines (half-grid 5e-11 < the product
+    error), in both directions. At the product's TRUE grid, scale 4,
+    both conversion styles land the exact 4-decimal value, so decimal
+    sums are engine-identical. Query discipline: tpch_full._REV_DEC."""
+    import duckdb
+    from decimal import Decimal
+
+    # pinned in-contract divergence at scale 10 (found by scanning the
+    # seed-7 value space; spark string path rounds UP to the grid here,
+    # DuckDB's exact-binary path keeps the below-grid digit)
+    price, disc = 394324.36, 0.02
+    prod = price * (1 - disc)
+    spark10 = _spark_cast_emulated(prod, 10)
+    duck10 = duckdb.sql(
+        f"SELECT CAST(CAST({prod!r} AS DOUBLE) AS DECIMAL(28,10))"
+    ).fetchone()[0]
+    assert spark10 != duck10  # the bug class: engines disagree per-row
+    assert str(spark10) == "386437.8728000000"
+    assert str(duck10) == "386437.8727999999"
+
+    # at the true product grid both engines agree — exactly
+    true4 = (Decimal(repr(price)) * (1 - Decimal(repr(disc)))).quantize(
+        Decimal("1e-4")
+    )
+    assert _spark_cast_emulated(prod, 4) == true4
+    duck4 = duckdb.sql(
+        f"SELECT CAST(CAST({prod!r} AS DOUBLE) AS DECIMAL(28,4))"
+    ).fetchone()[0]
+    assert duck4 == true4
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.integers(min_value=100, max_value=50_000_000),  # cents
+    st.integers(min_value=0, max_value=10),  # discount percent
+    st.integers(min_value=0, max_value=8),  # tax percent
+)
+def test_product_grid_cast_agreement_in_contract(cents, disc_pct, tax_pct):
+    """Property behind the round-8 decimal-discipline change: for EVERY
+    in-contract (price, discount, tax), both engines' double->DECIMAL
+    conversions of the product agree at the product's true grid — scale
+    4 for price x (1-disc), scale 6 with the (1+tax) factor — with the
+    exact Decimal arithmetic result. (DuckDB asserted directly; Spark
+    via the string-path emulation pinned by the scale-2 test above.)"""
+    import duckdb
+    from decimal import Decimal
+
+    price = cents / 100.0
+    disc = disc_pct / 100.0
+    tax = tax_pct / 100.0
+    p4 = price * (1 - disc)
+    p6 = price * (1 - disc) * (1 + tax)
+    true4 = (
+        Decimal(cents) / 100 * (1 - Decimal(disc_pct) / 100)
+    ).quantize(Decimal("1e-4"))
+    true6 = (true4 * (1 + Decimal(tax_pct) / 100)).quantize(Decimal("1e-6"))
+    assert _spark_cast_emulated(p4, 4) == true4
+    assert (
+        duckdb.sql(
+            f"SELECT CAST(CAST({p4!r} AS DOUBLE) AS DECIMAL(28,4))"
+        ).fetchone()[0]
+        == true4
+    )
+    assert _spark_cast_emulated(p6, 6) == true6
+    assert (
+        duckdb.sql(
+            f"SELECT CAST(CAST({p6!r} AS DOUBLE) AS DECIMAL(28,6))"
+        ).fetchone()[0]
+        == true6
+    )

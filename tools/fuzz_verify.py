@@ -272,9 +272,14 @@ def _boundary_price(rng: random.Random) -> float:
     x.005 values found a REAL engine edge — Spark's double->DECIMAL cast
     is string-mediated (shortest repr "x.005" HALF_UPs to .01) while
     DuckDB's is value-mediated (the double sits below .005 and rounds to
-    .00) — but such values cannot appear in a generated fixture, so the
-    edge is pinned in tests/test_properties_round5.py instead of fuzzed
-    here."""
+    .00) — pinned in tests/test_properties_round5.py. Round 8: even
+    IN-CONTRACT values reach the same cast edge through PRODUCTS —
+    2-dec price x (1 - 2-dec discount) is a two-op double ~1.5 ulp off
+    its true 4-decimal grid, wider than the DECIMAL(28,10) half-grid, so
+    the engines' casts disagreed per-row and seed 7's sql_tpch_q10 hit a
+    round(...,2) half-boundary one cent apart. Product casts now
+    quantize at their true grid (tpch_full._REV_DEC), where both
+    conversion styles provably agree."""
     r = rng.random()
     if r < 0.10:
         return float(rng.randint(1, 500000))  # whole
