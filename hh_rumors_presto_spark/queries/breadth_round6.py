@@ -210,20 +210,24 @@ _CC_FLOOR = 1e-9  # OOV probability floor (matches text_lm_score's shape)
     vocab AS (SELECT tok, CAST(count(*) AS DOUBLE) AS cnt FROM tok GROUP BY tok),
     total AS (SELECT sum(cnt) AS n FROM vocab),
     scored AS (
-        SELECT t.doc_id, avg(ln(v.cnt / total.n + {_CC_FLOOR})) AS score
+        SELECT t.doc_id,
+               round(avg(ln(v.cnt / total.n + {_CC_FLOOR})), 6) AS score6
         FROM tok t JOIN vocab v ON v.tok = t.tok, total
         GROUP BY t.doc_id
     ),
     cuts AS (
-        SELECT quantile_cont(score, 1.0/3) AS p33,
-               quantile_cont(score, 2.0/3) AS p66
-        FROM scored
+        SELECT list_sort(list(score6)) AS arr, count(*) AS n FROM scored
+    ),
+    cut2 AS (
+        SELECT arr[CAST((n + 2) // 3 AS INT)] AS p33,
+               arr[CAST((2 * n + 2) // 3 AS INT)] AS p66
+        FROM cuts
     )
-    SELECT s.doc_id, round(s.score, 6) AS avg_logp,
-           CASE WHEN s.score >= c.p66 THEN 'head'
-                WHEN s.score >= c.p33 THEN 'middle'
+    SELECT s.doc_id, s.score6 AS avg_logp,
+           CASE WHEN s.score6 >= c.p66 THEN 'head'
+                WHEN s.score6 >= c.p33 THEN 'middle'
                 ELSE 'tail' END AS bucket
-    FROM scored s, cuts c
+    FROM scored s, cut2 c
     """,
 )
 def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,11 +236,23 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the global score tertiles — the standard quality-tiering step
     before choosing what fraction of a crawl to train on.
 
+    Cut discipline (round-8 fuzz-seed-20 find): scores are ROUNDED to
+    their 6-decimal output grid BEFORE the cut, and the tertile cut is a
+    DISCRETE order statistic — the ceil(n*p)-th smallest rounded score,
+    index computed with integer arithmetic in both engines — not an
+    interpolated percentile. Interpolated cuts mix adjacent values, so a
+    TIE GROUP sitting exactly at the cut compares `>=` through each
+    engine's own ulp noise (avg(ln(...)) reduction order differs) and
+    two engines bucket the tied docs differently; a grid-valued cut that
+    IS an element of the grid-valued score multiset makes the bucket
+    comparison exact in both.
+
     Shape at scale: vocab aggregate (map-side partials) broadcast back
-    over the token stream; per-doc fold; the two tertile cuts are a
-    ONE-ROW exact-percentile aggregate broadcast over the scored corpus
-    (the same RangePartitioner-style boundary footprint as everywhere
-    else — no global sort, no collect)."""
+    over the token stream; per-doc fold; the two tertile cuts are ONE
+    single-row sorted-list aggregate broadcast over the scored corpus
+    (the same buffer footprint as the exact-percentile aggregate it
+    replaces — Spark's exact percentile also buffers the value multiset;
+    at true corpus scale both would step down to approx_percentile)."""
     docs = io.load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     vocab = tok.groupBy("tok").agg(F.count("*").cast("double").alias("cnt"))
@@ -245,19 +261,33 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.join(F.broadcast(vocab), "tok")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
-        .agg(F.avg(F.log(F.col("cnt") / F.col("n") + _CC_FLOOR)).alias("score"))
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("cnt") / F.col("n") + _CC_FLOOR)), 6
+            ).alias("score6")
+        )
     )
-    cuts = scored.agg(
-        F.expr("percentile(score, 1.0/3)").alias("p33"),
-        F.expr("percentile(score, 2.0/3)").alias("p66"),
+    cuts = (
+        scored.agg(
+            F.sort_array(F.collect_list("score6")).alias("arr"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.element_at(
+                "arr", F.expr("CAST((n + 2) DIV 3 AS INT)")
+            ).alias("p33"),
+            F.element_at(
+                "arr", F.expr("CAST((2 * n + 2) DIV 3 AS INT)")
+            ).alias("p66"),
+        )
     )
     return (
         scored.crossJoin(F.broadcast(cuts))
         .select(
             "doc_id",
-            F.round("score", 6).alias("avg_logp"),
-            F.when(F.col("score") >= F.col("p66"), "head")
-            .when(F.col("score") >= F.col("p33"), "middle")
+            F.col("score6").alias("avg_logp"),
+            F.when(F.col("score6") >= F.col("p66"), "head")
+            .when(F.col("score6") >= F.col("p33"), "middle")
             .otherwise("tail")
             .alias("bucket"),
         )
