@@ -24,6 +24,11 @@ uses the MIN, and both raw runs are emitted under "heavy_min_of_2" so
 each heavy carries its own load witness — a wide spread between the two
 runs IS the hypervisor-noise signature, visible per query instead of
 only via the session-level probe pair.
+
+Round 9 (VERDICT r8 item 4): min-of-2 extended to the next noise tier —
+sim_topk, agg_basic, join_star, stream_tumbling showed +26-37%
+probe-correlated swings in the r8 driver reading while staying in-band
+on the idle host; seven keys now emit raw pairs (~6 s extra wall-clock).
 """
 
 from __future__ import annotations
@@ -126,7 +131,11 @@ def main() -> None:
     run("flagship_pipeline")
     run("stream_tumbling")
 
-    heavy = {"dedup_clusters", "graph_pagerank", "emb_knn_graph"}
+    heavy = {
+        "dedup_clusters", "graph_pagerank", "emb_knn_graph",
+        # round-9 noise tier (VERDICT r8 item 4)
+        "sim_topk", "agg_basic", "join_star", "stream_tumbling",
+    }
     timings: dict[str, float] = {}
     heavy_runs: dict[str, list[float]] = {}
     for name in HEADLINE:

@@ -221,7 +221,7 @@ _CC_FLOOR = 1e-9  # OOV probability floor (matches text_lm_score's shape)
     cut2 AS (
         SELECT arr[CAST((n + 2) // 3 AS INT)] AS p33,
                arr[CAST((2 * n + 2) // 3 AS INT)] AS p66
-        FROM cuts
+        FROM cuts WHERE n > 0
     )
     SELECT s.doc_id, s.score6 AS avg_logp,
            CASE WHEN s.score6 >= c.p66 THEN 'head'
@@ -244,8 +244,20 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIE GROUP sitting exactly at the cut compares `>=` through each
     engine's own ulp noise (avg(ln(...)) reduction order differs) and
     two engines bucket the tied docs differently; a grid-valued cut that
-    IS an element of the grid-valued score multiset makes the bucket
-    comparison exact in both.
+    IS an element of the grid-valued score multiset removes the cut-side
+    noise. Residual (documented, not eliminated): a doc whose TRUE
+    avg(ln(...)) lies within reduction-order ulp noise of a 0.5e-6
+    rounding boundary can still round to different score6 grid points per
+    engine, shifting the sorted multiset and hence the cut itself — the
+    same hazard the avg_logp output column carries. Fixture scores are
+    empirically bounded away from such boundaries (8 fuzz seeds + the
+    seed-20 trigger fixture all hash-match), but the guarantee is
+    per-fixture, not universal.
+
+    Empty-corpus edge (ADVICE r8): the ungrouped cuts agg yields one row
+    with n=0 even when `scored` is empty, and element_at(arr, 0) raises
+    INVALID_INDEX_OF_ZERO — so the cut row is filtered on n > 0 in BOTH
+    engines, making empty-in → empty-out instead of crash-vs-empty.
 
     Shape at scale: vocab aggregate (map-side partials) broadcast back
     over the token stream; per-doc fold; the two tertile cuts are ONE
@@ -272,6 +284,7 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_list("score6")).alias("arr"),
             F.count("*").alias("n"),
         )
+        .where(F.col("n") > 0)  # empty corpus: no cut row, never index 0
         .select(
             F.element_at(
                 "arr", F.expr("CAST((n + 2) DIV 3 AS INT)")

@@ -35,6 +35,14 @@ Oracle-parity rules applied throughout (SURVEY.md §7.4):
   from Spark's LONG — so every micro-ratio is wrapped in
   ``CAST(... AS BIGINT)`` in its final SELECT and
   tests/test_oracle_types.py gates the whole registry (round 6).
+
+Both numeric-envelope bounds above are PROPERTY-PINNED by
+tests/test_numeric_envelope.py (round 9): live under/over-bound drives of
+the micro-ratio (bit-exact under 2^63; ANSI ARITHMETIC_OVERFLOW — loud,
+never silent — over it; the DECIMAL(38,0)-widened remedy bit-exact past
+it) and of floor-division (bit-exact under 2^53; the pinned 2^53+1
+divergence DIV avoids), plus a live-JVM pin of the product-cast grid
+expectations.
 """
 
 from __future__ import annotations

@@ -1,0 +1,176 @@
+"""Property-pins for the numeric scale envelope documented in
+hh_rumors_presto_spark/registry.py:21-38 (round-9, VERDICT r8 item 3).
+
+Two envelope claims were previously verified by ARGUMENT only; this module
+drives both with live engines at magnitudes just under and just over the
+documented bounds:
+
+1. MICRO-RATIO ``(2000000 * num + den) // (2 * den)``: the Spark side is
+   BIGINT, the DuckDB oracle side silently promotes to HUGEINT **when num
+   comes from sum()** (DuckDB sum(BIGINT) -> HUGEINT; count(*) stays
+   BIGINT and DuckDB then overflows loudly too, probed below). The
+   engines agree bit-for-bit while ``2000000 * num`` stays under 2^63
+   (num <= 4_611_686_018_427 at den=7). Past the bound the Spark side
+   must widen the numerator to DECIMAL(38,0) before the integral
+   division — and if a site forgets, the failure is LOUD, never silent:
+   ANSI mode (default, asserted here) raises ARITHMETIC_OVERFLOW.
+
+2. FLOOR-DIVISION ``floor(a / b)`` on BIGINT: Spark routes ``/`` through
+   a double, so past 2^53 the floored quotient can be one off DuckDB's
+   exact ``//``; under 2^53 every quotient double is exact enough that
+   the floor matches the integral division bit-for-bit. Sites whose
+   numerators can pass 2^53 use ``DIV``; the sub-2^53 sites' safety is
+   pinned here instead of argued.
+
+Also pins the round-8 product-cast expectations against a LIVE Spark cast
+(ADVICE r8: the repr() emulation in test_properties_round5.py is not
+guaranteed faithful to Java's Double.toString pre-JDK 19; this test is
+authoritative on whatever JVM runs the suite).
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+# max num with 2000000*num + den < 2^63 at den=7
+_DEN = 7
+_NUM_MAX_SAFE = (2**63 - 1 - _DEN) // 2_000_000  # 4_611_686_018_427
+_NUM_OVER = _NUM_MAX_SAFE + 1
+
+
+def _duck_micro_ratio_sum_path(num: int, den: int) -> int:
+    """The oracle-context shape: num arrives from sum() and is HUGEINT,
+    so DuckDB's numerator silently widens — exact at any magnitude."""
+    return duckdb.sql(
+        f"SELECT CAST((2000000 * s + {den}) // (2 * {den}) AS BIGINT) "
+        f"FROM (SELECT sum(x) AS s FROM (SELECT CAST({num} AS BIGINT) AS x))"
+    ).fetchone()[0]
+
+
+def test_ansi_mode_is_on(spark):
+    """The loud-overflow guarantee below is ANSI behavior; if a config
+    change ever turns ANSI off, BIGINT overflow would WRAP silently and
+    the micro-ratio envelope's failure mode becomes silent-wrong — this
+    named assert fails first."""
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+
+
+def test_micro_ratio_under_bound_bit_exact(spark):
+    """Just under the documented 2^63 numerator bound (and a spread of
+    magnitudes below it), Spark's BIGINT DIV equals DuckDB's
+    HUGEINT-promoted // bit-for-bit — including the maximal safe num."""
+    rng = random.Random(901)
+    nums = [_NUM_MAX_SAFE, _NUM_MAX_SAFE - 1, 1, 4_600_000_000_000] + [
+        rng.randrange(1, _NUM_MAX_SAFE) for _ in range(8)
+    ]
+    exprs = ", ".join(
+        f"(2000000 * CAST({n} AS BIGINT) + {_DEN}) DIV (2 * {_DEN}) AS r{i}"
+        for i, n in enumerate(nums)
+    )
+    row = spark.sql(f"SELECT {exprs}").collect()[0]
+    for i, n in enumerate(nums):
+        got = row[f"r{i}"]
+        want = _duck_micro_ratio_sum_path(n, _DEN)
+        assert got == want == (2_000_000 * n + _DEN) // (2 * _DEN), n
+
+
+def test_micro_ratio_over_bound_spark_raises_never_silent(spark):
+    """One past the bound, the un-widened BIGINT numerator must fail
+    LOUDLY on the Spark side (ANSI ARITHMETIC_OVERFLOW), not wrap: a
+    site that outgrows the envelope turns into a crash, not a wrong
+    ratio. (DuckDB's count(*)-typed BIGINT numerator overflows loudly
+    too — only the sum()/HUGEINT path widens silently, which is why the
+    registry docstring scopes the bound to cents-sum sites.)"""
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        spark.sql(
+            f"SELECT (2000000 * CAST({_NUM_OVER} AS BIGINT) + {_DEN}) "
+            f"DIV (2 * {_DEN}) AS r"
+        ).collect()
+    with pytest.raises(Exception, match="[Oo]verflow"):
+        duckdb.sql(
+            f"SELECT 2000000 * c FROM (SELECT CAST({_NUM_OVER} AS BIGINT) AS c)"
+        ).fetchone()
+
+
+def test_micro_ratio_over_bound_widened_matches_duckdb(spark):
+    """The documented remedy — widen the Spark numerator to
+    DECIMAL(38,0) before the integral division — reproduces DuckDB's
+    HUGEINT result bit-for-bit at and past the bound (result kept under
+    2^63 so the BIGINT output-cast contract of test_oracle_types.py
+    still holds)."""
+    for num in (_NUM_OVER, 10**13 + 37):
+        got = spark.sql(
+            f"SELECT CAST((2000000 * CAST({num} AS DECIMAL(38,0)) + {_DEN}) "
+            f"DIV (2 * {_DEN}) AS BIGINT) AS r"
+        ).collect()[0].r
+        want = _duck_micro_ratio_sum_path(num, _DEN)
+        assert got == want == (2_000_000 * num + _DEN) // (2 * _DEN), num
+
+
+def test_floor_div_exact_under_2_53(spark):
+    """Sub-2^53 numerators: floor(a/b) through Spark's double division
+    matches exact integral division bit-for-bit — the safety property
+    the remaining floor() sites rely on (registry.py:24-27)."""
+    rng = random.Random(902)
+    pairs = [(2**53 - 1, 1), (2**53 - 1, 3), (2**52 + 12345, 7)] + [
+        (rng.randrange(1, 2**53), rng.randrange(1, 10**6)) for _ in range(12)
+    ]
+    exprs = ", ".join(
+        f"floor(CAST({a} AS BIGINT) / CAST({b} AS BIGINT)) AS f{i}, "
+        f"CAST({a} AS BIGINT) DIV CAST({b} AS BIGINT) AS d{i}"
+        for i, (a, b) in enumerate(pairs)
+    )
+    row = spark.sql(f"SELECT {exprs}").collect()[0]
+    for i, (a, b) in enumerate(pairs):
+        duck = duckdb.sql(
+            f"SELECT CAST(CAST({a} AS BIGINT) // CAST({b} AS BIGINT) AS BIGINT)"
+        ).fetchone()[0]
+        assert int(row[f"f{i}"]) == row[f"d{i}"] == duck == a // b, (a, b)
+
+
+def test_floor_div_diverges_past_2_53_div_does_not(spark):
+    """The pinned over-bound divergence: 2^53+1 is not a double, so
+    floor((2^53+1)/1) loses the low bit while DIV (and DuckDB //) keep
+    it — the exact failure ts_autoperiod's ACF sums hit before the DIV
+    discipline (registry.py:22-27). If a Spark upgrade ever makes
+    BIGINT / exact, this test flags the envelope for re-derivation."""
+    a = 2**53 + 1
+    row = spark.sql(
+        f"SELECT floor(CAST({a} AS BIGINT) / CAST(1 AS BIGINT)) AS f, "
+        f"CAST({a} AS BIGINT) DIV CAST(1 AS BIGINT) AS d"
+    ).collect()[0]
+    duck = duckdb.sql(f"SELECT CAST({a} AS BIGINT) // 1").fetchone()[0]
+    assert row["d"] == duck == a  # DIV and DuckDB exact
+    assert int(row["f"]) == 2**53 != a  # double-routed floor drops the bit
+
+
+def test_product_cast_scale10_live_spark(spark):
+    """LIVE-JVM pin of the round-8 seed-7 product-cast expectations
+    (tests/test_properties_round5.py emulates Spark's double->string
+    path with Python repr(); Java's Double.toString can emit more
+    digits pre-JDK 19, so the live cast is the authority here):
+    at scale 10 this JVM rounds the pinned product UP to the grid while
+    DuckDB's exact-binary path keeps the below-grid digit; at the true
+    product grid (scale 4) both engines land the exact value."""
+    row = spark.sql(
+        "SELECT CAST(CAST(394324.36 AS DOUBLE) * (1 - CAST(0.02 AS DOUBLE)) "
+        "AS DECIMAL(28,10)) AS d10, "
+        "CAST(CAST(394324.36 AS DOUBLE) * (1 - CAST(0.02 AS DOUBLE)) "
+        "AS DECIMAL(28,4)) AS d4"
+    ).collect()[0]
+    assert str(row.d10) == "386437.8728000000"
+    assert str(row.d4) == "386437.8728"
+    # DuckDB side: cast the STORED double (the fixture shape — query
+    # values arrive as materialized doubles, not re-foldable literal
+    # expressions; DuckDB's constant folder computes the inline product
+    # at a different rounding than the IEEE double multiply).
+    prod = 394324.36 * (1 - 0.02)
+    duck10, duck4 = duckdb.sql(
+        f"SELECT CAST(CAST({prod!r} AS DOUBLE) AS DECIMAL(28,10)), "
+        f"CAST(CAST({prod!r} AS DOUBLE) AS DECIMAL(28,4))"
+    ).fetchone()
+    assert str(duck10) == "386437.8727999999"  # the scale-10 divergence
+    assert str(duck4) == "386437.8728"  # grid-scale agreement

@@ -214,9 +214,21 @@ def test_interval_merge_state_is_order_and_batching_invariant(ts, cuts, seed):
 
 
 def _spark_cast_emulated(x: float, scale: int):
-    """Spark's double->DECIMAL path: shortest decimal string (repr ==
-    Double.toString for finite doubles) then HALF_UP at the target
-    scale — the same emulation the scale-2 test above uses."""
+    """Spark's double->DECIMAL path: decimal string then HALF_UP at the
+    target scale — the same emulation the scale-2 test above uses.
+
+    JDK caveat (ADVICE r8): Python repr() is the SHORTEST round-trip
+    decimal string; Java's Double.toString (pre-JDK 19, JDK-8202555)
+    occasionally emits MORE digits than the shortest form, so this
+    emulation is not guaranteed faithful for the scale-10 DIVERGENCE
+    assertions below (extra low-order digits could flip a half-boundary
+    at scale 10). The scale-4/6 AGREEMENT properties are unaffected:
+    any faithful decimal representation of the double rounds to the same
+    scale-4/6 grid point, because the double sits within 1.5 ulp
+    (~2e-10) of its true 4-decimal value — far inside the 5e-5 half-grid.
+    The scale-10 expectations are additionally pinned against a LIVE
+    Spark cast in test_product_cast_scale10_live_spark (integration
+    suite), which is authoritative on this JVM."""
     from decimal import Decimal, ROUND_HALF_UP
 
     return Decimal(repr(x)).quantize(Decimal(1).scaleb(-scale), ROUND_HALF_UP)

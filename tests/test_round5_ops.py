@@ -335,6 +335,20 @@ def test_ccnet_buckets_are_ordered_tertiles(spark, sf_dir):
         assert abs(len(sizes) - n / 3) <= 2
 
 
+def test_ccnet_buckets_empty_corpus_yields_empty(spark, sf_dir, tmp_path):
+    """ADVICE r8 (breadth_round6): with zero documents the ungrouped cuts
+    agg still emits one n=0 row, and an unguarded element_at(arr, 0)
+    raises INVALID_INDEX_OF_ZERO while the DuckDB oracle returns empty —
+    a crash-vs-empty divergence. The cut row is now filtered on n > 0 in
+    both engines; empty in must be empty out, not an error."""
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{sf_dir}/documents.parquet")
+    pq.write_table(src.slice(0, 0), str(tmp_path / "documents.parquet"))
+    out = QUERIES["corpus_ccnet_buckets"](spark, str(tmp_path)).collect()
+    assert out == []
+
+
 def test_aqp_sample_is_the_exact_hash_subset(spark, sf_dir):
     """The 10% sample must be exactly the md5-predicate subset (no
     TABLESAMPLE nondeterminism), and the measured error small."""

@@ -55,8 +55,13 @@ def test_dedup_clusters_enters_star_phase_on_deep_chain(
     one 3-token vocabulary block with doc i+1 and NOTHING with any other
     doc, so the Jaccard pair graph is a single 59-hop path — far past the
     10-hop phase-1 horizon. Expected: phase 2 runs (spy fires) and every
-    doc clusters to the chain minimum, doc_id 0."""
-    n = 60
+    doc clusters to the chain minimum, doc_id 0.
+
+    Depth is overridable: the per-round certification battery re-runs
+    this at HH_STAR_CHAIN_N=201 (a 200-hop chain; VERDICT r8 item 5) —
+    the only code path whose historical failure mode was silently-wrong
+    gets a deeper adversarial drive each round at ~no maintenance cost."""
+    n = int(os.environ.get("HH_STAR_CHAIN_N", "60"))
     docs = []
     for i in range(n):
         # doc i = vocab block i + block i+1; blocks are disjoint 3-token
@@ -93,13 +98,18 @@ def test_graph_wcc_enters_star_phase_on_deep_chain(spark, tmp_path, star_spy):
     (c_{i+1}, s_i), every pair trading exactly 2 line items in one shared
     nation — a single path of 60 nodes (diameter 59). Expected: phase 2
     runs and the census reports ONE component of 30 customers + 30
-    suppliers (plus a detached 2-node pair as a control)."""
-    k = 30
+    suppliers (plus a detached 2-node pair as a control).
+
+    Depth overridable like the dedup test: the battery re-runs at
+    HH_STAR_CHAIN_K=100 (a 200-node, 199-hop path; VERDICT r8 item 5)."""
+    k = int(os.environ.get("HH_STAR_CHAIN_K", "30"))
     customers = [(c, f"Customer#{c}", 7, 0.0, "BUILDING") for c in range(1, k + 1)]
     suppliers = [(s, f"Supplier#{s}", 7, 0.0) for s in range(1, k + 1)]
-    # control component: customer 100 / supplier 100 in another nation
-    customers.append((100, "Customer#100", 3, 0.0, "BUILDING"))
-    suppliers.append((100, "Supplier#100", 3, 0.0))
+    # control component: a detached pair in another nation (id safely
+    # past the chain for any battery-overridden k)
+    ctl_id = k + 70
+    customers.append((ctl_id, f"Customer#{ctl_id}", 3, 0.0, "BUILDING"))
+    suppliers.append((ctl_id, f"Supplier#{ctl_id}", 3, 0.0))
 
     orders, lineitems, okey = [], [], 0
     def trade(c, s):
@@ -113,7 +123,7 @@ def test_graph_wcc_enters_star_phase_on_deep_chain(spark, tmp_path, star_spy):
         trade(i, i)          # edge c_i - s_i
         if i < k:
             trade(i + 1, i)  # edge c_{i+1} - s_i  -> the chain
-    trade(100, 100)
+    trade(ctl_id, ctl_id)
 
     sf = str(tmp_path / "wcc_sf")
     os.makedirs(sf, exist_ok=True)
@@ -138,11 +148,11 @@ def test_graph_wcc_enters_star_phase_on_deep_chain(spark, tmp_path, star_spy):
         "phase 2 (star contraction) never ran — the trading-chain fixture "
         "was expected to defeat the 10-hop propagation horizon"
     )
-    # chain component: min node id = 2*1 (customer 1); control: 2*100
-    assert set(rows) == {2, 200}
+    # chain component: min node id = 2*1 (customer 1); control: 2*ctl_id
+    assert set(rows) == {2, 2 * ctl_id}
     chain = rows[2]
     assert (chain.n_nodes, chain.n_customers, chain.n_suppliers) == (
         2 * k, k, k,
     )
-    ctl = rows[200]
+    ctl = rows[2 * ctl_id]
     assert (ctl.n_nodes, ctl.n_customers, ctl.n_suppliers) == (2, 1, 1)
