@@ -140,8 +140,10 @@ def eval_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             F.col("total").cast("long").alias("total_ngrams"),
             F.col("uniq").cast("long").alias("unique_ngrams"),
+            # nullif: an empty corpus has total=0 and DuckDB's `// 0` is
+            # NULL while Spark's `div 0` raises under ANSI (r9 sf0 audit)
             F.expr(
-                "(2000000 * uniq + total) div (2 * total)"
+                "(2000000 * uniq + total) div (2 * nullif(total, 0))"
             ).alias("distinct_micro"),
         )
     )
@@ -407,8 +409,10 @@ def corpus_dedup_rate_dashboard(
             "grain",
             F.col("total").cast("long").alias("total"),
             F.col("dups").cast("long").alias("duplicates"),
+            # nullif on the empty-corpus total (r9 sf0 audit; see
+            # eval_distinct_n above)
             F.expr(
-                "(2000000 * dups + total) div (2 * total)"
+                "(2000000 * dups + total) div (2 * nullif(total, 0))"
             ).alias("dup_micro"),
         )
     )

@@ -311,7 +311,10 @@ def corpus_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("total").cast("long").alias("total_grams"),
         F.col("uniq").cast("long").alias("unique_grams"),
+        # nullif: the ungrouped '_all_' row has uniq=0 on an empty corpus
+        # and DuckDB's `// 0` is NULL while `div 0` raises under ANSI
+        # (r9 sf0 audit; per-source groups always have uniq >= 1)
         F.expr(
-            "(2000 * total + uniq) div (2 * uniq)"
+            "(2000 * total + uniq) div (2 * nullif(uniq, 0))"
         ).alias("inflation_milli"),
     )

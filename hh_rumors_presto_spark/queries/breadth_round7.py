@@ -1017,22 +1017,31 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("intra_edges"), F.lit(0)).alias("intra_edges"),
         "deg_sum",
     )
-    joined = parts.crossJoin(F.broadcast(m_df))
-    return joined.agg(
-        F.first("m").alias("m"),
-        F.sum(
-            4 * F.col("m") * F.col("intra_edges")
-            - F.col("deg_sum") * F.col("deg_sum")
-        )
+    # m and q_den come from the edge-count scalar, NOT from first()/sum()
+    # over `parts`: with an empty pair graph `parts` is empty and those
+    # aggregates go NULL, while the oracle's scalar subquery still says
+    # m=0 / q_den=0 (r9 sf0 audit find — the engines disagreed NULL-vs-0
+    # on the empty graph). q_num distributes: Σ(4m·intra − deg²) =
+    # 4m·Σintra − Σdeg², so the sums no longer need m per row; NULL sums
+    # over empty parts make q_num and modularity NULL in BOTH engines
+    # (NULL-safe eval skips the /0), exactly the oracle's empty shape.
+    sums = parts.agg(
+        F.sum("intra_edges").cast("long").alias("s_intra"),
+        F.sum(F.col("deg_sum") * F.col("deg_sum"))
+        .cast("long")
+        .alias("s_deg2"),
+    )
+    return m_df.crossJoin(F.broadcast(sums)).select(
+        "m",
+        (4 * F.col("m") * F.col("s_intra") - F.col("s_deg2"))
         .cast("long")
         .alias("q_num"),
-        (4 * F.first("m") * F.first("m")).cast("long").alias("q_den"),
+        (4 * F.col("m") * F.col("m")).cast("long").alias("q_den"),
         (
-            F.sum(
-                4 * F.col("m") * F.col("intra_edges")
-                - F.col("deg_sum") * F.col("deg_sum")
-            ).cast("double")
-            / (4 * F.first("m") * F.first("m"))
+            (4 * F.col("m") * F.col("s_intra") - F.col("s_deg2")).cast(
+                "double"
+            )
+            / (4 * F.col("m") * F.col("m"))
         ).alias("modularity"),
     )
 

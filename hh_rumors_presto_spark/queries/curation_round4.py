@@ -369,7 +369,20 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("shard")
             .parquet(out_dir)
         )
-        written = spark.read.parquet(out_dir)
+        # Explicit schema on the re-read: production manifests pin their
+        # schema rather than infer it, and an EMPTY corpus writes zero
+        # part files — inference then raises UNABLE_TO_INFER_SCHEMA while
+        # the oracle returns an empty manifest (r9 sf0 audit). The pinned
+        # schema is exactly what inference yields on non-empty data
+        # (partition column `shard` inferred as int), so canonical
+        # results are bit-identical.
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        manifest_schema = StructType(
+            list(docs.schema.fields)
+            + [StructField("shard", IntegerType())]
+        )
+        written = spark.read.schema(manifest_schema).parquet(out_dir)
         h = (
             F.conv(F.substring(F.md5("text"), 1, 10), 16, 10)
             .cast("decimal(38,0)")

@@ -757,12 +757,16 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_candidates",
             "n_truth",
             "n_hits",
-            (F.col("n_hits").cast("double") / F.col("n_truth")).alias(
+            # try_divide: NULL when the corpus has zero truth pairs —
+            # DuckDB's x/0 is NULL while plain `/` raises under ANSI
+            # (crash-vs-NULL on an empty/near-dup-free corpus; r9 sf0
+            # audit). Identical IEEE division whenever the divisor > 0.
+            F.try_divide(F.col("n_hits").cast("double"), F.col("n_truth")).alias(
                 "recall"
             ),
-            (F.col("n_hits").cast("double") / F.col("n_candidates")).alias(
-                "precision"
-            ),
+            F.try_divide(
+                F.col("n_hits").cast("double"), F.col("n_candidates")
+            ).alias("precision"),
         )
     )
 
@@ -1011,7 +1015,8 @@ def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_candidates",
             "n_truth",
             "n_hits",
-            (F.col("n_hits").cast("double") / F.col("n_truth")).alias(
+            # NULL-on-zero-truth like the minhash twin (r9 sf0 audit)
+            F.try_divide(F.col("n_hits").cast("double"), F.col("n_truth")).alias(
                 "recall"
             ),
         )
