@@ -336,7 +336,7 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sink_compact",
     oracle="""
-    SELECT CAST(4 AS INT) AS n_files,
+    SELECT CAST(CASE WHEN count(*) > 0 THEN 4 ELSE 0 END AS INT) AS n_files,
            count(*) AS n_rows,
            CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total
     FROM orders

@@ -122,6 +122,15 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     k = deg.filter("is_seed").count()  # scalar seed count, as the oracle's kk
+    if k == 0:
+        # the only in-contract trigger is an empty edge set (fixtures
+        # always place customers 1..50 in the graph): deg is then empty
+        # and the oracle's rank chain is empty too; guard the integer
+        # teleport's driver-side division (r9 empty-table audit)
+        edges.unpersist()
+        return spark.createDataFrame(
+            [], "node bigint, is_seed boolean, rank_fp bigint"
+        )
     teleport = (15 * _SCALE) // (100 * k)
     ranks = deg.select(
         "node",

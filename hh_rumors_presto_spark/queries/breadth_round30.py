@@ -204,8 +204,13 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair_n.select(F.col("b").alias("i"), F.col("a").alias("j"), "n")
     ).localCheckpoint()
     k = items.count()
+    # k=0 (no pairwise matches, e.g. an empty event feed) must not fold
+    # 1.0/0.0 into the plan (ANSI raise; r9 empty-table audit) — the
+    # theta constant is irrelevant on a zero-row frame, and every
+    # downstream join/select stays empty, matching the oracle's empty
+    # result exactly.
     theta = items.select(
-        "item", (F.lit(1.0) / F.lit(float(k))).alias("theta")
+        "item", F.lit(1.0 / k if k else 0.0).alias("theta")
     )
     for _ in range(_BT_ITERS):
         ti = theta.select(

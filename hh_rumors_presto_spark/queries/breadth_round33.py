@@ -338,12 +338,20 @@ def recs_coverage_diversity(
             F.col("n_users").cast("long").alias("n_users"),
             F.col("n_rec_parts").cast("long").alias("n_rec_parts"),
             F.col("n_parts").cast("long").alias("catalog_size"),
+            # try_divide: an empty catalog / zero rec'd users puts 0 in
+            # the denominator — DuckDB's x/0.0 is NULL, ANSI `/` raises
+            # (r9 empty-table audit); identical division otherwise
             F.round(
-                F.col("n_rec_parts") / F.col("n_parts").cast("double"),
+                F.try_divide(
+                    F.col("n_rec_parts"), F.col("n_parts").cast("double")
+                ),
                 6,
             ).alias("coverage"),
             F.round(
-                F.col("ild_sum") / (1000000.0 * F.col("n_users")), 6
+                F.try_divide(
+                    F.col("ild_sum"), 1000000.0 * F.col("n_users")
+                ),
+                6,
             ).alias("mean_ild"),
         )
     )

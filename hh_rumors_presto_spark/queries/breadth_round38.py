@@ -253,7 +253,9 @@ def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("event_type")
             .parquet(out_dir)
         )
-        back = spark.read.parquet(out_dir)
+        # pinned read schema: an empty event feed writes zero part files
+        # and inference raises; the oracle census is empty (r9 audit)
+        back = spark.read.schema(ev.schema).parquet(out_dir)
         return back.groupBy("event_type").agg(
             F.count("*").alias("n"),
             F.sum("cents").cast("long").alias("cents_sum"),

@@ -226,7 +226,10 @@ def sink_file_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("event_type")
         .parquet(out_dir)
     )
-    back = spark.read.parquet(out_dir).select(
+    # pinned read schema (empty feed -> zero files -> inference raises;
+    # oracle census empty — r9 audit); _metadata stays available with an
+    # explicit schema
+    back = spark.read.schema(ev.schema).parquet(out_dir).select(
         "event_type", F.col("_metadata.file_path").alias("fp")
     )
     per_file = back.groupBy("event_type", "fp").agg(

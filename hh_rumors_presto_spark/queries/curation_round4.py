@@ -115,6 +115,12 @@ def layout_range_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     [row] = orders.select(
         F.expr(f"percentile(o_totalprice, array({qs_sql}))").alias("bds")
     ).collect()
+    if row["bds"] is None:
+        # empty table: no decile boundaries exist; the oracle groups
+        # zero rows into zero ranges (r9 empty-table audit)
+        return spark.createDataFrame(
+            [], "bucket int, n bigint, lo double, hi double"
+        )
     bds = list(row["bds"])
     bucket = sum(
         (F.col("o_totalprice") > F.lit(bd)).cast("int") for bd in bds
@@ -243,6 +249,14 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("dmin"),
         F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("dmax"),
     ).collect()
+    if p.pmin is None:
+        # empty table: no range scalars; zero rows bin into zero cells
+        # in the oracle (r9 empty-table audit)
+        return spark.createDataFrame(
+            [],
+            "z_cell int, n bigint, price_lo double, price_hi double,"
+            " date_lo_us bigint, date_hi_us bigint",
+        )
 
     def spread4(v):
         return (

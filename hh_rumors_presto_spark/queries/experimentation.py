@@ -180,9 +180,12 @@ def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("variant") == 1, 1)).alias("n1"),
     )
     half = (F.col("n0") + F.col("n1")) / 2.0
-    chi2 = F.pow(F.col("n0") - half, 2) / half + F.pow(
-        F.col("n1") - half, 2
-    ) / half
+    # try_divide: zero users means half=0 and DuckDB's x/0.0 is NULL
+    # while plain `/` raises under ANSI (r9 empty-table audit); chi2 and
+    # srm_flag go NULL in both engines, identical IEEE otherwise
+    chi2 = F.try_divide(F.pow(F.col("n0") - half, 2), half) + F.try_divide(
+        F.pow(F.col("n1") - half, 2), half
+    )
     return c.select(
         F.col("n0").cast("long").alias("n0"),
         F.col("n1").cast("long").alias("n1"),

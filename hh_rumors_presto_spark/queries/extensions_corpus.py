@@ -415,9 +415,9 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         count(*) AS n_rows,
         count(CASE WHEN json_valid(maybe_bad) THEN 1 END) AS n_valid,
-        CAST(sum(CASE WHEN json_valid(maybe_bad)
+        CAST(coalesce(sum(CASE WHEN json_valid(maybe_bad)
                  THEN CAST(json_extract_string(maybe_bad, '$.k') AS BIGINT)
-                 ELSE 0 END) AS BIGINT) AS k_sum
+                 ELSE 0 END), 0) AS BIGINT) AS k_sum
     FROM (
         SELECT CASE WHEN event_id % 7 = 0
                     THEN substring(props, 1, length(props) - 1)

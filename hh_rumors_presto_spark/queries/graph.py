@@ -155,6 +155,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     n = deg.count()  # scalar only; same count the oracle's params CTE takes
+    if n == 0:
+        # empty graph: no ranks exist and the integer teleport below
+        # would divide by zero driver-side; the oracle's r0..r3 chain is
+        # empty too (r9 empty-table audit)
+        edges.unpersist()
+        return spark.createDataFrame(
+            [], "node bigint, node_type string, rank_fp bigint"
+        )
     teleport = (15 * _SCALE) // (100 * n)  # exact integer, matches // in SQL
 
     # ranks carries outdeg through the loop, so each round is exactly TWO

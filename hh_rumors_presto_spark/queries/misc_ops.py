@@ -110,21 +110,19 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out_dir, ignore_errors=True)
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    staged = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.year("o_orderdate").cast("int").alias("yr"),
+    )
     try:
-        (
-            orders.select(
-                "o_orderkey",
-                "o_totalprice",
-                F.year("o_orderdate").cast("int").alias("yr"),
-            )
-            .write.partitionBy("yr")
-            .mode("overwrite")
-            .parquet(out_dir)
-        )
+        staged.write.partitionBy("yr").mode("overwrite").parquet(out_dir)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    # pinned read schema: empty source -> zero part files -> inference
+    # raises; the oracle reads empty rows (r9 empty-table audit)
     return (
-        spark.read.parquet(out_dir)
+        spark.read.schema(staged.schema).parquet(out_dir)
         .filter(F.col("yr") >= 1996)
         .select("o_orderkey", "o_totalprice", F.col("yr").cast("int").alias("yr"))
     )

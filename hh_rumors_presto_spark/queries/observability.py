@@ -124,6 +124,13 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
     ).collect()
+    if p.vmin is None:
+        # no events: the boundary scalars are NULL and the driver-side
+        # bin arithmetic below would TypeError; the oracle's cross join
+        # against the empty stream yields no bins (r9 empty-table audit)
+        return spark.createDataFrame(
+            [], "bin int, pa double, pb double, psi_contrib double"
+        )
     bin_col = F.least(
         F.lit(9),
         F.floor((F.col("value") - p.vmin) / (p.vmax - p.vmin) * 10).cast("int"),

@@ -138,15 +138,19 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(sf_dir.rstrip("/"))
     out_dir = os.path.join(tempfile.gettempdir(), f"hh_part_orders_{tag}")
     marker = os.path.join(out_dir, "_SUCCESS")
+    orders = io.load_table(spark, sf_dir, "orders")
     if not os.path.exists(marker):
         (
-            io.load_table(spark, sf_dir, "orders")
-            .write.partitionBy("o_orderstatus")
+            orders.write.partitionBy("o_orderstatus")
             .mode("overwrite")
             .parquet(out_dir)
         )
+    # pinned read schema (the source table's own): an empty table writes
+    # zero partition dirs and inference raises UNABLE_TO_INFER_SCHEMA
+    # while the oracle's filtered scan is empty (r9 empty-table audit).
+    # PartitionFilters pruning is unaffected by an explicit schema.
     return (
-        spark.read.parquet(out_dir)
+        spark.read.schema(orders.schema).parquet(out_dir)
         .filter(F.col("o_orderstatus") == "F")
         .select(
             "o_orderkey",

@@ -140,18 +140,19 @@ def scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"hh_dpp_{os.path.basename(os.path.abspath(sf_dir))}",
     )
     fact_dir = os.path.join(base, "orders_by_yr")
+    fact_cols = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.year(F.col("o_orderdate").cast("date")).cast("int").alias("yr"),
+    )
     if not os.path.isdir(fact_dir):  # build the partitioned layout once
-        (
-            orders.select(
-                "o_orderkey",
-                "o_totalprice",
-                F.year(F.col("o_orderdate").cast("date")).cast("int").alias("yr"),
-            )
-            .write.mode("overwrite")
-            .partitionBy("yr")
-            .parquet(fact_dir)
-        )
-    fact = spark.read.parquet(fact_dir)
+        fact_cols.write.mode("overwrite").partitionBy("yr").parquet(fact_dir)
+    # pinned read schema (identical to what inference yields on non-empty
+    # data): an empty source writes zero part files and inference would
+    # raise UNABLE_TO_INFER_SCHEMA while the oracle scans empty rows
+    # (r9 empty-table audit). DPP still applies — partition discovery is
+    # unaffected by an explicit schema.
+    fact = spark.read.schema(fact_cols.schema).parquet(fact_dir)
     dim = (
         orders.select(
             F.year(F.col("o_orderdate").cast("date")).cast("int").alias("yr")
@@ -347,7 +348,7 @@ def scan_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_csv_malformed",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(count(CASE WHEN event_id % 7 = 0 THEN 1 END) AS BIGINT)
                AS n_corrupt,
            CAST(sum(CASE WHEN event_id % 7 <> 0 THEN event_id % 100 ELSE 0 END)
                AS BIGINT) AS val_sum

@@ -104,3 +104,72 @@ def test_shard_manifest_empty_corpus_is_empty(spark, docs_empty_sf):
     must yield an empty manifest, not UNABLE_TO_INFER_SCHEMA."""
     out = QUERIES["corpus_shard_manifest"](spark, docs_empty_sf).collect()
     assert out == []
+
+
+@pytest.fixture(scope="module")
+def table_empty_sf(tmp_path_factory, sf_dir):
+    """Factory: an sf_dir with exactly ONE named table emptied."""
+    def make(tbl):
+        d = tmp_path_factory.mktemp(f"{tbl}_empty")
+        for t in _TABLES + ["documents"]:
+            if t == tbl:
+                src = pq.read_table(f"{sf_dir}/{t}.parquet")
+                pq.write_table(src.slice(0, 0), str(d / f"{t}.parquet"))
+            else:
+                os.symlink(f"{sf_dir}/{t}.parquet", str(d / f"{t}.parquet"))
+        return str(d)
+
+    return make
+
+
+def test_events_empty_keys_degrade_not_crash(spark, table_empty_sf):
+    """Events-empty finds (r9 audit): ANSI /0 and driver-side None
+    arithmetic become NULL columns or empty results, matching each
+    oracle's empty shape."""
+    d = table_empty_sf("events")
+    r = QUERIES["ab_srm_check"](spark, d).collect()[0]
+    assert (r.n0, r.n1, r.chi2, r.srm_flag) == (0, 0, None, None)
+    assert QUERIES["eval_bradley_terry"](spark, d).collect() == []
+    assert QUERIES["dq_drift_psi"](spark, d).collect() == []
+    r = QUERIES["json_malformed"](spark, d).collect()[0]
+    assert (r.n_rows, r.n_valid, r.k_sum) == (0, 0, 0)
+    r = QUERIES["scan_csv_malformed"](spark, d).collect()[0]
+    assert (r.n_rows, r.n_corrupt, r.val_sum) == (0, 0, None)
+
+
+def test_orders_empty_keys_degrade_not_crash(spark, table_empty_sf):
+    """Orders-empty finds: zero-file sink re-read, n=0 graph teleport
+    division, and None range bounds all degrade to the oracle's empty
+    shapes instead of raising."""
+    d = table_empty_sf("orders")
+    r = QUERIES["sink_compact"](spark, d).collect()[0]
+    assert (r.n_files, r.n_rows, r.total) == (0, 0, None)
+    assert QUERIES["graph_pagerank"](spark, d).collect() == []
+    assert QUERIES["graph_ppr_seeded"](spark, d).collect() == []
+    assert QUERIES["layout_range_cluster"](spark, d).collect() == []
+    assert QUERIES["layout_zorder"](spark, d).collect() == []
+
+
+def test_empty_write_reread_keys_pin_their_schema(spark, table_empty_sf):
+    """The write-then-reread keys pin their read schema (the lakehouse
+    manifest discipline): an empty source writes zero part files, and
+    schema INFERENCE on the re-read raises UNABLE_TO_INFER_SCHEMA while
+    each oracle scans zero rows. Pinned schemas make empty-in/empty-out.
+    scan_file_skipping and stream_checkpoint_resume are deliberately NOT
+    here — their in-code asserts (pruning must bite / first run must
+    process data) are the keys' contracts and stay loud."""
+    od = table_empty_sf("orders")
+    assert QUERIES["scan_dpp"](spark, od).collect() == []
+    assert QUERIES["sink_partitioned"](spark, od).collect() == []
+    assert QUERIES["scan_partition_pruned"](spark, od).collect() == []
+    ev = table_empty_sf("events")
+    assert QUERIES["sink_dynamic_overwrite"](spark, ev).collect() == []
+    assert QUERIES["sink_file_sizing"](spark, ev).collect() == []
+
+
+def test_part_empty_recs_coverage_null_ratios(spark, table_empty_sf):
+    """Part-empty: catalog_size=0 makes coverage undefined — NULL like
+    DuckDB's x/0.0, never an ANSI raise."""
+    d = table_empty_sf("part")
+    r = QUERIES["recs_coverage_diversity"](spark, d).collect()[0]
+    assert r.catalog_size == 0 and r.coverage is None
