@@ -45,3 +45,96 @@ def per_group_top_k(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def bucketed_rank_cumsum(
+    df: DataFrame,
+    order_key: str,
+    tiebreak: str,
+    value_col: str,
+    n_buckets: int = 32,
+    rank_col: str = "rk",
+    cum_col: str = "cum",
+) -> DataFrame:
+    """Exact global rank + running sum WITHOUT a single-partition window —
+    the bucketed two-pass cumsum that makes entity-grain ordered scans
+    (Lorenz curves, quantile ladders, ECDFs) safe at 10^8+ rows.
+
+    Pass 1: assign each row a range bucket via the monotone integer map
+        bucket = ((key - lo) * B) div (hi - lo + 1)   in [0, B-1]
+    (lo/hi from a 1-row exact min/max aggregate, broadcast). Monotone in
+    ``order_key``, so bucket boundaries respect the sort order; the
+    ``tiebreak`` column only disambiguates *within* a bucket. Each bucket
+    then computes row_number + running sum under
+    Window.partitionBy(bucket) — B-way parallel, never SinglePartition.
+
+    Pass 2: aggregate per-bucket row counts and value sums into a B-row
+    table, prefix-sum THAT (a window over <= B rows — constant-bounded,
+    not data-scaled), and broadcast the offsets back. Global rank/cumsum
+    = local + preceding-bucket offset; pure integer arithmetic, so the
+    result is bit-identical to the single-partition formulation.
+
+    Also emits ``n`` (total rows) and ``total`` (total value) on every
+    row, since the bucket table already holds them for free.
+
+    Scale: two shuffles (bucket hash, then the B-row agg), no global
+    sort, no data-scaled SinglePartition exchange. Equal-width buckets
+    can skew on pathological key distributions; swap the bucket map for
+    approxQuantile boundaries if a profile shows it — correctness is
+    unaffected by bucket balance, only wall-clock.
+    """
+    bounds = df.agg(
+        F.min(order_key).alias("__lo"), F.max(order_key).alias("__hi")
+    )
+    b = (
+        df.join(F.broadcast(bounds))
+        .withColumn(
+            "__num",
+            (F.col(order_key) - F.col("__lo")).cast("long")
+            * F.lit(n_buckets),
+        )
+        .withColumn(
+            "__den", (F.col("__hi") - F.col("__lo") + F.lit(1)).cast("long")
+        )
+        # exact long floor-division keeps the bucket map monotone at any
+        # key magnitude (double division would round near 2^53)
+        .withColumn("__bucket", F.expr("__num div __den"))
+        .drop("__lo", "__hi", "__num", "__den")
+    )
+    wl = Window.partitionBy("__bucket").orderBy(order_key, tiebreak)
+    local = b.withColumn("__lrk", F.row_number().over(wl)).withColumn(
+        "__lcum",
+        F.sum(value_col).over(
+            wl.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    # B-row bucket summary; the windows below run over <= n_buckets rows
+    # (constant-bounded), which is the whole point of the two-pass split.
+    wb = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wt = Window.partitionBy()
+    offsets = (
+        b.groupBy("__bucket")
+        .agg(
+            F.count("*").alias("__bcnt"),
+            F.sum(value_col).alias("__bsum"),
+        )
+        .select(
+            "__bucket",
+            F.coalesce(F.sum("__bcnt").over(wb), F.lit(0)).alias(
+                "__rows_before"
+            ),
+            F.coalesce(F.sum("__bsum").over(wb), F.lit(0)).alias(
+                "__sum_before"
+            ),
+            F.sum("__bcnt").over(wt).alias("n"),
+            F.sum("__bsum").over(wt).alias("total"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "__bucket")
+        .withColumn(rank_col, F.col("__lrk") + F.col("__rows_before"))
+        .withColumn(cum_col, F.col("__lcum") + F.col("__sum_before"))
+        .drop("__bucket", "__lrk", "__lcum", "__rows_before", "__sum_before")
+    )

@@ -299,7 +299,10 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one vocab aggregate (map-side partials) produces a
     |V|-sized weight table — broadcast here, co-partitioned hash join
     at web scale; the doc score is a plain groupBy fold and the
-    admission cut is a rank over doc-level rows. Pair-free, window-
+    admission cut is a rank over doc-level rows (doc grain — at fleet
+    scale a mergeable quantile sketch supplies the admission threshold,
+    or the rank becomes the bucketed two-pass cumsum of
+    operators/windows.py:bucketed_rank_cumsum). Pair-free, window-
     free on the token stream."""
     docs = io.load_table(spark, sf_dir, "documents")
     tok = docs.select(

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.operators.windows import bucketed_rank_cumsum
 from hh_rumors_presto_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -67,9 +68,14 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself, which is what the revenue-concentration review actually
     looks at.
 
-    Scale: one customer-grain fold, one ordered cumulative window
-    over customers (per tenant key at fleet scale, or the bucketed
-    two-pass cumsum), a 10-row decile join."""
+    Scale: one customer-grain fold, then the bucketed two-pass
+    cumsum (operators/windows.py:bucketed_rank_cumsum) — range-bucket
+    the sort key, rank/cumsum per bucket in parallel, prefix-sum the
+    32-row bucket table, broadcast the offsets back. Bit-identical to
+    the single-partition window (pure integer arithmetic) but with no
+    data-scaled SinglePartition exchange: customers can be 10^8+ rows
+    and the plan still spreads over every executor. A 10-row decile
+    join finishes it."""
     cust = (
         io.load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -81,17 +87,9 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents")
         )
     )
-    wr = Window.orderBy("cents", "o_custkey")
-    wt = Window.partitionBy()
-    ranked = cust.select(
-        "cents",
-        F.row_number().over(wr).alias("rk"),
-        F.sum("cents").over(
-            wr.rowsBetween(Window.unboundedPreceding, 0)
-        ).alias("cum"),
-        F.count("*").over(wt).alias("n"),
-        F.sum("cents").over(wt).alias("total"),
-    )
+    ranked = bucketed_rank_cumsum(
+        cust, order_key="cents", tiebreak="o_custkey", value_col="cents"
+    ).select("cents", "rk", "cum", "n", "total")
     dec = spark.range(10).select((F.col("id") + 1).alias("decile"))
     return (
         dec.join(

@@ -205,7 +205,10 @@ def ab_propensity_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 5-row readout that says so.
 
     Scale: one fact pass to user grain, one tiebroken ntile over
-    users, a 5-row cell fold; windows over 5 rows."""
+    users (user grain — a mergeable quantile sketch supplies the
+    stratum cuts at fleet scale, or bucketed_rank_cumsum ranks
+    without the single-partition sort), a 5-row cell fold; windows
+    over 5 rows."""
     user_stats = (
         io.load_events(spark, sf_dir)
         .groupBy("user_id")

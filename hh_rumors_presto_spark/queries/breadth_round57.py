@@ -91,7 +91,7 @@ def eval_cost_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold moves toward recall, and this 3-row table is the
     whole decision. All counts exact; cost is integer arithmetic.
 
-    Scale: one rank window for the cuts (sketch at fleet scale),
+    Scale: one rank window for the cuts (mergeable quantile sketch at fleet scale),
     a 3-row broadcast sweep folded in one fact pass — the
     eval_f1_threshold plan with a different objective."""
     pts = (

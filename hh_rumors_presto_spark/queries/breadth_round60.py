@@ -257,8 +257,9 @@ def eval_selective_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the deployment pattern selective-prediction papers formalize
     as risk@coverage. Exact counts, integral micro divisions.
 
-    Scale: one rank window over the scored fact (sketch at fleet
-    scale), a 10-row decile broadcast folded in one pass —
+    Scale: one rank window over the scored fact (mergeable quantile
+    sketch at fleet scale), a 10-row decile broadcast folded in one
+    pass —
     eval_gains_chart's plan with accuracy as the objective."""
     pts = (
         io.load_events(spark, sf_dir)

@@ -80,10 +80,11 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands: compress consecutive doc_id runs (holes punched
     by a deterministic predicate) into (start, end, length) intervals via
     the id - row_number() constant-per-run key. The global-order window is
-    the textbook form; at 100 TB the same shape runs per partition key
-    (e.g., per shard/day) so no single-partition window exists — the
-    fixture key here is the whole table, matching the classic statement
-    of the problem."""
+    the textbook form; at 100 TB the same shape runs per tenant key
+    (e.g., per shard/day) so no single-partition window exists — or the
+    global row_number comes from the bucketed two-pass cumsum
+    (operators/windows.py:bucketed_rank_cumsum). The fixture key here is
+    the whole table, matching the classic statement of the problem."""
     present = (
         io.load_table(spark, sf_dir, "documents")
         .filter(F.col("n_chars") % 7 != 0)

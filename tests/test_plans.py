@@ -68,3 +68,69 @@ def test_checks_literal_has_no_duplicate_keys():
                 assert not dups, f"duplicate CHECKS keys (earlier shadowed): {dups}"
                 return
     raise AssertionError("CHECKS literal not found")
+
+
+# ---------------------------------------------------------------------------
+# Unpartitioned-window ledger gate (round-10, VERDICT r9 item 2): every
+# `Window.orderBy(` / `Window.partitionBy()` site in the package must be
+# classified, entity-grain sites must name their scale remedy, and the
+# bucketed two-pass cumsum exemplar must actually plan bucket-partitioned.
+# ---------------------------------------------------------------------------
+
+from tools.window_ledger import (  # noqa: E402
+    ENTITY_REMEDY_MARKERS,
+    LEDGER,
+    VALID_CLASSES,
+    scan_sites,
+)
+
+
+def test_window_ledger_complete():
+    """Every unpartitioned-window site is classified; no stale entries.
+
+    A new `Window.orderBy(...)` site anywhere in the package fails this
+    test until it is added to tools/window_ledger.py with an honest
+    class — which forces the single-partition scale conversation at
+    review time instead of at 100 TB."""
+    sites = scan_sites()
+    missing = sorted(set(sites) - set(LEDGER))
+    stale = sorted(set(LEDGER) - set(sites))
+    assert not missing, f"unclassified unpartitioned-window sites: {missing}"
+    assert not stale, f"stale ledger entries (site gone): {stale}"
+    bad = {k: v for k, v in LEDGER.items() if v not in VALID_CLASSES}
+    assert not bad, f"invalid classes: {bad}"
+
+
+def test_window_ledger_entity_sites_name_remedy():
+    """Transitional contract for entity-grain global windows: the
+    docstring must name the scale remedy (bucketed two-pass cumsum,
+    mergeable quantile sketch, or a per-key split) so the fix is
+    designed, not deferred. The exemplar class proves the bucketed
+    remedy is implementable bit-exactly."""
+    sites = scan_sites()
+    offenders = []
+    for key, cls in LEDGER.items():
+        if cls != "entity":
+            continue
+        doc = " ".join(sites.get(key, "").split())  # unwrap line breaks
+        if not any(m in doc for m in ENTITY_REMEDY_MARKERS):
+            offenders.append(key)
+    assert not offenders, (
+        f"entity-grain window sites whose docstring names no scale remedy "
+        f"(add one of {ENTITY_REMEDY_MARKERS}): {offenders}"
+    )
+
+
+def test_bucketed_cumsum_exemplar_plan(spark, sf_dir):
+    """agg_lorenz_deciles (the converted exemplar) must plan its
+    data-scaled rank/cumsum window partitioned by the range bucket;
+    the ONLY unpartitioned window specs allowed are the ones over the
+    <= n_buckets bucket summary table."""
+    plan = _plan(spark, "agg_lorenz_deciles", sf_dir)
+    assert re.search(r"windowspecdefinition\(__bucket#\d+L?, cents#", plan), (
+        "bucket-partitioned window missing from plan:\n" + plan[:3000]
+    )
+    assert not re.search(r"windowspecdefinition\(cents#", plan), (
+        "data-scaled unpartitioned window over the entity sort key:\n"
+        + plan[:3000]
+    )
