@@ -336,7 +336,7 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sink_compact",
     oracle="""
-    SELECT CAST(CASE WHEN count(*) > 0 THEN 4 ELSE 0 END AS INT) AS n_files,
+    SELECT CAST(LEAST(count(*), 4) AS INT) AS n_files,
            count(*) AS n_rows,
            CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total
     FROM orders
@@ -347,9 +347,16 @@ def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction: write a fragmented table (32 shuffled files),
     rewrite it at a target file count with repartition(4), read back and
     prove (file count, row count, value checksum) — the maintenance job
-    every streaming-ingest lakehouse table needs. File count is exact
-    because repartition's round-robin always produces its target count of
-    non-empty files here."""
+    every streaming-ingest lakehouse table needs. File count is exact for
+    ANY qualifying row count (ADVICE r9): the compaction uses
+    repartitionByRange(4, o_orderkey) — with a unique range key the
+    sampled bounds are exact data quantiles, giving exactly min(count, 4)
+    non-empty partitions (probed at n=1,2,3,5,100), and Spark writes no
+    file for an empty partition — hence the oracle's LEAST(count(*), 4).
+    Round-robin repartition(4) was NOT deterministic below 4 rows (two
+    rows in different input partitions can collide on one output
+    partition), and range-clustering the compacted files by key is the
+    better layout anyway."""
     orders = io.load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "O"
     )
@@ -362,9 +369,9 @@ def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders.select("o_orderkey", "o_totalprice").repartition(32).write.mode(
         "overwrite"
     ).parquet(frag_dir)
-    spark.read.parquet(frag_dir).repartition(4).write.mode("overwrite").parquet(
-        compact_dir
-    )
+    spark.read.parquet(frag_dir).repartitionByRange(4, "o_orderkey").write.mode(
+        "overwrite"
+    ).parquet(compact_dir)
     # input_file_name() is non-deterministic, so it must be projected
     # before it can feed an aggregate
     compacted = spark.read.parquet(compact_dir).select(

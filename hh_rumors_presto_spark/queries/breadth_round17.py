@@ -123,10 +123,20 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k = deg.filter("is_seed").count()  # scalar seed count, as the oracle's kk
     if k == 0:
-        # the only in-contract trigger is an empty edge set (fixtures
-        # always place customers 1..50 in the graph): deg is then empty
-        # and the oracle's rank chain is empty too; guard the integer
-        # teleport's driver-side division (r9 empty-table audit)
+        # ADVICE r9: distinguish "empty graph" from "non-empty graph with
+        # no seeds". deg empty => the oracle's rank chain is empty too:
+        # return the typed empty frame (guards the teleport division; r9
+        # empty-table audit). deg NON-empty with zero seeds would make
+        # the oracle emit NULL-rank rows (kk=0 -> //0 -> NULL) while this
+        # side returned empty — fail LOUDLY instead of diverging: the
+        # fixture contract places seed customers in every non-empty
+        # graph, so reaching this branch means the contract broke.
+        if deg.limit(1).count() > 0:
+            raise AssertionError(
+                "graph_ppr_seeded: non-empty graph contains no seed "
+                "customers — fixture contract violated (oracle would "
+                "emit NULL rank_fp rows; refusing to diverge silently)"
+            )
         edges.unpersist()
         return spark.createDataFrame(
             [], "node bigint, is_seed boolean, rank_fp bigint"

@@ -218,11 +218,17 @@ def agg_vwap_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             F.col("n_fills").cast("long").alias("n_fills"),
             F.col("volume").cast("long").alias("volume"),
+            # pq = sum(cents*qty), p = sum(cents): CENTS-sum numerators —
+            # widened to DECIMAL(38,0) so the 2^63 micro-ratio cliff
+            # (registry.py envelope note) can't bite; DuckDB's sum() side
+            # is HUGEINT already
             F.expr(
-                "(2000000 * pq + 100 * volume) div (200 * volume)"
+                "CAST((2000000 * CAST(pq AS DECIMAL(38,0)) + 100 * volume)"
+                " DIV (200 * volume) AS BIGINT)"
             ).alias("vwap_micro"),
             F.expr(
-                "(2000000 * p + 100 * n_fills) div (200 * n_fills)"
+                "CAST((2000000 * CAST(p AS DECIMAL(38,0)) + 100 * n_fills)"
+                " DIV (200 * n_fills) AS BIGINT)"
             ).alias("twap_micro"),
         )
     )

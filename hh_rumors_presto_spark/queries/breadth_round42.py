@@ -275,8 +275,14 @@ def ts_autoperiod(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k",
             "period",
             "prank",
+            # acf_num / d2 are sums of centered-value PRODUCTS: DuckDB's
+            # sum() side is HUGEINT, so both operands are DECIMAL(38,0)-
+            # widened here to keep agreement unconditional past 2^63
+            # (negative acf_num included — DIV and // both truncate
+            # toward zero; pinned in tests/test_numeric_envelope.py)
             F.expr(
-                "(2000000 * acf_num + d2) div (2 * d2)"
+                "CAST((2000000 * CAST(acf_num AS DECIMAL(38,0)) + d2)"
+                " DIV (2 * CAST(d2 AS DECIMAL(38,0))) AS BIGINT)"
             ).alias("acf_micro"),
         )
     )

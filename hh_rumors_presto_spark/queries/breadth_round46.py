@@ -109,9 +109,11 @@ def agg_cvar_es(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nn").cast("long").alias("n"),
             F.col("var_cents").cast("long").alias("var95_cents"),
             F.col("tail_n").cast("long").alias("tail_n"),
+            # tail_sum is a CENTS sum — DECIMAL(38,0)-widened numerator
+            # (registry.py envelope note; DuckDB side already HUGEINT)
             F.expr(
-                "(2000000 * tail_sum + 100 * tail_n)"
-                " div (200 * tail_n)"
+                "CAST((2000000 * CAST(tail_sum AS DECIMAL(38,0))"
+                " + 100 * tail_n) DIV (200 * tail_n) AS BIGINT)"
             ).alias("es_micro"),
         )
     )

@@ -101,8 +101,14 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("decile").cast("long").alias("decile"),
             F.col("rk").cast("long").alias("n_customers"),
             F.col("cum").cast("long").alias("cum_cents"),
+            # numerator widened to DECIMAL(38,0): cum is a CENTS sum, so
+            # 2000000*cum passes 2^63 near sf0.4 global revenue; DuckDB's
+            # sum() side is already HUGEINT — the widening makes the
+            # agreement unconditional (tests/test_numeric_envelope.py
+            # proves the widened form bit-exact, any sign)
             F.expr(
-                "(2000000 * cum + total) div (2 * total)"
+                "CAST((2000000 * CAST(cum AS DECIMAL(38,0)) + total)"
+                " DIV (2 * total) AS BIGINT)"
             ).alias("share_micro"),
         )
     )

@@ -211,12 +211,19 @@ def agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.col("k").cast("long").alias("n_suppliers"),
         F.col("tot").cast("long").alias("total_kdollars"),
+        # sq (sum of squares) and tot*tot are quadratic in the money
+        # scale: DuckDB's sum() side computes them in HUGEINT, so the
+        # Spark operands are DECIMAL(38,0)-widened to keep agreement
+        # unconditional (registry.py envelope note)
         F.expr(
-            "(2000000 * sq + tot * tot) div (2 * tot * tot)"
+            "CAST((2000000 * CAST(sq AS DECIMAL(38,0))"
+            " + CAST(tot AS DECIMAL(38,0)) * tot)"
+            " DIV (2 * CAST(tot AS DECIMAL(38,0)) * tot) AS BIGINT)"
         ).alias("hhi_micro"),
-        F.expr("(2 * tot * tot + sq) div (2 * sq)").alias(
-            "effective_n"
-        ),
+        F.expr(
+            "CAST((2 * CAST(tot AS DECIMAL(38,0)) * tot + sq)"
+            " DIV (2 * CAST(sq AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("effective_n"),
         F.expr("(2000000 * top + tot) div (2 * tot)").alias(
             "top_share_micro"
         ),

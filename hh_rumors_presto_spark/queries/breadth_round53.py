@@ -338,8 +338,13 @@ def ts_dispersion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.col("n").cast("long").alias("n_hours"),
         F.col("s").cast("long").alias("n_events"),
+        # n*ss and s*s are HUGEINT on the DuckDB side (ss, s from sum());
+        # DECIMAL(38,0)-widened here so the variance-to-mean numerator
+        # can't hit the 2^63 cliff (registry.py envelope note)
         F.expr(
-            "(2000000 * (n * ss - s * s) + n * s) div (2 * n * s)"
+            "CAST((2000000 * (CAST(n AS DECIMAL(38,0)) * ss"
+            " - CAST(s AS DECIMAL(38,0)) * s) + n * s)"
+            " DIV (2 * CAST(n AS DECIMAL(38,0)) * s) AS BIGINT)"
         ).alias("vmr_micro"),
         F.round(
             (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast(

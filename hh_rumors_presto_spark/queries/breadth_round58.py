@@ -285,10 +285,13 @@ def dq_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.abs(F.col("rk_a") - F.col("rk_b")))
         .cast("long")
         .alias("footrule"),
+        # the footrule sum is QUADRATIC in n (<= n^2/2), so 2000000*num
+        # passes 2^63 near n~48M entities; DuckDB's sum() side is
+        # HUGEINT — widen the Spark numerator (registry.py envelope note)
         F.expr(
-            "(2000000 * sum(abs(rk_a - rk_b))"
+            "CAST((2000000 * CAST(sum(abs(rk_a - rk_b)) AS DECIMAL(38,0))"
             " + count(*) * count(*))"
-            " div (2 * count(*) * count(*))"
+            " DIV (2 * count(*) * count(*)) AS BIGINT)"
         ).alias("footrule_norm_micro"),
         F.sum(
             F.when((F.col("rk_a") <= 10) & (F.col("rk_b") <= 10), 1)

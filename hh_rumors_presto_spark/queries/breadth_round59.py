@@ -209,10 +209,12 @@ def win_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win.select(
         "day",
         F.col("tr").cast("long").alias("true_range_cents"),
+        # tr_sum is a CENTS sum — DECIMAL(38,0)-widened numerator
+        # (registry.py envelope note; DuckDB side already HUGEINT)
         F.expr(
             f"CASE WHEN n_tr = {_ATR_N}"
-            " THEN (2000000 * tr_sum + 100 * n_tr)"
-            " div (200 * n_tr) END"
+            " THEN CAST((2000000 * CAST(tr_sum AS DECIMAL(38,0))"
+            " + 100 * n_tr) DIV (200 * n_tr) AS BIGINT) END"
         ).alias("atr_micro"),
     )
 

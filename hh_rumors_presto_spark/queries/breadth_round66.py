@@ -97,11 +97,17 @@ def agg_engagement_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.crossJoin(F.broadcast(top)).select(
         F.col("n").cast("long").alias("n_users"),
         F.col("s").cast("long").alias("n_events"),
+        # gnum is QUADRATIC (rank-weighted count sum) and n*s is
+        # users x events; DuckDB computes both in HUGEINT — widened to
+        # DECIMAL(38,0) on the Spark side (registry.py envelope note)
         F.expr(
-            "(2000000 * gnum + n * s) div (2 * n * s)"
+            "CAST((2000000 * CAST(gnum AS DECIMAL(38,0))"
+            " + CAST(n AS DECIMAL(38,0)) * s)"
+            " DIV (2 * CAST(n AS DECIMAL(38,0)) * s) AS BIGINT)"
         ).alias("gini_micro"),
         F.expr(
-            "(2000000 * top_c + s) div (2 * s)"
+            "CAST((2000000 * CAST(top_c AS DECIMAL(38,0)) + s)"
+            " DIV (2 * s) AS BIGINT)"
         ).alias("top1pct_share_micro"),
     )
 

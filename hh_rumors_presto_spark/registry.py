@@ -26,10 +26,14 @@ Oracle-parity rules applied throughout (SURVEY.md §7.4):
 - the ``(2000000 * num + den) // (2 * den)`` micro-ratio numerators are
   BIGINT on the Spark side but silently promote to HUGEINT in DuckDB, so
   the engines only agree while ``2000000 * num`` stays under 2^63 —
-  i.e. num < ~4.6e12. num is a row/term count (or cents sum) at every
-  micro-ratio site, so the bound holds through ~sf10,000 for counts and
-  ~sf100 for cents sums; past that the Spark side must widen the
-  numerator to DECIMAL(38,0) before the integral division. Oracle OUTPUT
+  i.e. num < ~4.6e12. ROUND 10: every site whose num is cents-sum-typed,
+  a sum of products, or quadratic in an entity count (agg_lorenz_deciles,
+  agg_vwap_twap, agg_cvar_es, win_atr, ts_autoperiod, agg_hhi,
+  ts_dispersion_test, dq_rank_stability, agg_engagement_gini) is
+  DECIMAL(38,0)-widened at the source, so cross-engine agreement is
+  unconditional there. The envelope now covers only the COUNT-typed
+  sites (num = a linear row/term count), which hold through ~sf10,000;
+  past that, widen the same way. Oracle OUTPUT
   columns additionally must not be int128-typed — the driver's Arrow
   materialization renders HUGEINT as decimal128 and the hash diverges
   from Spark's LONG — so every micro-ratio is wrapped in

@@ -154,15 +154,21 @@ def test_product_cast_scale10_live_spark(spark):
     digits pre-JDK 19, so the live cast is the authority here):
     at scale 10 this JVM rounds the pinned product UP to the grid while
     DuckDB's exact-binary path keeps the below-grid digit; at the true
-    product grid (scale 4) both engines land the exact value."""
+    product grid (scale 4) both engines land the exact value.
+
+    ADVICE r9: the exact digit strings are environment pins, derived on
+    duckdb 1.0.0 / JDK 17. On any other toolchain only the INVARIANTS
+    the repo actually relies on are asserted — grid-scale (4) agreement
+    and scale-10 divergence bounded by one grid ulp — so a toolchain
+    bump reads as "envelope needs re-derivation", not a false alarm."""
+    from decimal import Decimal
+
     row = spark.sql(
         "SELECT CAST(CAST(394324.36 AS DOUBLE) * (1 - CAST(0.02 AS DOUBLE)) "
         "AS DECIMAL(28,10)) AS d10, "
         "CAST(CAST(394324.36 AS DOUBLE) * (1 - CAST(0.02 AS DOUBLE)) "
         "AS DECIMAL(28,4)) AS d4"
     ).collect()[0]
-    assert str(row.d10) == "386437.8728000000"
-    assert str(row.d4) == "386437.8728"
     # DuckDB side: cast the STORED double (the fixture shape — query
     # values arrive as materialized doubles, not re-foldable literal
     # expressions; DuckDB's constant folder computes the inline product
@@ -172,5 +178,23 @@ def test_product_cast_scale10_live_spark(spark):
         f"SELECT CAST(CAST({prod!r} AS DOUBLE) AS DECIMAL(28,10)), "
         f"CAST(CAST({prod!r} AS DOUBLE) AS DECIMAL(28,4))"
     ).fetchone()
-    assert str(duck10) == "386437.8727999999"  # the scale-10 divergence
-    assert str(duck4) == "386437.8728"  # grid-scale agreement
+
+    # invariants the pipeline relies on, on ANY toolchain:
+    assert str(row.d4) == str(duck4) == "386437.8728"  # grid agreement
+    assert abs(row.d10 - duck10) <= Decimal("0.0000000001")  # <= 1 ulp@10
+
+    jvm_major = int(
+        spark._jvm.System.getProperty("java.specification.version")
+    )
+    if duckdb.__version__ == "1.0.0" and jvm_major == 17:
+        # exact-digit pins valid only on the derivation toolchain
+        assert str(row.d10) == "386437.8728000000"
+        assert str(duck10) == "386437.8727999999"  # the scale-10 divergence
+    else:  # pragma: no cover - fires only after a toolchain bump
+        pytest.fail(
+            "toolchain changed (duckdb "
+            f"{duckdb.__version__}, JVM {jvm_major}): invariants held, "
+            "but re-derive the exact-digit envelope pins in this test "
+            "and registry.py before trusting sf>0.1 money products",
+            pytrace=False,
+        )
