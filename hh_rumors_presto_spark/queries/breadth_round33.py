@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.operators.windows import bucketed_rank_cumsum
 from hh_rumors_presto_spark.queries.graph import _GRAPH_SQL, _edges
 from hh_rumors_presto_spark.registry import query
 
@@ -151,11 +152,14 @@ def agg_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     80% of revenue" inventory readout.
 
     Scale: revenue collapses to one row per part first (map-side
-    partials); the running-share window is part-domain-sized — at
-    fleet scale it becomes the bucketed two-pass cumsum
-    corpus_token_budget demonstrates (bucket totals first, then
-    within-bucket offsets), never a single-partition sort of the
-    fact."""
+    partials, localCheckpointed once); the running share comes from
+    the bucketed two-pass cumsum
+    (operators/windows.py:bucketed_rank_cumsum) on the NEGATED cents
+    key — ASC on -cents is exactly the DESC revenue order, ties by
+    part — so no data-scaled single-partition window exists even
+    though the part domain is 10^8+ at fleet scale. Converted from
+    the global Window.orderBy form in round 10 (ledger entity
+    class); bit-identical integer arithmetic."""
     rev = (
         io.load_table(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_partkey").alias("part"))
@@ -165,13 +169,12 @@ def agg_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long")
             ).alias("cents")
         )
+        .withColumn("neg", -F.col("cents"))
+        .localCheckpoint()
     )
-    wc = Window.orderBy(F.col("cents").desc(), "part")
-    ranked = rev.select(
-        "cents",
-        F.sum("cents").over(wc).alias("cum"),
-        F.sum("cents").over(Window.partitionBy()).alias("total"),
-    )
+    ranked = bucketed_rank_cumsum(
+        rev, order_key="neg", tiebreak="part", value_col="cents"
+    ).select("cents", "cum", "total")
     classed = ranked.select(
         F.when(5 * F.col("cum") <= 4 * F.col("total"), "A")
         .when(20 * F.col("cum") <= 19 * F.col("total"), "B")

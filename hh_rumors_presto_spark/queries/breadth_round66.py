@@ -18,10 +18,11 @@ null-rates trend, and the effective-context duplication factor.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.operators.windows import bucketed_rank_cumsum
 from hh_rumors_presto_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -68,21 +69,22 @@ def agg_engagement_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a handful of accounts, and per-user limits will barely dent
     aggregate load.
 
-    Scale: user-grain fold, one rank window over users (bucketed
-    two-pass at fleet scale), two one-row folds."""
+    Scale: user-grain fold (localCheckpointed once — the operator's
+    bounds/local/offsets branches then reread it instead of re-folding
+    events), ranks from the bucketed two-pass cumsum
+    (operators/windows.py:bucketed_rank_cumsum — no data-scaled
+    single-partition window; bit-identical integer ranks), two one-row
+    folds. Converted from the global Window.orderBy form in round 10
+    (the ledger's entity class)."""
     u = (
         io.load_events(spark, sf_dir)
         .groupBy("user_id")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint()
     )
-    wr = Window.orderBy("c", "user_id")
-    wt = Window.partitionBy()
-    ranked = u.select(
-        "c",
-        F.row_number().over(wr).alias("rk"),
-        F.count("*").over(wt).alias("n"),
-        F.sum("c").over(wt).alias("s"),
-    ).localCheckpoint()
+    ranked = bucketed_rank_cumsum(
+        u, order_key="c", tiebreak="user_id", value_col="c"
+    ).select("c", "rk", "n", F.col("total").alias("s"))
     g = ranked.agg(
         F.max("n").alias("n"),
         F.max("s").alias("s"),

@@ -130,7 +130,6 @@ LEDGER: dict[str, str] = {
     "queries/breadth_round28.py:corpus_dsir_select": "entity",     # doc admission
     "queries/breadth_round30.py:eval_bradley_terry": "domain",     # type vocab
     "queries/breadth_round32.py:eval_f1_threshold": "entity",      # scored fact
-    "queries/breadth_round33.py:agg_abc_analysis": "entity",       # part domain
     "queries/breadth_round34.py:feat_rfm_segmentation": "entity",  # customers
     "queries/breadth_round46.py:agg_cvar_es": "entity",            # scored fact
     "queries/breadth_round48.py:ab_propensity_strata": "entity",   # users ntile
@@ -140,7 +139,6 @@ LEDGER: dict[str, str] = {
     "queries/breadth_round60.py:eval_selective_risk": "entity",    # scored fact
     "queries/breadth_round61.py:agg_abc_xyz": "entity",            # part domain
     "queries/breadth_round64.py:eval_average_precision": "entity",  # scored fact
-    "queries/breadth_round66.py:agg_engagement_gini": "entity",    # users
     "queries/sql_surface.py:win_gaps_islands": "entity",           # doc ids
 }
 
