@@ -51,7 +51,7 @@ def bucketed_rank_cumsum(
     df: DataFrame,
     order_key: str,
     tiebreak: str,
-    value_col: str,
+    value_col: str | None = None,
     n_buckets: int = 32,
     rank_col: str = "rk",
     cum_col: str = "cum",
@@ -76,6 +76,10 @@ def bucketed_rank_cumsum(
 
     Also emits ``n`` (total rows) and ``total`` (total value) on every
     row, since the bucket table already holds them for free.
+
+    ``value_col=None`` gives the rank-only form (global row_number /
+    ntile replacement): no running sum, no ``cum``/``total`` columns —
+    same two-pass shape, one aggregate fewer.
 
     Scale: two shuffles (bucket hash, then the B-row agg), no global
     sort, no data-scaled SinglePartition exchange. Equal-width buckets
@@ -102,39 +106,82 @@ def bucketed_rank_cumsum(
         .drop("__lo", "__hi", "__num", "__den")
     )
     wl = Window.partitionBy("__bucket").orderBy(order_key, tiebreak)
-    local = b.withColumn("__lrk", F.row_number().over(wl)).withColumn(
-        "__lcum",
-        F.sum(value_col).over(
-            wl.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
+    local = b.withColumn("__lrk", F.row_number().over(wl))
+    if value_col is not None:
+        local = local.withColumn(
+            "__lcum",
+            F.sum(value_col).over(
+                wl.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
     # B-row bucket summary; the windows below run over <= n_buckets rows
     # (constant-bounded), which is the whole point of the two-pass split.
     wb = Window.orderBy("__bucket").rowsBetween(
         Window.unboundedPreceding, -1
     )
     wt = Window.partitionBy()
-    offsets = (
-        b.groupBy("__bucket")
-        .agg(
-            F.count("*").alias("__bcnt"),
-            F.sum(value_col).alias("__bsum"),
-        )
-        .select(
-            "__bucket",
-            F.coalesce(F.sum("__bcnt").over(wb), F.lit(0)).alias(
-                "__rows_before"
-            ),
+    aggs = [F.count("*").alias("__bcnt")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("__bsum"))
+    cols = [
+        F.col("__bucket"),
+        F.coalesce(F.sum("__bcnt").over(wb), F.lit(0)).alias(
+            "__rows_before"
+        ),
+        F.sum("__bcnt").over(wt).alias("n"),
+    ]
+    if value_col is not None:
+        cols += [
             F.coalesce(F.sum("__bsum").over(wb), F.lit(0)).alias(
                 "__sum_before"
             ),
-            F.sum("__bcnt").over(wt).alias("n"),
             F.sum("__bsum").over(wt).alias("total"),
-        )
+        ]
+    offsets = b.groupBy("__bucket").agg(*aggs).select(*cols)
+    out = local.join(F.broadcast(offsets), "__bucket").withColumn(
+        rank_col, F.col("__lrk") + F.col("__rows_before")
     )
+    if value_col is not None:
+        out = out.withColumn(
+            cum_col, F.col("__lcum") + F.col("__sum_before")
+        ).drop("__sum_before", "__lcum")
+    return out.drop("__bucket", "__lrk", "__rows_before")
+
+
+def ntile_from_rank(rk: Column, n: Column, k: int) -> Column:
+    """SQL-standard NTILE(k) computed from a global rank + total count —
+    the closed form that lets bucketed_rank_cumsum replace
+    ``ntile(k) OVER (ORDER BY ...)`` without any single-partition window.
+
+    Standard semantics (Spark and DuckDB agree): the first ``n % k``
+    tiles take ``n div k + 1`` rows, the rest ``n div k``. With
+    base = n div k, rem = n % k, big = base + 1:
+
+        tile(rk) = (rk-1) div big + 1                     if rk <= rem*big
+                   rem + (rk - rem*big - 1) div base + 1  otherwise
+
+    base is 0 only when n < k — and then rem = n, so EVERY row satisfies
+    rk <= rem*big and the otherwise-branch never evaluates; its divisor
+    is still clamped with greatest(base, 1) so no plan-time or ANSI
+    division-by-zero path exists at all.
+
+    Exactness: the divisions are (a - a % b) / b with the numerator
+    exactly divisible, so the double route is exact while a < 2^53 —
+    the same floor-division envelope tests/test_numeric_envelope.py
+    pins for the repo's sub-2^53 rank arithmetic (ranks are entity
+    counts; 9e15 entities is orders of magnitude past 100 TB).
+    """
+
+    def idiv(a: Column, b: Column) -> Column:
+        return ((a - a % b) / b).cast("long")
+
+    base = idiv(n, F.lit(k))
+    big = base + 1
+    rem = n % k
+    cut = rem * big
+    safe_base = F.greatest(base, F.lit(1))
     return (
-        local.join(F.broadcast(offsets), "__bucket")
-        .withColumn(rank_col, F.col("__lrk") + F.col("__rows_before"))
-        .withColumn(cum_col, F.col("__lcum") + F.col("__sum_before"))
-        .drop("__bucket", "__lrk", "__lcum", "__rows_before", "__sum_before")
+        F.when(rk <= cut, idiv(rk - 1, big) + 1)
+        .otherwise(rem + idiv(rk - cut - 1, safe_base) + 1)
+        .cast("int")
     )

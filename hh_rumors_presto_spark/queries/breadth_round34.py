@@ -21,6 +21,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.operators.windows import (
+    bucketed_rank_cumsum,
+    ntile_from_rank,
+)
 from hh_rumors_presto_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -215,10 +219,14 @@ def feat_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     regular) and censused. Both engines implement SQL-standard ntile
     (earlier buckets take the remainder), so scores match exactly.
 
-    Scale: one fact groupBy to customer grain; the three rank
-    windows run over customers (per tenant key at fleet scale, or a
-    quantile-sketch cut like eval_f1_threshold's note); census is a
-    6-row fold."""
+    Scale: one fact groupBy to customer grain (localCheckpointed
+    once); each 1-5 score is NTILE computed CLOSED-FORM from the
+    bucketed two-pass rank (operators/windows.py:
+    bucketed_rank_cumsum rank-only mode + ntile_from_rank) — three
+    parallel rank passes joined back on the customer key, no
+    data-scaled single-partition window anywhere (converted round
+    10; bit-identical to SQL-standard ntile, property-tested).
+    Census is a 6-row fold."""
     orders = io.load_table(spark, sf_dir, "orders")
     gmax = orders.agg(F.max("o_orderdate").alias("gmax"))
     cust = (
@@ -236,18 +244,29 @@ def feat_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("monetary_cents"),
         )
     )
-    scored = cust.select(
-        "monetary_cents",
-        "frequency",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("recency_days").desc(), "cust"))
-        .alias("r"),
-        F.ntile(5)
-        .over(Window.orderBy("frequency", "cust"))
-        .alias("f"),
-        F.ntile(5)
-        .over(Window.orderBy("monetary_cents", "cust"))
-        .alias("m"),
+    cust = cust.localCheckpoint()
+
+    def score(key_col, out: str, negate: bool):
+        keyed = cust.select(
+            "cust",
+            (-F.col(key_col) if negate else F.col(key_col)).alias(
+                "__k"
+            ),
+        )
+        ranked = bucketed_rank_cumsum(keyed, "__k", "cust")
+        return ranked.select(
+            F.col("cust").alias(f"{out}_cust"),
+            ntile_from_rank(F.col("rk"), F.col("n"), 5).alias(out),
+        )
+
+    scored = (
+        cust.join(score("recency_days", "r", True),
+                  F.col("cust") == F.col("r_cust"))
+        .join(score("frequency", "f", False),
+              F.col("cust") == F.col("f_cust"))
+        .join(score("monetary_cents", "m", False),
+              F.col("cust") == F.col("m_cust"))
+        .select("monetary_cents", "frequency", "r", "f", "m")
     )
     seg = F.when(
         (F.col("r") >= 4) & (F.col("f") >= 4) & (F.col("m") >= 4),

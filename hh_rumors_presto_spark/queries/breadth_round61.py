@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.operators.windows import bucketed_rank_cumsum
 from hh_rumors_presto_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -281,9 +282,11 @@ def agg_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     stocking policy. Every comparison is a cross-multiplied exact
     integer — no float CV anywhere.
 
-    Scale: two part-grain folds (revenue, weekly demand moments),
-    one part-domain cumulative window for ABC (bucketed two-pass at
-    fleet scale), a 9-cell census."""
+    Scale: two part-grain folds (revenue, weekly demand moments);
+    the ABC running share uses the bucketed two-pass cumsum
+    (operators/windows.py:bucketed_rank_cumsum on negated cents —
+    converted round 10, no data-scaled single-partition window);
+    a 9-cell census."""
     li = io.load_table(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("part"),
         F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
@@ -299,24 +302,18 @@ def agg_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("wk"),
     )
-    rev = li.groupBy("part").agg(F.sum("cents").alias("cents"))
-    wc = Window.orderBy(F.col("cents").desc(), "part")
-    abc = rev.select(
+    rev = (
+        li.groupBy("part")
+        .agg(F.sum("cents").alias("cents"))
+        .withColumn("neg", -F.col("cents"))
+        .localCheckpoint()
+    )
+    abc = bucketed_rank_cumsum(
+        rev, order_key="neg", tiebreak="part", value_col="cents"
+    ).select(
         "part",
-        F.when(
-            5 * F.sum("cents").over(
-                wc.rowsBetween(Window.unboundedPreceding, 0)
-            )
-            <= 4 * F.sum("cents").over(Window.partitionBy()),
-            "A",
-        )
-        .when(
-            20 * F.sum("cents").over(
-                wc.rowsBetween(Window.unboundedPreceding, 0)
-            )
-            <= 19 * F.sum("cents").over(Window.partitionBy()),
-            "B",
-        )
+        F.when(5 * F.col("cum") <= 4 * F.col("total"), "A")
+        .when(20 * F.col("cum") <= 19 * F.col("total"), "B")
         .otherwise("C")
         .alias("abc"),
     )

@@ -198,3 +198,84 @@ def test_paged_datasource_filter_pushdown(spark, sf_dir):
     out = QUERIES["scan_paged_pushdown"](spark, sf_dir)
     pages = sorted({r.page for r in out.select("page").distinct().collect()})
     assert pages == [1, 2]
+
+
+def test_bucketed_rank_cumsum_matches_global_window(spark):
+    """The bucketed two-pass cumsum (round-10 exemplar operator) is
+    bit-identical to the single-partition `row_number + running sum`
+    form — including duplicate keys, negative keys, and a constant
+    column (hi == lo puts every row in bucket 0)."""
+    from pyspark.sql import Window
+
+    from hh_rumors_presto_spark.operators.windows import (
+        bucketed_rank_cumsum,
+    )
+
+    rows = [
+        (i, v)
+        for i, v in enumerate(
+            [5, -3, 5, 0, 12, -3, 7, 7, 7, 1, 0, 99, -50, 12, 3]
+        )
+    ]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r.id: (r.rk, r.cum, r.n, r.total)
+        for r in bucketed_rank_cumsum(
+            df, order_key="v", tiebreak="id", value_col="v", n_buckets=4
+        ).collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        r.id: (r.rk, r.cum, r.n, r.total)
+        for r in df.select(
+            "id",
+            F.row_number().over(w).alias("rk"),
+            F.sum("v")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cum"),
+            F.count("*").over(Window.partitionBy()).alias("n"),
+            F.sum("v").over(Window.partitionBy()).alias("total"),
+        ).collect()
+    }
+    assert got == want
+    # constant key: every row lands in bucket 0, ranks still exact
+    cdf = spark.createDataFrame([(i, 7) for i in range(6)], "id long, v long")
+    ranks = sorted(
+        r.rk
+        for r in bucketed_rank_cumsum(
+            cdf, order_key="v", tiebreak="id", value_col="v"
+        ).collect()
+    )
+    assert ranks == [1, 2, 3, 4, 5, 6]
+
+
+def test_ntile_from_rank_matches_native_ntile(spark):
+    """ntile_from_rank's closed form == SQL-standard NTILE for every
+    n in 1..25 x k in {2,3,5,7} (covers n < k, n % k == 0, and every
+    remainder class) — the guarantee feat_rfm_segmentation's
+    quintiles rely on after the round-10 bucketed conversion."""
+    from pyspark.sql import Window
+
+    from hh_rumors_presto_spark.operators.windows import ntile_from_rank
+
+    for k in (2, 3, 5, 7):
+        for n in range(1, 26):
+            df = spark.range(1, n + 1).select(
+                F.col("id").alias("rk"), F.lit(n).cast("long").alias("n")
+            )
+            got = {
+                r.rk: r.t
+                for r in df.select(
+                    "rk", ntile_from_rank(F.col("rk"), F.col("n"), k).alias("t")
+                ).collect()
+            }
+            want = {
+                r.rk: r.t
+                for r in spark.range(1, n + 1)
+                .select(
+                    F.col("id").alias("rk"),
+                    F.ntile(k).over(Window.orderBy("id")).alias("t"),
+                )
+                .collect()
+            }
+            assert got == want, (k, n)

@@ -130,14 +130,12 @@ LEDGER: dict[str, str] = {
     "queries/breadth_round28.py:corpus_dsir_select": "entity",     # doc admission
     "queries/breadth_round30.py:eval_bradley_terry": "domain",     # type vocab
     "queries/breadth_round32.py:eval_f1_threshold": "entity",      # scored fact
-    "queries/breadth_round34.py:feat_rfm_segmentation": "entity",  # customers
     "queries/breadth_round46.py:agg_cvar_es": "entity",            # scored fact
     "queries/breadth_round48.py:ab_propensity_strata": "entity",   # users ntile
     "queries/breadth_round50.py:eval_roc_points": "entity",        # scored fact
     "queries/breadth_round53.py:eval_gains_chart": "entity",       # scored fact
     "queries/breadth_round57.py:eval_cost_curve": "entity",        # scored fact
     "queries/breadth_round60.py:eval_selective_risk": "entity",    # scored fact
-    "queries/breadth_round61.py:agg_abc_xyz": "entity",            # part domain
     "queries/breadth_round64.py:eval_average_precision": "entity",  # scored fact
     "queries/sql_surface.py:win_gaps_islands": "entity",           # doc ids
 }
