@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.operators.windows import bucketed_rank_cumsum
 from hh_rumors_presto_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -72,23 +73,22 @@ def agg_cvar_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     integral micro division of exact BIGINT sums, never a float
     row-sum over the tail.
 
-    Scale: the rank window is the fixture-honest form (a mergeable
-    quantile sketch supplies the cut at fleet scale, exactly as
-    eval_f1_threshold documents); the tail fold is rank-pruned to
-    5% of rows."""
+    Scale: ranks come from the bucketed two-pass cumsum
+    (operators/windows.py:bucketed_rank_cumsum, rank-only — converted
+    round 10), so the fact is never sorted on one task; the operator's
+    branches re-read a 2-column pruned parquet scan in parallel, which
+    beats a single-partition sort at any scale (a mergeable quantile
+    sketch is the even-cheaper cut at fleet scale). The tail fold is
+    rank-pruned to 5% of rows."""
     vals = io.load_table(spark, sf_dir, "orders").select(
         F.floor(F.col("o_totalprice") * 100.0 + 0.5)
         .cast("long")
         .alias("cents"),
         "o_orderkey",
     )
-    wr = Window.orderBy("cents", "o_orderkey")
-    wt = Window.partitionBy()
-    ranked = vals.select(
-        "cents",
-        F.row_number().over(wr).alias("rk"),
-        F.count("*").over(wt).alias("n"),
-    )
+    ranked = bucketed_rank_cumsum(
+        vals, order_key="cents", tiebreak="o_orderkey"
+    ).select("cents", "rk", "n")
     cut = ranked.filter(
         F.col("rk") == F.floor((19 * F.col("n") + 19) / 20)
     ).select(

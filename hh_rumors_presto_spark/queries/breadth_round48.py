@@ -24,6 +24,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.operators.windows import (
+    bucketed_rank_cumsum,
+    ntile_from_rank,
+)
 from hh_rumors_presto_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -204,11 +208,13 @@ def ab_propensity_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the raw gap, activity was confounding the comparison —
     the 5-row readout that says so.
 
-    Scale: one fact pass to user grain, one tiebroken ntile over
-    users (user grain — a mergeable quantile sketch supplies the
-    stratum cuts at fleet scale, or bucketed_rank_cumsum ranks
-    without the single-partition sort), a 5-row cell fold; windows
-    over 5 rows."""
+    Scale: one fact pass to user grain (localCheckpointed once); the
+    quintile strata are NTILE computed closed-form from the bucketed
+    two-pass rank (operators/windows.py:bucketed_rank_cumsum
+    rank-only mode + ntile_from_rank — converted round 10,
+    bit-identical to SQL-standard ntile), so no data-scaled
+    single-partition window; a 5-row cell fold; windows over 5
+    rows."""
     user_stats = (
         io.load_events(spark, sf_dir)
         .groupBy("user_id")
@@ -219,10 +225,12 @@ def ab_propensity_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conv"),
         )
         .withColumn("treat", F.col("user_id") % 2)
+        .localCheckpoint()
     )
-    strat = user_stats.withColumn(
-        "stratum",
-        F.ntile(5).over(Window.orderBy("activity", "user_id")),
+    strat = bucketed_rank_cumsum(
+        user_stats, order_key="activity", tiebreak="user_id"
+    ).withColumn(
+        "stratum", ntile_from_rank(F.col("rk"), F.col("n"), 5)
     )
     cells = strat.groupBy("stratum").agg(
         F.sum(F.when(F.col("treat") == 1, 1).otherwise(0)).alias("n_t"),

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.operators.windows import bucketed_rank_cumsum
 from hh_rumors_presto_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -72,8 +73,12 @@ def eval_average_precision(
     negatives are plentiful, while precision pays for every false
     alarm — retrieval and fraud evals report AP for that reason.
 
-    Scale: one ordered rank/cumsum window over the scored fact
-    (per query key at fleet scale), a positives-only fold."""
+    Scale: rank AND the positives-running-count both come from ONE
+    bucketed two-pass cumsum (operators/windows.py:
+    bucketed_rank_cumsum on the negated score with value_col=y —
+    converted round 10): no single-partition window over the scored
+    fact, per query key at fleet scale; then a positives-only
+    fold."""
     pts = (
         io.load_events(spark, sf_dir)
         .filter(
@@ -81,22 +86,21 @@ def eval_average_precision(
             & F.col("event_type").isin("purchase", "view")
         )
         .select(
-            F.floor(F.col("value").cast("double") * 100.0 + 0.5)
+            (-F.floor(F.col("value").cast("double") * 100.0 + 0.5))
             .cast("long")
-            .alias("s"),
+            .alias("neg_s"),
             F.when(F.col("event_type") == "purchase", 1)
             .otherwise(0)
             .alias("y"),
             "event_id",
         )
     )
-    w = Window.orderBy(F.col("s").desc(), "event_id")
-    ranked = pts.select(
+    ranked = bucketed_rank_cumsum(
+        pts, order_key="neg_s", tiebreak="event_id", value_col="y"
+    ).select(
         "y",
-        F.row_number().over(w).alias("k"),
-        F.sum("y").over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ).alias("pos_at_k"),
+        F.col("rk").alias("k"),
+        F.col("cum").alias("pos_at_k"),
     )
     terms = ranked.filter(F.col("y") == 1).select(
         F.expr(

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.operators.windows import bucketed_rank_cumsum
 from hh_rumors_presto_spark.registry import query
 
 
@@ -79,22 +80,21 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands: compress consecutive doc_id runs (holes punched
     by a deterministic predicate) into (start, end, length) intervals via
-    the id - row_number() constant-per-run key. The global-order window is
-    the textbook form; at 100 TB the same shape runs per tenant key
-    (e.g., per shard/day) so no single-partition window exists — or the
-    global row_number comes from the bucketed two-pass cumsum
-    (operators/windows.py:bucketed_rank_cumsum). The fixture key here is
-    the whole table, matching the classic statement of the problem."""
+    the id - row_number() constant-per-run key. The global row_number
+    comes from the bucketed two-pass cumsum
+    (operators/windows.py:bucketed_rank_cumsum, rank-only mode —
+    converted round 10), so no data-scaled single-partition window
+    exists even on the whole-table fixture key; at 100 TB the same
+    shape also runs per tenant key (e.g., per shard/day)."""
     present = (
         io.load_table(spark, sf_dir, "documents")
         .filter(F.col("n_chars") % 7 != 0)
         .select("doc_id")
     )
-    grp = present.select(
-        "doc_id",
-        (F.col("doc_id") - F.row_number().over(Window.orderBy("doc_id"))).alias(
-            "island"
-        ),
+    grp = bucketed_rank_cumsum(
+        present, order_key="doc_id", tiebreak="doc_id"
+    ).select(
+        "doc_id", (F.col("doc_id") - F.col("rk")).alias("island")
     )
     return (
         grp.groupBy("island")

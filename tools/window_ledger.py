@@ -74,6 +74,7 @@ LEDGER: dict[str, str] = {
     "queries/breadth_round47.py:ts_dow_profile": "const",          # 7 weekdays
     "queries/breadth_round47.py:text_prf_expansion": "const",      # _PRF_QUERIES
     "queries/breadth_round48.py:ab_did_estimator": "const",        # 2x2 cells
+    "queries/breadth_round48.py:ab_propensity_strata": "const",    # 5 strata rows
     "queries/breadth_round51.py:dq_tz_shift": "const",             # 24x2 hist
     "queries/breadth_round55.py:ab_bayes_posterior": "const",      # 2 rows
     "queries/breadth_round57.py:agg_nps": "const",                 # 3 segments
@@ -130,14 +131,10 @@ LEDGER: dict[str, str] = {
     "queries/breadth_round28.py:corpus_dsir_select": "entity",     # doc admission
     "queries/breadth_round30.py:eval_bradley_terry": "domain",     # type vocab
     "queries/breadth_round32.py:eval_f1_threshold": "entity",      # scored fact
-    "queries/breadth_round46.py:agg_cvar_es": "entity",            # scored fact
-    "queries/breadth_round48.py:ab_propensity_strata": "entity",   # users ntile
     "queries/breadth_round50.py:eval_roc_points": "entity",        # scored fact
     "queries/breadth_round53.py:eval_gains_chart": "entity",       # scored fact
     "queries/breadth_round57.py:eval_cost_curve": "entity",        # scored fact
     "queries/breadth_round60.py:eval_selective_risk": "entity",    # scored fact
-    "queries/breadth_round64.py:eval_average_precision": "entity",  # scored fact
-    "queries/sql_surface.py:win_gaps_islands": "entity",           # doc ids
 }
 
 VALID_CLASSES = {"exemplar", "const", "domain", "topk", "entity"}
