@@ -87,6 +87,12 @@ def bucketed_rank_cumsum(
     approxQuantile boundaries if a profile shows it — correctness is
     unaffected by bucket balance, only wall-clock.
     """
+    # the ONE-ROW bounds table rides a conditionless broadcast join —
+    # Catalyst plans it as BroadcastNestedLoopJoin, which against a
+    # 1-row build side is exactly a broadcast variable, the repo's
+    # sanctioned one-row-fold shape (tools/explain_audit.py FORBIDDEN
+    # allowlists the operator's consumers; a constant equi-key doesn't
+    # help — Catalyst constant-folds it back to the nested loop)
     bounds = df.agg(
         F.min(order_key).alias("__lo"), F.max(order_key).alias("__hi")
     )

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.operators.windows import bucketed_rank_cumsum
 from hh_rumors_presto_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -251,9 +252,11 @@ def ts_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_kaplan_meier (how long until churn).
 
     Scale: one per-user min-pair aggregate (map-side partials), then
-    rank selection over the |converters| table. The global rank
-    window runs on converters only — already user-cardinality, and at
-    extreme scale the same selection works per cohort key."""
+    rank selection over the |converters| table via the bucketed
+    two-pass cumsum (operators/windows.py:bucketed_rank_cumsum
+    rank-only — converted round 10): converters are user-cardinality,
+    so no data-scaled single-partition window; at extreme scale the
+    same selection also works per cohort key."""
     firsts = io.load_table(spark, sf_dir, "events").groupBy("user_id").agg(
         F.min(
             F.when(
@@ -272,13 +275,12 @@ def ts_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("first_buy").isNotNull()
         & (F.col("first_buy") >= F.col("first_view"))
     ).select(
-        F.expr("(first_buy - first_view) DIV 3600000000").alias("hours")
+        F.expr("(first_buy - first_view) DIV 3600000000").alias("hours"),
+        "user_id",
     )
-    ranked = conv.select(
-        "hours",
-        F.row_number().over(Window.orderBy("hours")).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
-    )
+    ranked = bucketed_rank_cumsum(
+        conv, order_key="hours", tiebreak="user_id"
+    ).select("hours", F.col("rk").alias("rn"), "n")
     return ranked.agg(
         F.max("n").cast("long").alias("n_converters"),
         F.min(

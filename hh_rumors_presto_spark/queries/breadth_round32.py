@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.operators.windows import bucketed_rank_cumsum
 from hh_rumors_presto_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -183,10 +184,12 @@ def eval_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic compounding-rounding bug). Predict-positive rule is
     score >= threshold.
 
-    Scale: one pass builds the (score,label) points; the rank window
-    runs once over the fact at this scale (a mergeable quantile
-    sketch supplies the cuts at fleet scale); the sweep is a 3-row
-    broadcast cross join folded in a single aggregate."""
+    Scale: one pass builds the (score,label) points; the quartile-cut
+    ranks come from the bucketed two-pass cumsum
+    (operators/windows.py:bucketed_rank_cumsum rank-only — converted
+    round 10; a mergeable quantile sketch supplies the cuts even more
+    cheaply at fleet scale); the sweep is a 3-row broadcast cross
+    join folded in a single aggregate."""
     pts = (
         io.load_events(spark, sf_dir)
         .filter(
@@ -203,12 +206,9 @@ def eval_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
         )
     )
-    w = Window.orderBy("s", "event_id")
-    ranked = pts.select(
-        "s",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
-    )
+    ranked = bucketed_rank_cumsum(
+        pts, order_key="s", tiebreak="event_id"
+    ).select("s", F.col("rk").alias("rn"), "n")
     qs = spark.range(3).select((F.col("id") + 1).alias("quartile"))
     cuts = (
         qs.join(

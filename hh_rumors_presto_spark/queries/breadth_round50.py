@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.operators.windows import bucketed_rank_cumsum
 from hh_rumors_presto_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -185,9 +186,11 @@ def eval_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops team's FPR budget). Integer rank cuts, exact confusion
     counts, integral divisions — nothing floats until never.
 
-    Scale: the decile cuts come from one rank window (a quantile
-    sketch at fleet scale); the sweep is a 9-row broadcast cross
-    join folded in one aggregate pass over the fact."""
+    Scale: the decile-cut ranks come from the bucketed two-pass
+    cumsum (operators/windows.py:bucketed_rank_cumsum rank-only —
+    converted round 10; a mergeable quantile sketch is the even-
+    cheaper cut at fleet scale); the sweep is a 9-row broadcast
+    cross join folded in one aggregate pass over the fact."""
     pts = (
         io.load_events(spark, sf_dir)
         .filter(
@@ -204,12 +207,9 @@ def eval_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
         )
     )
-    w = Window.orderBy("s", "event_id")
-    ranked = pts.select(
-        "s",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
-    )
+    ranked = bucketed_rank_cumsum(
+        pts, order_key="s", tiebreak="event_id"
+    ).select("s", F.col("rk").alias("rn"), "n")
     ds = spark.range(9).select((F.col("id") + 1).alias("decile"))
     cuts = (
         ds.join(

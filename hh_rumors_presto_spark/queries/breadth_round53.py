@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.operators.windows import bucketed_rank_cumsum
 from hh_rumors_presto_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -233,8 +234,12 @@ def eval_gains_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     diagonal baseline and the ROC curve are both derivable, but the
     population-effort axis is what operations people think in.
 
-    Scale: one rank window over the scored fact (quantile sketch at
-    fleet scale), a 10-row decile join folded in one pass."""
+    Scale: rank, population count, AND total positives all come from
+    ONE bucketed two-pass cumsum (operators/windows.py:
+    bucketed_rank_cumsum on the negated score with value_col=y —
+    converted round 10; a mergeable quantile sketch is the even-
+    cheaper cut at fleet scale), a 10-row decile join folded in one
+    pass."""
     pts = (
         io.load_events(spark, sf_dir)
         .filter(
@@ -242,22 +247,22 @@ def eval_gains_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("event_type").isin("purchase", "view")
         )
         .select(
-            F.floor(F.col("value").cast("double") * 100.0 + 0.5)
+            (-F.floor(F.col("value").cast("double") * 100.0 + 0.5))
             .cast("long")
-            .alias("s"),
+            .alias("neg_s"),
             F.when(F.col("event_type") == "purchase", 1)
             .otherwise(0)
             .alias("y"),
             "event_id",
         )
     )
-    w = Window.orderBy(F.col("s").desc(), "event_id")
-    wt = Window.partitionBy()
-    ranked = pts.select(
+    ranked = bucketed_rank_cumsum(
+        pts, order_key="neg_s", tiebreak="event_id", value_col="y"
+    ).select(
         "y",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wt).alias("n"),
-        F.sum("y").over(wt).alias("pos"),
+        F.col("rk").alias("rn"),
+        "n",
+        F.col("total").alias("pos"),
     )
     dec = spark.range(10).select((F.col("id") + 1).alias("decile"))
     return (

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.operators.windows import bucketed_rank_cumsum
 from hh_rumors_presto_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -91,9 +92,11 @@ def eval_cost_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold moves toward recall, and this 3-row table is the
     whole decision. All counts exact; cost is integer arithmetic.
 
-    Scale: one rank window for the cuts (mergeable quantile sketch at fleet scale),
-    a 3-row broadcast sweep folded in one fact pass — the
-    eval_f1_threshold plan with a different objective."""
+    Scale: quartile-cut ranks from the bucketed two-pass cumsum
+    (operators/windows.py:bucketed_rank_cumsum rank-only — converted
+    round 10; a mergeable quantile sketch is the even-cheaper cut at
+    fleet scale), a 3-row broadcast sweep folded in one fact pass —
+    the eval_f1_threshold plan with a different objective."""
     pts = (
         io.load_events(spark, sf_dir)
         .filter(
@@ -110,12 +113,9 @@ def eval_cost_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
         )
     )
-    w = Window.orderBy("s", "event_id")
-    ranked = pts.select(
-        "s",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
-    )
+    ranked = bucketed_rank_cumsum(
+        pts, order_key="s", tiebreak="event_id"
+    ).select("s", F.col("rk").alias("rn"), "n")
     qs = spark.range(3).select((F.col("id") + 1).alias("quartile"))
     cuts = (
         qs.join(

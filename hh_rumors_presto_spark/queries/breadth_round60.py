@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.operators.windows import bucketed_rank_cumsum
 from hh_rumors_presto_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -257,10 +258,12 @@ def eval_selective_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the deployment pattern selective-prediction papers formalize
     as risk@coverage. Exact counts, integral micro divisions.
 
-    Scale: one rank window over the scored fact (mergeable quantile
-    sketch at fleet scale), a 10-row decile broadcast folded in one
-    pass —
-    eval_gains_chart's plan with accuracy as the objective."""
+    Scale: confidence ranks from the bucketed two-pass cumsum
+    (operators/windows.py:bucketed_rank_cumsum rank-only on the
+    negated proxy — converted round 10; a mergeable quantile sketch
+    is the even-cheaper cut at fleet scale), a 10-row decile
+    broadcast folded in one pass — eval_gains_chart's plan with
+    accuracy as the objective."""
     pts = (
         io.load_events(spark, sf_dir)
         .filter(F.col("value").isNotNull())
@@ -283,16 +286,13 @@ def eval_selective_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .otherwise(0)
             .alias("correct"),
-            F.abs(F.col("cents") % 2000 - 1000).alias("conf"),
+            (-F.abs(F.col("cents") % 2000 - 1000)).alias("neg_conf"),
             "event_id",
         )
     )
-    w = Window.orderBy(F.col("conf").desc(), "event_id")
-    ranked = pts.select(
-        "correct",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
-    )
+    ranked = bucketed_rank_cumsum(
+        pts, order_key="neg_conf", tiebreak="event_id"
+    ).select("correct", F.col("rk").alias("rn"), "n")
     dec = spark.range(10).select(
         (F.col("id") + 1).alias("coverage_decile")
     )

@@ -134,3 +134,17 @@ def test_bucketed_cumsum_exemplar_plan(spark, sf_dir):
         "data-scaled unpartitioned window over the entity sort key:\n"
         + plan[:3000]
     )
+
+
+def test_window_ledger_entity_class_retired():
+    """Round 10 converted every entity-grain single-partition window
+    to the bucketed two-pass cumsum; this gate keeps the class at
+    zero. A new entity-grain ordered scan must be written with
+    operators/windows.py:bucketed_rank_cumsum (rank, running sum) or
+    ntile_from_rank (quantile scores) — not Window.orderBy over
+    data-scaled input."""
+    entity = sorted(k for k, v in LEDGER.items() if v == "entity")
+    assert not entity, (
+        "entity-grain single-partition windows reintroduced "
+        f"(use bucketed_rank_cumsum instead): {entity}"
+    )

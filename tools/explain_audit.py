@@ -1386,7 +1386,13 @@ FORBIDDEN = (
       # one-row half-delta onto the day-grain census;
       # agg_lorenz_deciles broadcasts its 10-row decile list onto
       # the ranked customer table (non-equi on a computed rank)
-      "dq_null_rate_trend", "agg_lorenz_deciles"}),
+      "dq_null_rate_trend", "agg_lorenz_deciles",
+      # round-10 bucketed_rank_cumsum consumers: the operator attaches
+      # its ONE-ROW min/max bounds via a conditionless broadcast join
+      # (the sanctioned one-row-fold shape; a constant equi-key gets
+      # constant-folded back to the nested loop, so BNLJ is the plan)
+      "ts_time_to_convert", "ab_propensity_strata", "agg_abc_analysis",
+      "agg_abc_xyz", "eval_average_precision"}),
 )
 
 

@@ -33,10 +33,14 @@ Classes:
   then a final limit over <= parts*k rows), so the single partition
   only ever sees k-scaled data.
 - ``entity`` — window input is entity grain (customers, users, parts,
-  documents, scored facts): 10^8+ rows at 100 TB. Transitional class:
-  the docstring MUST name the remedy (bucketed two-pass cumsum /
-  mergeable quantile sketch / per-key split), the exemplar proves the
-  bucketed remedy bit-exact, and this list should only shrink.
+  documents, scored facts): 10^8+ rows at 100 TB. RETIRED in round 10:
+  all 16 original entity-class sites were converted to
+  bucketed_rank_cumsum (or reclassified on a closer read — topk/const
+  shapes misfiled in the first pass), each proven hash-identical to
+  its unchanged oracle. The class is kept in VALID_CLASSES for
+  honesty, but tests/test_plans.py::test_window_ledger_entity_class_retired
+  fails if any entry ever reappears — new entity-grain ordered scans
+  must use bucketed_rank_cumsum / ntile_from_rank from the start.
 """
 
 from __future__ import annotations
@@ -75,6 +79,7 @@ LEDGER: dict[str, str] = {
     "queries/breadth_round47.py:text_prf_expansion": "const",      # _PRF_QUERIES
     "queries/breadth_round48.py:ab_did_estimator": "const",        # 2x2 cells
     "queries/breadth_round48.py:ab_propensity_strata": "const",    # 5 strata rows
+    "queries/breadth_round57.py:eval_cost_curve": "const",         # 3-row argmin
     "queries/breadth_round51.py:dq_tz_shift": "const",             # 24x2 hist
     "queries/breadth_round55.py:ab_bayes_posterior": "const",      # 2 rows
     "queries/breadth_round57.py:agg_nps": "const",                 # 3 segments
@@ -127,14 +132,8 @@ LEDGER: dict[str, str] = {
     "queries/breadth_round62.py:sim_rank_fusion": "topk",          # group-limited
     "queries/breadth_round64.py:agg_newsvendor_level": "topk",     # revenue top-k
     # --- entity: entity-grain input; remedy named in docstring ---
-    "queries/breadth_round26.py:ts_time_to_convert": "entity",     # converters=users
-    "queries/breadth_round28.py:corpus_dsir_select": "entity",     # doc admission
+    "queries/breadth_round28.py:corpus_dsir_select": "topk",       # rnk <= _DSIR_TOP
     "queries/breadth_round30.py:eval_bradley_terry": "domain",     # type vocab
-    "queries/breadth_round32.py:eval_f1_threshold": "entity",      # scored fact
-    "queries/breadth_round50.py:eval_roc_points": "entity",        # scored fact
-    "queries/breadth_round53.py:eval_gains_chart": "entity",       # scored fact
-    "queries/breadth_round57.py:eval_cost_curve": "entity",        # scored fact
-    "queries/breadth_round60.py:eval_selective_risk": "entity",    # scored fact
 }
 
 VALID_CLASSES = {"exemplar", "const", "domain", "topk", "entity"}
