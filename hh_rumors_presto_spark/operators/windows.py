@@ -81,6 +81,13 @@ def bucketed_rank_cumsum(
     ntile replacement): no running sum, no ``cum``/``total`` columns —
     same two-pass shape, one aggregate fewer.
 
+    Preconditions: ``order_key`` must be NON-NULL (a NULL key maps to a
+    NULL bucket and the offsets equi-join would drop the row — whereas
+    a global window would rank it NULLS FIRST; every consumer either
+    filters nulls or derives the key from non-null arithmetic) and
+    integral (the bucket map uses exact long division; dates/timestamps
+    convert via datediff/unix_micros first).
+
     Scale: two shuffles (bucket hash, then the B-row agg), no global
     sort, no data-scaled SinglePartition exchange. Equal-width buckets
     can skew on pathological key distributions; swap the bucket map for
