@@ -178,11 +178,33 @@ def run_stream_to_df(
     cluster job would pass cores-proportional values. Set around the
     synchronous run and restored after.
     """
+    import os
+
     spark = stream_df.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
     old = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    # HH_STATE_STORE=rocksdb flips every stateful operator in this query
+    # to the RocksDB state store (spill-to-disk state, the provider a
+    # production cluster runs for large keyed state; rocksdbjni ships in
+    # Spark's jars). Results are provider-invariant — pinned by
+    # tests/test_streaming_rocksdb.py, which hashes a representative of
+    # each stateful family under both providers. Default stays the
+    # HDFS-backed in-memory provider: right for fixture-sized state and
+    # for timing comparability with the recorded BASELINE.md bands.
+    prov_conf = "spark.sql.streaming.stateStore.providerClass"
+    old_prov = spark.conf.get(
+        prov_conf,
+        "org.apache.spark.sql.execution.streaming."
+        "state.HDFSBackedStateStoreProvider",
+    )
+    if os.environ.get("HH_STATE_STORE", "").lower() == "rocksdb":
+        spark.conf.set(
+            prov_conf,
+            "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider",
+        )
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -194,4 +216,5 @@ def run_stream_to_df(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.conf.set(prov_conf, old_prov)
     return spark.table(name)
