@@ -1,0 +1,211 @@
+"""Transaction-log table format as a Spark 4 Python DataSource — the
+DSv2 WRITE path (COVERAGE.md tier-3 item 3, started round 10).
+
+``df.write.format("hh_txnlog").mode("append"|"overwrite").save(path)``
+gives a governed sink with the lakehouse commit discipline:
+
+- executors serialize their partitions to parquet data files under
+  ``<path>/data/`` (pyarrow, one file per non-empty partition) and
+  return per-file commit messages (file name, row count, additive
+  checksum — the corpus_shard_manifest delivery-certificate fields);
+- the DRIVER's ``commit()`` publishes one atomic log entry
+  ``<path>/_txn_log/<version>.json`` (write-temp + os.rename) listing
+  ``add`` files — and, for overwrite, ``remove`` of every previously
+  live file. Readers replay the log last-action-wins (the scan_txn_log
+  read discipline), so data files that exist on disk but were never
+  committed, or were removed by an overwrite, are provably invisible;
+- ``abort()`` deletes the partition files of a failed job, leaving the
+  table at its previous version — a crashed write is a no-op.
+
+The read side is the same DataSource: one InputPartition per LIVE file
+(log replay at planning time), rows served via pyarrow. Scale notes:
+data files are written and read fully in parallel (one task per
+partition/file); only the tiny JSON log entry is driver-side, exactly
+like the production table formats this models. Reference behavior
+generalized: the JSON sink of fetchRumors.js:153-166 (write results,
+serve them consistently) upgraded to atomic multi-writer discipline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, "_txn_log")
+
+
+def _versions(path: str) -> list[int]:
+    d = _log_dir(path)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[:-5]) for f in os.listdir(d) if f.endswith(".json")
+    )
+
+
+def live_files(path: str) -> list[str]:
+    """Replay the log last-action-wins and return the live data files
+    (absolute paths) in deterministic (version, name) order."""
+    live: dict[str, int] = {}
+    for v in _versions(path):
+        entry = json.load(open(os.path.join(_log_dir(path), f"{v}.json")))
+        for f in entry.get("remove", []):
+            live.pop(f, None)
+        for f in entry.get("add", []):
+            live[f["file"]] = v
+    return [
+        os.path.join(path, "data", name)
+        for name, _ in sorted(live.items(), key=lambda kv: (kv[1], kv[0]))
+    ]
+
+
+def manifest(path: str) -> list[dict]:
+    """Per-file (rows, checksum) of the CURRENT live set — the delivery
+    certificate a consumer diffs against a re-read."""
+    live = {os.path.basename(p) for p in live_files(path)}
+    out = []
+    for v in _versions(path):
+        entry = json.load(open(os.path.join(_log_dir(path), f"{v}.json")))
+        out.extend(f for f in entry.get("add", []) if f["file"] in live)
+    return sorted(out, key=lambda f: f["file"])
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, file_path: str):
+        self.file_path = file_path
+
+
+class _TxnCommit(WriterCommitMessage):
+    def __init__(self, file: str | None, rows: int, checksum: int):
+        self.file = file
+        self.rows = rows
+        self.checksum = checksum
+
+
+class TxnLogDataSource(DataSource):
+    """``spark.read.format("hh_txnlog")`` / ``df.write.format("hh_txnlog")``.
+
+    Options: ``path`` — the table root directory.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "hh_txnlog"
+
+    def schema(self) -> str:
+        # read-side schema comes from the first live file's parquet
+        # footer; a path-less or empty table has no schema to offer
+        import pyarrow.parquet as pq
+
+        files = live_files(self.options.get("path", ""))
+        if not files:
+            raise ValueError(
+                "hh_txnlog: cannot infer schema from an empty table"
+            )
+        arrow = pq.read_schema(files[0])
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        return from_arrow_schema(arrow)
+
+    def reader(self, schema) -> "TxnLogReader":
+        return TxnLogReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "TxnLogWriter":
+        return TxnLogWriter(self.options, schema, overwrite)
+
+
+class TxnLogReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+
+    def partitions(self):
+        return [_FilePartition(p) for p in live_files(self.path)]
+
+    def read(self, partition: _FilePartition):
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.file_path)
+        names = table.schema.names
+        for batch in table.to_batches():
+            for row in batch.to_pylist():
+                yield tuple(row[name] for name in names)
+
+
+class TxnLogWriter(DataSourceWriter):
+    def __init__(self, options, schema, overwrite: bool) -> None:
+        self.path = options.get("path")
+        self.schema = schema
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _TxnCommit:
+        """Executor-side: serialize this partition to one parquet file.
+        Empty partitions write nothing (file=None) — mirroring Spark's
+        own no-file-for-empty-partition behavior sink_compact pins."""
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(self.schema)
+        names = [f.name for f in self.schema.fields]
+        rows = [dict(zip(names, tuple(r))) for r in iterator]
+        if not rows:
+            return _TxnCommit(None, 0, 0)
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        data_dir = os.path.join(self.path, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        table = pa.Table.from_pylist(rows, schema=arrow_schema)
+        import pyarrow.parquet as pq
+
+        pq.write_table(table, os.path.join(data_dir, name))
+        # additive checksum over the first LONG-typed column (or row
+        # count if none): order-free, mergeable across files
+        checksum = 0
+        long_cols = [
+            f.name for f in self.schema.fields
+            if f.dataType.simpleString() in ("bigint", "int", "long")
+        ]
+        if long_cols:
+            c = long_cols[0]
+            checksum = sum(int(r[c]) for r in rows if r[c] is not None)
+        return _TxnCommit(name, len(rows), checksum)
+
+    def commit(self, messages) -> None:
+        """Driver-side: publish ONE atomic log entry for the whole job."""
+        adds = [
+            {"file": m.file, "rows": m.rows, "checksum": m.checksum}
+            for m in messages
+            if m is not None and m.file is not None
+        ]
+        removes = (
+            [os.path.basename(p) for p in live_files(self.path)]
+            if self.overwrite
+            else []
+        )
+        version = (_versions(self.path) or [-1])[-1] + 1
+        os.makedirs(_log_dir(self.path), exist_ok=True)
+        tmp = os.path.join(_log_dir(self.path), f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "add": adds, "remove": removes}, fh)
+        # rename is the atomic publish: a crash before this line leaves
+        # orphan data files that NO reader will ever see
+        os.rename(tmp, os.path.join(_log_dir(self.path), f"{version}.json"))
+
+    def abort(self, messages) -> None:
+        """Failed job: remove whatever partitions managed to write; the
+        log is untouched, so the table stays at its previous version."""
+        for m in messages:
+            if m is not None and getattr(m, "file", None):
+                try:
+                    os.remove(os.path.join(self.path, "data", m.file))
+                except OSError:
+                    pass

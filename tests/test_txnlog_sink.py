@@ -1,0 +1,130 @@
+"""DSv2 write path (sources/txnlog_datasource.py) — tier-3 item 3.
+
+Proves the lakehouse sink contract end-to-end through Spark's own
+write/read API: append accumulation, atomic overwrite with stale-file
+invisibility, manifest-vs-reread delivery certification, and the
+abort path leaving the table at its previous version after a failed
+job.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from hh_rumors_presto_spark.sources.txnlog_datasource import (
+    TxnLogDataSource,
+    live_files,
+    manifest,
+)
+
+
+@pytest.fixture()
+def tbl(spark):
+    spark.dataSource.register(TxnLogDataSource)
+    root = tempfile.mkdtemp(prefix="hh_txn_")
+    yield os.path.join(root, "tbl")
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _write(df, tbl, mode):
+    df.write.format("hh_txnlog").mode(mode).option("path", tbl).save()
+
+
+def _read(spark, tbl):
+    return spark.read.format("hh_txnlog").option("path", tbl).load()
+
+
+def test_append_accumulates_and_overwrite_replaces(spark, tbl):
+    a = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    b = spark.range(10, 15).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    _write(a, tbl, "append")
+    _write(b, tbl, "append")
+    back = _read(spark, tbl)
+    assert back.count() == 15
+    assert back.agg(F.sum("k")).collect()[0][0] == sum(range(15))
+
+    c = spark.range(100, 103).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    _write(c, tbl, "overwrite")
+    back2 = _read(spark, tbl)
+    assert sorted(r.k for r in back2.collect()) == [100, 101, 102]
+    # stale data files remain on disk but are INVISIBLE to readers —
+    # the whole point of log-replay reads
+    on_disk = glob.glob(os.path.join(tbl, "data", "*.parquet"))
+    assert len(on_disk) > len(live_files(tbl))
+
+
+def test_manifest_certifies_reread(spark, tbl):
+    df = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    _write(df, tbl, "append")
+    m = manifest(tbl)
+    back = _read(spark, tbl)
+    assert sum(f["rows"] for f in m) == back.count() == 1000
+    # additive checksum over the first long column merges across files
+    assert sum(f["checksum"] for f in m) == back.agg(F.sum("k")).collect()[0][0]
+
+
+def test_uncommitted_files_are_invisible(spark, tbl):
+    df = spark.range(5).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    _write(df, tbl, "append")
+    before = sorted(r.k for r in _read(spark, tbl).collect())
+    # simulate a writer that crashed AFTER writing data but BEFORE the
+    # log rename: drop an orphan parquet straight into data/
+    orphan = os.path.join(tbl, "data", f"part-{uuid.uuid4().hex}.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"k": [999], "v": [999]}), orphan)
+    after = sorted(r.k for r in _read(spark, tbl).collect())
+    assert before == after  # the orphan is provably invisible
+
+
+def test_abort_leaves_previous_version(spark, tbl):
+    good = spark.range(8).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    _write(good, tbl, "append")
+    versions_before = sorted(
+        f for f in os.listdir(os.path.join(tbl, "_txn_log")) if f.endswith(".json")
+    )
+    before = sorted(r.k for r in _read(spark, tbl).collect())
+
+    @F.udf("long")
+    def poison(k):
+        if k == 3:
+            raise RuntimeError("poisoned row — simulated task failure")
+        return k
+
+    bad = spark.range(4).select(poison(F.col("id")).alias("k"), F.col("id").alias("v"))
+    with pytest.raises(Exception):
+        _write(bad, tbl, "overwrite")
+
+    # failed job: no new log version, read-back unchanged
+    versions_after = sorted(
+        f for f in os.listdir(os.path.join(tbl, "_txn_log")) if f.endswith(".json")
+    )
+    assert versions_before == versions_after
+    assert sorted(r.k for r in _read(spark, tbl).collect()) == before
+
+
+def test_roundtrip_from_fixture_table(spark, sf_dir, tbl):
+    """The realistic shape: a curated projection of a fixture table
+    written through the sink and re-read loss-free."""
+    src = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_custkey")
+    )
+    _write(src, tbl, "append")
+    back = _read(spark, tbl)
+    assert back.count() == src.count()
+    assert (
+        back.agg(F.sum("o_orderkey")).collect()[0][0]
+        == src.agg(F.sum("o_orderkey")).collect()[0][0]
+    )
+    assert back.join(src, ["o_orderkey", "o_custkey"], "left_anti").count() == 0
