@@ -745,6 +745,8 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          "coreness census as a plain aggregate over the fixpoint table"),
     ],
     "agg_abc_analysis": [
+        (r"windowspecdefinition\(__bucket#\d+L?, neg#",
+         "ABC running share from the bucket-partitioned two-pass"),
         (r"partial_sum", "per-part revenue partials map-side combined"),
     ],
     "recs_coverage_diversity": [
@@ -760,6 +762,8 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
          "top-20 rules as a partial rank"),
     ],
     "feat_rfm_segmentation": [
+        (r"windowspecdefinition\(__bucket#\d+L?, __k#",
+         "quintile ranks from bucket-partitioned two-pass windows"),
         (r"partial_sum|partial_count",
          "per-customer RFM partials map-side combined"),
     ],
@@ -914,6 +918,8 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     # round-46 batch
     "agg_cvar_es": [
         (r"partial_sum", "tail moments map-side combined"),
+        (r"windowspecdefinition\(__bucket#\d+L?, cents#",
+         "VaR rank from the bucket-partitioned two-pass window"),
     ],
     "ts_xcorr_lead_scan": [
         (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
@@ -1153,6 +1159,8 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     ],
     # round-64 batch
     "eval_average_precision": [
+        (r"windowspecdefinition\(__bucket#\d+L?, neg_s#",
+         "rank+positives cumsum from the bucket-partitioned two-pass"),
         (r"partial_sum|HashAggregate",
          "positives-only AP fold after the rank window"),
     ],
