@@ -85,8 +85,10 @@ def bucketed_rank_cumsum(
     NULL bucket and the offsets equi-join would drop the row — whereas
     a global window would rank it NULLS FIRST; every consumer either
     filters nulls or derives the key from non-null arithmetic) and
-    integral (the bucket map uses exact long division; dates/timestamps
-    convert via datediff/unix_micros first).
+    integral (the bucket map runs exact integral division in
+    DECIMAL(38,0), so (key-lo)*B cannot overflow anywhere in the full
+    LONG key domain; dates/timestamps convert via datediff/unix_micros
+    first).
 
     Scale: two shuffles (bucket hash, then the B-row agg), no global
     sort, no data-scaled SinglePartition exchange. Equal-width buckets
@@ -107,14 +109,25 @@ def bucketed_rank_cumsum(
         df.join(F.broadcast(bounds))
         .withColumn(
             "__num",
-            (F.col(order_key) - F.col("__lo")).cast("long")
+            (
+                F.col(order_key).cast("decimal(38,0)")
+                - F.col("__lo").cast("decimal(38,0)")
+            )
             * F.lit(n_buckets),
         )
         .withColumn(
-            "__den", (F.col("__hi") - F.col("__lo") + F.lit(1)).cast("long")
+            "__den",
+            (
+                F.col("__hi").cast("decimal(38,0)")
+                - F.col("__lo").cast("decimal(38,0)")
+                + F.lit(1)
+            ),
         )
-        # exact long floor-division keeps the bucket map monotone at any
-        # key magnitude (double division would round near 2^53)
+        # exact integral floor-division in DECIMAL(38,0) keeps the
+        # bucket map monotone at any key magnitude: (key-lo)*B stays
+        # exact even when the key range approaches the full LONG domain,
+        # where the former LONG multiply overflowed silently with ANSI
+        # off (double division would likewise round near 2^53)
         .withColumn("__bucket", F.expr("__num div __den"))
         .drop("__lo", "__hi", "__num", "__den")
     )

@@ -351,7 +351,10 @@ def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANY qualifying row count (ADVICE r9): the compaction uses
     repartitionByRange(4, o_orderkey) — with a unique range key the
     sampled bounds are exact data quantiles, giving exactly min(count, 4)
-    non-empty partitions (probed at n=1,2,3,5,100), and Spark writes no
+    non-empty partitions (probed at every boundary count n=1..8 and 100,
+    gated by tests/test_lakehouse_write.py::test_compact_file_count_
+    boundaries so a RangePartitioner behavior change is caught as a test
+    failure, not an oracle mystery), and Spark writes no
     file for an empty partition — hence the oracle's LEAST(count(*), 4).
     Round-robin repartition(4) was NOT deterministic below 4 rows (two
     rows in different input partitions can collide on one output

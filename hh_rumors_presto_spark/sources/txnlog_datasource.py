@@ -9,7 +9,9 @@ gives a governed sink with the lakehouse commit discipline:
   return per-file commit messages (file name, row count, additive
   checksum — the corpus_shard_manifest delivery-certificate fields);
 - the DRIVER's ``commit()`` publishes one atomic log entry
-  ``<path>/_txn_log/<version>.json`` (write-temp + os.rename) listing
+  ``<path>/_txn_log/<version>.json`` (write-temp + put-if-absent
+  os.link, retrying the next version on EEXIST so concurrent
+  committers serialize instead of silently clobbering) listing
   ``add`` files — and, for overwrite, ``remove`` of every previously
   live file. Readers replay the log last-action-wins (the scan_txn_log
   read discipline), so data files that exist on disk but were never
@@ -119,15 +121,22 @@ class TxnLogDataSource(DataSource):
         return from_arrow_schema(arrow)
 
     def reader(self, schema) -> "TxnLogReader":
-        return TxnLogReader(self.options)
+        return TxnLogReader(self.options, schema)
 
     def writer(self, schema, overwrite: bool) -> "TxnLogWriter":
         return TxnLogWriter(self.options, schema, overwrite)
 
 
 class TxnLogReader(DataSourceReader):
-    def __init__(self, options) -> None:
+    def __init__(self, options, schema=None) -> None:
         self.path = options.get("path")
+        # the TABLE schema (inferred once from the first live file) is
+        # the row contract; every file must be projected onto it so a
+        # file written with the same columns in a different order can
+        # never transpose values silently
+        self.names = (
+            [f.name for f in schema.fields] if schema is not None else None
+        )
 
     def partitions(self):
         return [_FilePartition(p) for p in live_files(self.path)]
@@ -136,7 +145,14 @@ class TxnLogReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         table = pq.read_table(partition.file_path)
-        names = table.schema.names
+        names = self.names or table.schema.names
+        missing = set(names) - set(table.schema.names)
+        if missing:
+            raise ValueError(
+                f"hh_txnlog: file {partition.file_path} lacks table "
+                f"columns {sorted(missing)} — refusing to read"
+            )
+        table = table.select(names)  # reorder by name, never by position
         for batch in table.to_batches():
             for row in batch.to_pylist():
                 yield tuple(row[name] for name in names)
@@ -191,14 +207,25 @@ class TxnLogWriter(DataSourceWriter):
             if self.overwrite
             else []
         )
-        version = (_versions(self.path) or [-1])[-1] + 1
         os.makedirs(_log_dir(self.path), exist_ok=True)
         tmp = os.path.join(_log_dir(self.path), f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as fh:
-            json.dump({"version": version, "add": adds, "remove": removes}, fh)
-        # rename is the atomic publish: a crash before this line leaves
-        # orphan data files that NO reader will ever see
-        os.rename(tmp, os.path.join(_log_dir(self.path), f"{version}.json"))
+        # put-if-absent publish: os.link(tmp, dest) fails with EEXIST if
+        # a concurrent committer already claimed this version, in which
+        # case we retry at the next version — unlike os.rename, which
+        # silently overwrites on POSIX and would lose the loser's commit
+        version = (_versions(self.path) or [-1])[-1] + 1
+        while True:
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {"version": version, "add": adds, "remove": removes}, fh
+                )
+            dest = os.path.join(_log_dir(self.path), f"{version}.json")
+            try:
+                os.link(tmp, dest)  # atomic: dest appears fully written
+                break
+            except FileExistsError:
+                version += 1
+        os.remove(tmp)
 
     def abort(self, messages) -> None:
         """Failed job: remove whatever partitions managed to write; the

@@ -279,3 +279,37 @@ def test_ntile_from_rank_matches_native_ntile(spark):
                 .collect()
             }
             assert got == want, (k, n)
+
+
+def test_bucketed_rank_cumsum_full_long_domain_keys(spark):
+    """Keys spanning nearly the full LONG domain: the old LONG bucket
+    map overflowed on (key-lo)*B and silently broke bucket monotonicity
+    (ADVICE r10 low); the DECIMAL(38,0) map stays exact. Ranks must
+    match the global-window formulation bit-for-bit."""
+    from pyspark.sql import Window
+
+    from hh_rumors_presto_spark.operators.windows import (
+        bucketed_rank_cumsum,
+    )
+
+    big = 2**62
+    vals = [-big, -big + 3, -17, 0, 5, big - 9, big, 42, -big + 1]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    got = {
+        r.id: (r.rk, r.n)
+        for r in bucketed_rank_cumsum(
+            df, order_key="v", tiebreak="id", value_col=None, n_buckets=8
+        ).collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        r.id: (r.rk, r.n)
+        for r in df.select(
+            "id",
+            F.row_number().over(w).alias("rk"),
+            F.count("*").over(Window.partitionBy()).alias("n"),
+        ).collect()
+    }
+    assert got == want
