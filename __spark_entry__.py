@@ -60,9 +60,32 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 # in the backlog, so it is fronted. stream_watermark itself went green in
 # r7, so it yields its slot automatically; the other 49 slots drain the
 # never-evaluated backlog in registration order.
+# ROUND-11 curated window: the final 50 never-evaluated backlog keys,
+# pinned EXPLICITLY (= exactly what _ordered() projected at round-10
+# close, tools/rotation_check.py). Pinning matters this round because
+# stream_watermark_latedrop graduated from rows-only to a full hash
+# oracle (round-11; see its docstring) — under the current contract its
+# stale rows-only row re-classifies as a re-prove, which would otherwise
+# jump the queue and push the 50th backlog key out of the window. The
+# backlog drains completely in r11; latedrop's re-prove plus the six
+# round-11 additions (emb_knn_graph_ann[_recall], sink_txnlog,
+# stream_rocksdb_state, stream_crash_recovery, constraints_infer) form
+# the 7-key round-12 window, closing the full 534-key ledger.
 FRONT_KEYS = [
-    "stream_watermark",
-    "stream_watermark_latedrop",
+    "mm_resize_plan", "debug_counters", "dq_drift_psi", "dq_impute",
+    "dq_benford", "dq_freshness", "dq_join_skew", "dq_embedding_drift",
+    "set_intersect_all", "set_except_all", "array_explode",
+    "str_sanitize_html", "scan_partition_pruned", "join_bloom_pruned",
+    "pipeline_rlhf_pairs", "corpus_mix_weights", "sink_parquet_roundtrip",
+    "scan_paged_dsv2", "map_ops", "sink_text_roundtrip", "scan_provenance",
+    "sql_lateral_topk", "win_gaps_islands", "sql_parameterized",
+    "stream_session_state", "stream_join", "stream_foreach_batch",
+    "stream_join_outer", "stream_merge_upsert", "str_like", "str_misc",
+    "null_fns", "sql_tpch_q5", "sql_tpch_q8", "sql_tpch_q13",
+    "sql_tpch_q15", "sql_tpch_q17", "sql_tpch_q19", "sql_tpch_q21",
+    "sql_tpch_q10", "sql_tpch_q14", "sql_tpch_q18", "filter_disjunctive",
+    "win_distribution", "array_set_ops", "sql_tpch_q7", "sql_tpch_q1",
+    "sql_tpch_q6", "udtf_native", "explode_outer_preserve",
 ]
 
 

@@ -1,0 +1,326 @@
+"""Bucketed (IVF-cell-blocked) kNN-graph construction — the scale-safe
+replacement for ``emb_knn_graph``'s label-blocked exact build.
+
+Round-10's sf1 bench measured the exact key at 321.7 s of a 394.3 s
+total (~100x time for 10x rows): labels are LOW-cardinality, so label
+blocks grow linearly with the corpus and the within-block pair join is
+quadratic. This module makes the crossover routing real instead of a
+prose note (VERDICT r10 item 2):
+
+- ``emb_knn_graph_ann`` — same output contract as the exact key
+  (vec_a, vec_b, cos_sim; per-node top-k by cosine), built from
+  IVF-cell candidates: C = ceil(sqrt(n)) deterministic centroids (the
+  first C vectors — at deployment scale a sampled k-means; the
+  dataflow is identical), each vector multi-assigned to its top-P
+  cells, candidate pairs form only where BOTH label and cell match,
+  and a per-(label, cell) participant cap bounds any skewed block.
+  With C ~ sqrt(n) both the assignment scan (n x C) and the blocked
+  pair join (C*L blocks of ~P*n/(C*L) rows) are O(n^1.5) — against
+  the exact key's O(n^2/L). Fully deterministic, so it carries a
+  complete value-hash oracle.
+- ``emb_knn_graph_ann_recall`` — the measured-quality twin (the
+  pattern of sim_ivfpq_recall / dedup_minhash_recall): per-label
+  recall@k of the ANN edge set against the exact key's truth edges,
+  at TWO probe settings (P=2 and P=4), so the probe knob's effect is
+  itself an oracle-checked number. The fixture embeddings are
+  near-random (same-label mean cosine 0.0016 vs 0.0003 cross-label —
+  see the sim_ann_lsh note: single-table 8-bit LSH recalls ~0.04
+  here), which bounds ANY geometric blocker; measured on sf0.01 the
+  cell-blocked builds reach 0.319 (P=2) / 0.762 (P=4) overall, where
+  clustered production embeddings would sit far higher. The P=4 rung
+  IS the construction key's setting, so the production path's recall
+  is itself the pinned number. At corpus scale this key runs on a
+  query SAMPLE (the exact side is the quadratic); the construction
+  key is the production path unchanged.
+
+Reference scope note: the reference (fetchRumors.js) has no vector
+ops at all; this extends the mandated LLM-pipeline surface
+(SURVEY.md SS2.B similarity family).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hh_rumors_presto_spark import io
+from hh_rumors_presto_spark.functions import dot, l2_norm
+from hh_rumors_presto_spark.registry import query
+
+_ANN_K = 3  # must match breadth_round5._KNN_K: same output contract
+_ANN_PROBES = 4  # construction-key probe count (= the ladder's top rung)
+_ANN_LADDER = (2, 4)  # recall-key probe ladder
+_ANN_CAP = 512  # per-(label, cell) participant cap — skew insurance
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_inner_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+        f" / nullif(sqrt(list_inner_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+        f" * sqrt(list_inner_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))), 0.0)"
+    )
+
+
+def _ann_ctes(probes: int, tag: str = "") -> str:
+    """DuckDB CTE chain building the ANN edge list at ``probes``
+    multi-assignments; ``tag`` suffixes CTE names so two ladders can
+    coexist in one statement."""
+    return f"""
+    cents{tag} AS (
+        SELECT vec_id AS cent_id, embedding AS c_emb
+        FROM embeddings, nrow WHERE vec_id < CAST(ceil(sqrt(n)) AS BIGINT)
+    ),
+    assigned{tag} AS (
+        SELECT vec_id, label, embedding, cell FROM (
+            SELECT vec_id, label, embedding, cell,
+                   row_number() OVER (
+                       PARTITION BY label, cell ORDER BY vec_id
+                   ) AS slot
+            FROM (
+                SELECT e.vec_id, e.label, e.embedding, c.cent_id AS cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_cos_sql("e.embedding", "c.c_emb")}
+                                    DESC NULLS LAST, c.cent_id
+                       ) AS rn
+                FROM embeddings e CROSS JOIN cents{tag} c
+            ) WHERE rn <= {probes}
+        ) WHERE slot <= {_ANN_CAP}
+    ),
+    scored{tag} AS (
+        SELECT vec_a, vec_b, max(cos_sim) AS cos_sim FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   {_cos_sql("a.embedding", "b.embedding")} AS cos_sim
+            FROM assigned{tag} a JOIN assigned{tag} b
+              ON a.cell = b.cell AND a.label = b.label
+             AND a.vec_id <> b.vec_id
+        ) GROUP BY vec_a, vec_b
+    ),
+    ann{tag} AS (
+        SELECT vec_a, vec_b, cos_sim FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_a
+                ORDER BY cos_sim DESC NULLS LAST, vec_b) AS rn
+            FROM scored{tag}
+        ) WHERE rn <= {_ANN_K}
+    )"""
+
+
+_TRUTH_CTE = f"""
+    truth AS (
+        SELECT vec_a, vec_b, la AS label FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS la,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {_cos_sql("a.embedding", "b.embedding")}
+                                DESC NULLS LAST, b.vec_id
+                   ) AS rn
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id <> b.vec_id
+        ) WHERE rn <= {_ANN_K}
+    )"""
+
+
+def _ann_edges(
+    spark: SparkSession, sf_dir: str, probes: int
+) -> DataFrame:
+    """Spark-side ANN edge list: broadcast centroids -> top-``probes``
+    cell multi-assignment -> capped (label, cell) blocks -> within-block
+    cosine pairs (deduped across shared cells) -> per-node top-k.
+
+    Shuffle ledger: one hash shuffle for the (label, cell) cap window,
+    one for the pair equi-join, one for the pair-dedup agg, one for the
+    per-node top-k window — every exchange keyed, none data-scaled
+    beyond the capped candidate stream; the assignment itself is a
+    broadcast fan-out with a vec_id-keyed window (n x C rows)."""
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    n = emb.count()  # bounded scalar fetch: sizes the coarse quantizer
+    n_cents = math.ceil(math.sqrt(n)) if n else 0
+    cents = emb.filter(F.col("vec_id") < n_cents).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    cs = (
+        dot(F.col("embedding"), F.col("c_emb"))
+        / F.nullif(
+            l2_norm(F.col("embedding")) * l2_norm(F.col("c_emb")),
+            F.lit(0.0),
+        )
+    )
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.col("cs").desc_nulls_last(), "cell"
+    )
+    wcap = Window.partitionBy("label", "cell").orderBy("vec_id")
+    assigned = (
+        emb.join(F.broadcast(cents))
+        .select(
+            "vec_id", "label", "embedding",
+            F.col("cent_id").alias("cell"), cs.alias("cs"),
+        )
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= probes)
+        .withColumn("slot", F.row_number().over(wcap))
+        .filter(F.col("slot") <= _ANN_CAP)
+        .select(
+            "vec_id", "label", "cell", "embedding",
+            l2_norm(F.col("embedding")).alias("nrm"),
+        )
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("la"),
+        F.col("cell").alias("ca"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("lb"),
+        F.col("cell").alias("cb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    scored = (
+        a.join(
+            b,
+            (F.col("ca") == F.col("cb"))
+            & (F.col("la") == F.col("lb"))
+            & (F.col("vec_a") != F.col("vec_b")),
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                dot(F.col("ea"), F.col("eb"))
+                / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0))
+            ).alias("cos_sim"),
+        )
+        # a pair sharing 2+ cells appears once per shared cell with the
+        # SAME cosine; max() is the dedup (values identical)
+        .groupBy("vec_a", "vec_b")
+        .agg(F.max("cos_sim").alias("cos_sim"))
+    )
+    wk = Window.partitionBy("vec_a").orderBy(
+        F.col("cos_sim").desc_nulls_last(), "vec_b"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _ANN_K)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+@query(
+    "emb_knn_graph_ann",
+    oracle=f"""
+    WITH nrow AS (SELECT count(*) AS n FROM embeddings),
+    {_ann_ctes(_ANN_PROBES)}
+    SELECT vec_a, vec_b, cos_sim FROM ann
+    """,
+)
+def emb_knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell-blocked kNN graph (k={_ANN_K}, P={_ANN_PROBES} probes,
+    C=ceil(sqrt(n)) centroids, per-block cap {_ANN_CAP}) — the routed
+    scale path for emb_knn_graph (see module docstring; exact key:
+    breadth_round5.py emb_knn_graph). Same output contract; candidate
+    pairs only where label AND cell agree, so cost is O(n^1.5) against
+    the exact key's O(n^2/L) — sf1 measured 321.7 s exact vs
+    single-digit seconds here (BASELINE.md round-11 notes)."""
+    return _ann_edges(spark, sf_dir, _ANN_PROBES)
+
+
+@query(
+    "emb_knn_graph_ann_recall",
+    oracle=f"""
+    WITH nrow AS (SELECT count(*) AS n FROM embeddings),
+    {_ann_ctes(_ANN_LADDER[0], "_p2")},
+    {_ann_ctes(_ANN_LADDER[1], "_p4")},
+    {_TRUTH_CTE}
+    SELECT method, label, truth_edges, n_hits,
+           round(CAST(n_hits AS DOUBLE) / truth_edges, 6) + 0.0 AS recall
+    FROM (
+        SELECT 'probe{_ANN_LADDER[0]}' AS method, t.label,
+               count(*) AS truth_edges,
+               CAST(count(a.vec_b) AS BIGINT) AS n_hits
+        FROM truth t LEFT JOIN ann_p2 a
+          ON a.vec_a = t.vec_a AND a.vec_b = t.vec_b
+        GROUP BY t.label
+        UNION ALL
+        SELECT 'probe{_ANN_LADDER[1]}', t.label, count(*),
+               CAST(count(a.vec_b) AS BIGINT)
+        FROM truth t LEFT JOIN ann_p4 a
+          ON a.vec_a = t.vec_a AND a.vec_b = t.vec_b
+        GROUP BY t.label
+    )
+    """,
+)
+def emb_knn_graph_ann_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Measured per-label recall@{_ANN_K} of the cell-blocked kNN graph
+    against the exact label-blocked truth, at probes {_ANN_LADDER} — the
+    probe-ladder quality pin for emb_knn_graph_ann (pattern of
+    sim_ivfpq_recall). The exact side is quadratic; at corpus scale
+    this key runs on a node sample to monitor the index, while the
+    construction key is the production path unchanged."""
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+        l2_norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+        l2_norm(F.col("embedding")).alias("nb"),
+    )
+    wt = Window.partitionBy("vec_a").orderBy(
+        F.col("cos_sim").desc_nulls_last(), "vec_b"
+    )
+    truth = (
+        a.join(
+            b,
+            (F.col("la") == F.col("lb"))
+            & (F.col("vec_a") != F.col("vec_b")),
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            F.col("la").alias("label"),
+            (
+                dot(F.col("ea"), F.col("eb"))
+                / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0))
+            ).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= _ANN_K)
+        .select("vec_a", "vec_b", "label")
+    )
+    parts = []
+    for p in _ANN_LADDER:
+        ann = _ann_edges(spark, sf_dir, p).select(
+            "vec_a", "vec_b", F.lit(1).alias("hit")
+        )
+        parts.append(
+            truth.join(ann, ["vec_a", "vec_b"], "left")
+            .groupBy("label")
+            .agg(
+                F.count("*").alias("truth_edges"),
+                F.count("hit").alias("n_hits"),
+            )
+            .select(
+                F.lit(f"probe{p}").alias("method"),
+                "label",
+                "truth_edges",
+                "n_hits",
+                F.round(
+                    F.col("n_hits").cast("double")
+                    / F.col("truth_edges"),
+                    6,
+                ).alias("recall"),
+            )
+        )
+    return parts[0].unionAll(parts[1])

@@ -213,37 +213,126 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("window.start").alias("window_start"), "n")
 
 
-@query("stream_watermark_latedrop")  # rows-only: the drop SET is a
-# function of micro-batch arrival, which this key pins itself — but the
-# semantics are not batch-SQL-expressible (DuckDB has no notion of
-# watermark eviction), so the driver records rows-only; the in-code
-# raise below is the value-level evidence.
+def _mod5_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five single-file micro-batches with ORACLE-COMPUTABLE membership:
+    batch m = rows with ``event_id % 5 == m`` (the hash split the other
+    multi-batch keys use is murmur3-partitioned — invariant to batching
+    for THEIR aggregates, but useless for a drop census whose value IS
+    the batching). Files are mtime-staggered so FileStreamSource (order:
+    modification time, then path) serves them in m-order, one per
+    trigger. Rebuilt per call under an applicationId-scoped dir —
+    pennies at fixture scale, and a driver double-run gets a fresh,
+    identical source."""
+    import os
+    import shutil
+    import tempfile
+
+    from hh_rumors_presto_spark import io
+
+    ev = io.load_events(spark, sf_dir)
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"hh_mod5_{os.path.basename(os.path.abspath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    for m in range(5):
+        part_dir = os.path.join(d, f"_build{m}")
+        ev.filter(F.col("event_id") % 5 == m).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        part = next(
+            f for f in sorted(os.listdir(part_dir))
+            if f.endswith(".parquet")
+        )
+        dest = os.path.join(d, f"batch-{m}.parquet")
+        shutil.move(os.path.join(part_dir, part), dest)
+        shutil.rmtree(part_dir)
+        os.utime(dest, (1_700_000_000 + m, 1_700_000_000 + m))
+    schema = spark.read.parquet(d).schema
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+@query(
+    "stream_watermark_latedrop",
+    oracle="""
+    WITH b AS (
+        SELECT event_id % 5 AS m,
+               epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS ws,
+               epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                   // 1000 + 3600000 AS wend_ms,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ts_ms
+        FROM events
+    ),
+    mx AS (SELECT m, max(ts_ms) AS mxb FROM b GROUP BY m),
+    cmx AS (SELECT m, max(mxb) OVER (ORDER BY m) AS wmx FROM mx),
+    wininfo AS (SELECT DISTINCT ws, wend_ms FROM b),
+    evict AS (
+        SELECT ws,
+               (SELECT min(c.m + 1) FROM cmx c
+                WHERE wininfo.wend_ms <= c.wmx - 1800000) AS e
+        FROM wininfo
+    )
+    SELECT b.ws // 1000000 AS window_start_epoch_s,
+           CAST(count(*) FILTER (WHERE b.m <= evict.e) AS BIGINT)
+               AS n_emitted,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) - count(*) FILTER (WHERE b.m <= evict.e)
+                AS BIGINT) AS n_dropped
+    FROM b JOIN evict USING (ws)
+    WHERE evict.e IS NOT NULL
+    GROUP BY 1
+    HAVING count(*) FILTER (WHERE b.m <= evict.e) > 0
+    """,
+)
 def stream_watermark_latedrop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-batch companion to ``stream_watermark`` (VERDICT r7 item 4):
     driver-visible evidence for the late-data DROP path, which the
     single-batch pin deliberately excludes from the oracle key.
 
-    The source is pinned to a 5-file interleaved split at one file per
-    micro-batch (``force_split=5`` — part of the QUERY, independent of
-    HH_STREAM_SPLIT, so every environment runs the same arrival order).
-    Each interleaved file spans the full time range, so batch 1 advances
-    the watermark to ~(max ts - 30 min) and most rows in batches 2-5
-    arrive BEHIND it: windows already emitted drop them. The result is
-    the per-window drop census for emitted windows —
-    (window_start_epoch_s, n_emitted, n_total, n_dropped) with
-    n_dropped = n_total - n_emitted — plus a hard in-code raise if the
-    stream dropped nothing (the path this key exists to prove).
-    window_start is epoch SECONDS (long) — but the key is still in
-    session.TZ_SENSITIVE_KEYS like its parent: the fixture's NTZ
-    timestamps are interpreted in the session zone, so the window
-    INSTANTS (not just their rendering) shift under non-UTC. The census
-    values themselves are tz-invariant (measured: identical
-    n_emitted/n_total/n_dropped pattern, starts shifted by the offset).
+    GRADUATED from rows-only in round 11 (VERDICT r10 item 5). Two
+    changes made the drop census batch-SQL-expressible:
+
+    1. DETERMINISTIC arrival: instead of the hash-partitioned split
+       (whose file membership depends on Spark's murmur3, which no
+       oracle can recompute), the source is five single-file batches
+       with membership ``event_id % 5 == m``, mtime-staggered so the
+       file stream serves them in m-order — arrival is now plain
+       arithmetic on the fixture.
+    2. EMPIRICALLY PINNED watermark algebra (driven against live
+       queries at sf0.001/sf0.01/sf0.1 via the batch-progress log):
+       the watermark in effect during batch m is
+       max(ms-floored ts over batches < m) - 30 min (event-time stats
+       truncate us -> ms; lag one batch); a window [s, s+1h) is
+       EVICTED+emitted at the first batch m with end <= wm(m) —
+       including the empty finalize batch availableNow appends — and
+       Spark 3.4+ filters late input with the PREVIOUS batch's
+       watermark (watermarkForLateEvents), so an evicted window's
+       census covers batches 0..m inclusive, exactly. Windows whose
+       every row arrived behind the filter never create state and are
+       never emitted (the oracle's HAVING clause).
+
+    The result is the per-window drop census for emitted windows —
+    (window_start_epoch_s, n_emitted, n_total, n_dropped) — plus a
+    hard in-code raise if the stream dropped nothing (the path this
+    key exists to prove). Still in session.TZ_SENSITIVE_KEYS: the
+    fixture's NTZ timestamps are interpreted in the session zone, so
+    the window INSTANTS shift under non-UTC; the driver runs UTC,
+    where the oracle's naive date_trunc agrees.
 
     Scale: identical plan shape to stream_watermark (one keyed state
     shuffle with partial agg; watermark bounds state); the census join
-    is an after-the-fact batch equi-join on window start."""
-    ev = read_events_stream(spark, sf_dir, force_split=5)
+    is an after-the-fact batch equi-join on window start; the mod-split
+    materialization is one partition-pruned pass per batch file."""
+    ev = _mod5_events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "30 minutes")
         .groupBy(F.window("ts", "1 hour"))

@@ -167,6 +167,7 @@ def run_stream_to_df(
     stream_df: DataFrame,
     output_mode: str = "complete",
     state_partitions: int | None = 8,
+    state_store: str | None = None,
 ) -> DataFrame:
     """Drive a streaming DataFrame to completion (availableNow) into a
     memory sink; return the sink contents as a batch DataFrame.
@@ -177,6 +178,10 @@ def run_stream_to_df(
     key cardinality / executor cores — 8 suits the local fixtures, a
     cluster job would pass cores-proportional values. Set around the
     synchronous run and restored after.
+
+    ``state_store="rocksdb"`` forces the RocksDB provider for THIS query
+    regardless of HH_STATE_STORE — the stream_rocksdb_state key uses it
+    so its driver row always exercises the production provider.
     """
     import os
 
@@ -199,7 +204,9 @@ def run_stream_to_df(
         "org.apache.spark.sql.execution.streaming."
         "state.HDFSBackedStateStoreProvider",
     )
-    if os.environ.get("HH_STATE_STORE", "").lower() == "rocksdb":
+    if (
+        state_store or os.environ.get("HH_STATE_STORE", "")
+    ).lower() == "rocksdb":
         spark.conf.set(
             prov_conf,
             "org.apache.spark.sql.execution.streaming."
