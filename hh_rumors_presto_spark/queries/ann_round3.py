@@ -42,6 +42,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -123,83 +125,181 @@ _TRUTH_CTE = f"""
     )"""
 
 
+def _top_cells_udf(cent_rows: list, probes: int):
+    """Vectorized (Arrow) coarse-quantizer scorer: per input vector,
+    the top-``probes`` centroid ids by (cosine DESC NULLS LAST,
+    cent_id ASC) — exactly the oracle's row_number order.
+
+    BIT-PARITY CONTRACT: every float op replays the engines' sequence.
+    Spark's HOF fold, DuckDB's list_inner_product, and the dim-loop
+    below all accumulate ``acc = acc + a[d]*c[d]`` left-to-right in
+    float64, so dot products, norms, and the final divide are
+    bit-identical across all three — near-tie rankings cannot diverge.
+    (A BLAS matmul would sum pairwise and break this; that is why the
+    loop is over DIMS with vectorized row ops, not np.dot.)
+
+    The centroid matrix rides the closure (driver-collected once:
+    C = ceil(sqrt(n)) rows — the bounded model-state fetch every
+    k-means-style operator makes; ~16 MB at n=10^9)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent_rows = sorted(cent_rows)  # (cent_id asc) for deterministic ties
+    cent_ids = np.array([c[0] for c in cent_rows], dtype="int64")
+    cmat = (
+        np.array([c[1] for c in cent_rows], dtype="float64")
+        if cent_rows
+        else np.zeros((0, 0))
+    )
+    cnorm2 = np.zeros(len(cent_rows))
+    for d in range(cmat.shape[1]):
+        cnorm2 = cnorm2 + cmat[:, d] * cmat[:, d]
+    cnorm = np.sqrt(cnorm2)
+
+    @pandas_udf("array<bigint>")
+    def top_cells(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0 or len(cent_ids) == 0:
+            return pd.Series([[] for _ in range(len(embs))])
+        emat = np.vstack([np.asarray(e, dtype="float64") for e in embs])
+        acc = np.zeros((emat.shape[0], cmat.shape[0]))
+        en2 = np.zeros(emat.shape[0])
+        for d in range(emat.shape[1]):
+            acc = acc + emat[:, d : d + 1] * cmat[None, :, d]
+            en2 = en2 + emat[:, d] * emat[:, d]
+        denom = np.sqrt(en2)[:, None] * cnorm[None, :]
+        invalid = denom == 0.0  # nullif(na*nc, 0) -> NULL -> sorts LAST
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cs = acc / denom
+        out = []
+        for i in range(emat.shape[0]):
+            # order: valid before NULL, cos DESC, cent_id ASC — lexsort
+            # is last-key-primary, so keys are (cell, -cs, invalid)
+            key_cs = np.where(invalid[i], 0.0, -cs[i])
+            # NaN cosine (NaN data element) ranks FIRST: both engines
+            # treat NaN as greater than every value under DESC
+            key_cs = np.where(
+                np.isnan(key_cs) & ~invalid[i], -np.inf, key_cs
+            )
+            order = np.lexsort((cent_ids, key_cs, invalid[i]))
+            out.append([int(c) for c in cent_ids[order[:probes]]])
+        return pd.Series(out)
+
+    return top_cells
+
+
+def _block_topk_fn(k: int):
+    """Per-(label, cell)-block all-pairs cosine + per-node block-local
+    top-``k`` for applyInPandas, under the same sequential-dim
+    bit-parity contract as :func:`_top_cells_udf`.
+
+    Emitting only each node's block-local top-k is EXACT: a node's
+    global candidate set is the union of its blocks, and top-k of a
+    union equals top-k over the union of per-block top-k's (the
+    standard distributive top-k reduction) — the total order
+    (cos DESC NULLS LAST, vec_b ASC) is replayed identically here, in
+    the final window, and in the oracle. NULL cosines (zero vectors)
+    are kept as candidates: with < k valid neighbors the engines rank
+    them in, so the block emits them too (None, not NaN — the object
+    column maps to a true SQL NULL through Arrow)."""
+
+    def block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "cos_sim": []}
+            ).astype({"vec_a": "int64", "vec_b": "int64"})
+        ids = pdf["vec_id"].to_numpy()
+        emat = np.vstack(
+            [np.asarray(e, dtype="float64") for e in pdf["embedding"]]
+        )
+        acc = np.zeros((m, m))
+        en2 = np.zeros(m)
+        for d in range(emat.shape[1]):
+            acc = acc + emat[:, d : d + 1] * emat[None, :, d]
+            en2 = en2 + emat[:, d] * emat[:, d]
+        nrm = np.sqrt(en2)
+        denom = nrm[:, None] * nrm[None, :]
+        invalid = denom == 0.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = acc / denom
+        va, vb, cs_out = [], [], []
+        for i in range(m):
+            key_cs = np.where(invalid[i], 0.0, -cos[i])
+            key_cs = np.where(
+                np.isnan(key_cs) & ~invalid[i], -np.inf, key_cs
+            )
+            key_cs[i] = np.inf  # self-pair: sort dead last, then slice
+            inv = invalid[i].copy()
+            inv[i] = True
+            order = np.lexsort((ids, key_cs, inv))
+            for j in order[:k]:
+                if j == i:
+                    continue
+                va.append(int(ids[i]))
+                vb.append(int(ids[j]))
+                cs_out.append(
+                    None if invalid[i][j] else float(cos[i][j])
+                )
+        return pd.DataFrame(
+            {
+                "vec_a": pd.array(va, dtype="int64"),
+                "vec_b": pd.array(vb, dtype="int64"),
+                "cos_sim": pd.array(cs_out, dtype="object"),
+            }
+        )
+
+    return block_topk
+
+
 def _ann_edges(
     spark: SparkSession, sf_dir: str, probes: int
 ) -> DataFrame:
-    """Spark-side ANN edge list: broadcast centroids -> top-``probes``
-    cell multi-assignment -> capped (label, cell) blocks -> within-block
-    cosine pairs (deduped across shared cells) -> per-node top-k.
+    """Spark-side ANN edge list: Arrow-UDF top-``probes`` cell
+    multi-assignment against driver-broadcast centroids -> capped
+    (label, cell) blocks -> per-block vectorized all-pairs cosine with
+    block-local top-k (applyInPandas) -> cross-block dedup -> per-node
+    top-k.
 
-    Shuffle ledger: one hash shuffle for the (label, cell) cap window,
-    one for the pair equi-join, one for the pair-dedup agg, one for the
-    per-node top-k window — every exchange keyed, none data-scaled
-    beyond the capped candidate stream; the assignment itself is a
-    broadcast fan-out with a vec_id-keyed window (n x C rows)."""
+    Shuffle ledger: one hash shuffle for the (label, cell) cap window
+    (THIN rows — ids only), one AQE-broadcastable join pulling
+    embeddings into blocks, one (label, cell) shuffle of n*P
+    embedding-carrying rows into applyInPandas, one dedup agg and one
+    keyed top-k window over <= n*P*k THIN edge rows. Neither the n x C
+    assignment fan-out nor the Σblock² pair stream ever crosses an
+    exchange or the Arrow boundary — pairs are born and reduced inside
+    the block worker. Preconditions (same exposure as the exact key's
+    zip_with fold): uniform embedding dims per table, no NULL
+    elements; all-zero vectors are fine (NULL cosine, ranked last in
+    both engines and in the workers)."""
     emb = io.load_table(spark, sf_dir, "embeddings")
     n = emb.count()  # bounded scalar fetch: sizes the coarse quantizer
     n_cents = math.ceil(math.sqrt(n)) if n else 0
-    cents = emb.filter(F.col("vec_id") < n_cents).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
-    )
-    cs = (
-        dot(F.col("embedding"), F.col("c_emb"))
-        / F.nullif(
-            l2_norm(F.col("embedding")) * l2_norm(F.col("c_emb")),
-            F.lit(0.0),
-        )
-    )
-    wa = Window.partitionBy("vec_id").orderBy(
-        F.col("cs").desc_nulls_last(), "cell"
-    )
+    cent_rows = [
+        (r[0], list(r[1]))
+        for r in emb.filter(F.col("vec_id") < n_cents)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    top_cells = _top_cells_udf(cent_rows, probes)
     wcap = Window.partitionBy("label", "cell").orderBy("vec_id")
-    assigned = (
-        emb.join(F.broadcast(cents))
-        .select(
-            "vec_id", "label", "embedding",
-            F.col("cent_id").alias("cell"), cs.alias("cs"),
+    capped = (
+        emb.select(
+            "vec_id",
+            "label",
+            F.explode(top_cells(F.col("embedding"))).alias("cell"),
         )
-        .withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") <= probes)
         .withColumn("slot", F.row_number().over(wcap))
         .filter(F.col("slot") <= _ANN_CAP)
-        .select(
-            "vec_id", "label", "cell", "embedding",
-            l2_norm(F.col("embedding")).alias("nrm"),
-        )
+        .select("vec_id", "label", "cell")
     )
-    a = assigned.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("label").alias("la"),
-        F.col("cell").alias("ca"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
+    blocks = capped.join(emb.select("vec_id", "embedding"), "vec_id")
+    partial = blocks.groupBy("label", "cell").applyInPandas(
+        _block_topk_fn(_ANN_K),
+        "vec_a long, vec_b long, cos_sim double",
     )
-    b = assigned.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("lb"),
-        F.col("cell").alias("cb"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    scored = (
-        a.join(
-            b,
-            (F.col("ca") == F.col("cb"))
-            & (F.col("la") == F.col("lb"))
-            & (F.col("vec_a") != F.col("vec_b")),
-        )
-        .select(
-            "vec_a",
-            "vec_b",
-            (
-                dot(F.col("ea"), F.col("eb"))
-                / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0))
-            ).alias("cos_sim"),
-        )
-        # a pair sharing 2+ cells appears once per shared cell with the
-        # SAME cosine; max() is the dedup (values identical)
-        .groupBy("vec_a", "vec_b")
-        .agg(F.max("cos_sim").alias("cos_sim"))
+    # a pair sharing 2+ cells appears once per shared cell with the
+    # SAME cosine; max() is the dedup (values identical, NULLs stay NULL)
+    scored = partial.groupBy("vec_a", "vec_b").agg(
+        F.max("cos_sim").alias("cos_sim")
     )
     wk = Window.partitionBy("vec_a").orderBy(
         F.col("cos_sim").desc_nulls_last(), "vec_b"
