@@ -35,10 +35,11 @@ def candidate_keys(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     aggs = [F.count("*").alias("__n")]
     for c in cols:
         aggs.append(F.count_distinct(F.col(c)).alias(f"__d_{c}"))
+        # count(*) - count(c), not sum(when(...)): sum over zero rows
+        # is NULL, which would poison n_null/is_candidate_key on an
+        # empty relation, where the vacuous answer is 0/TRUE
         aggs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
-                f"__null_{c}"
-            )
+            (F.count("*") - F.count(F.col(c))).alias(f"__null_{c}")
         )
     row = df.agg(*aggs)
     parts = []
