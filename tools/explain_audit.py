@@ -283,6 +283,18 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"hashpartitioning\(vec_a", "per-node top-k window keyed by vec_a"),
         (r"WindowGroupLimit", "rank<=k rewritten to per-partition group limit"),
     ],
+    # r11: the bucketed scale path — assignment is a vectorized Arrow
+    # UDF (never row-at-a-time), the per-(label,cell) cap gets a
+    # partial+final WindowGroupLimit around a keyed exchange of THIN
+    # id rows, pairs are born inside the FlatMapGroupsInPandas block
+    # worker, and the final per-node top-k is keyed by vec_a.
+    "emb_knn_graph_ann": [
+        (r"ArrowEvalPython", "top-cells assignment is a vectorized Arrow UDF"),
+        (r"hashpartitioning\(label#\d+, cell", "block shuffle keyed (label, cell)"),
+        (r"WindowGroupLimit.*512, Partial", "per-block cap partially applied map-side"),
+        (r"FlatMapGroupsInPandas", "all-pairs cosine confined to the block worker"),
+        (r"hashpartitioning\(vec_a", "final top-k window keyed by vec_a"),
+    ],
     "win_anomaly_zscore": [
         (r"hashpartitioning\(user_id", "rolling stats keyed by user (no single-partition window)"),
     ],
