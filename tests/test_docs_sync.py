@@ -28,15 +28,14 @@ def test_readme_key_count_matches_registry():
 
 def test_every_key_has_oracle_or_is_declared_rows_only():
     # Round 6: the last rows-only key (stream_watermark) graduated to an
-    # oracle by pinning a deterministic single-batch arrival (the late-DROP
-    # set is a function of micro-batch partitioning — the driver's knob —
-    # so the hash-verifiable contract is the window-closing semantics).
-    # Round 8: stream_watermark_latedrop added as the deliberate rows-only
-    # companion — it pins its own multi-batch source to exercise the
-    # late-DROP path, whose eviction semantics have no batch-SQL
-    # expression (VERDICT r7 item 4); its value evidence is the in-code
-    # drop-census raise.
-    declared_rows_only: set[str] = {"stream_watermark_latedrop"}
+    # oracle by pinning a deterministic single-batch arrival. Round 8:
+    # stream_watermark_latedrop added as the deliberate rows-only
+    # companion (eviction semantics believed to have no batch-SQL
+    # expression). Round 11: latedrop TOO graduated — mod-5 pinned
+    # arrival + the empirically-pinned watermark algebra unrolled as
+    # batch SQL — so the declared rows-only set is now EMPTY and every
+    # registered key must carry an oracle.
+    declared_rows_only: set[str] = set()
     missing = set(QUERIES) - set(ORACLES) - declared_rows_only
     assert not missing, f"keys without oracle nor declaration: {sorted(missing)}"
     assert declared_rows_only <= set(QUERIES)
