@@ -218,9 +218,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query key; omitted keys are the
-    non-SQL-expressible ops (streaming internals, LSH approximations) the
-    driver checks rows-only."""
+    """DuckDB-runnable ANSI SQL per query key — complete: every
+    registered key carries an oracle (the last rows-only exemption,
+    stream_watermark_latedrop, graduated in round 11), so the driver
+    hash-verifies the whole surface."""
     load_all_queries()
     return _ordered(ORACLES)
 

@@ -81,3 +81,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture as a temp view so SQL-form queries can run."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def scoped_tmp_dir(spark: SparkSession, tag: str, sf_dir: str) -> str:
+    """Session- and fixture-scoped scratch directory path for keys that
+    must materialize intermediate files (streaming sources, DSv2 sink
+    roundtrips): /tmp/hh_<tag>_<sf_basename>_<applicationId>. The
+    applicationId keys it to ONE SparkSession (concurrent verifier
+    processes never collide; a driver retry within a session reuses and
+    must rebuild-or-overwrite), the sf basename keys it to the fixture.
+    The single definition of the scoping rule — callers must not
+    hand-roll variants (r11 review: three divergent copies)."""
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"hh_{tag}_{os.path.basename(os.path.abspath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )

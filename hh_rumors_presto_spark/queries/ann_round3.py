@@ -250,8 +250,28 @@ def _block_topk_fn(k: int):
     return block_topk
 
 
+def _ann_model(emb: DataFrame) -> list:
+    """Driver-collected coarse-quantizer model: the first
+    C = ceil(sqrt(n)) vectors as (cent_id, embedding) rows, sorted by
+    id. One count job + one bounded collect; callers evaluating several
+    probe settings (the recall ladder) compute this ONCE and pass it to
+    every :func:`_ann_edges` call — the model does not depend on
+    ``probes``."""
+    n = emb.count()  # bounded scalar fetch: sizes the coarse quantizer
+    n_cents = math.ceil(math.sqrt(n)) if n else 0
+    return [
+        (r[0], list(r[1]))
+        for r in emb.filter(F.col("vec_id") < n_cents)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+
+
 def _ann_edges(
-    spark: SparkSession, sf_dir: str, probes: int
+    spark: SparkSession,
+    sf_dir: str,
+    probes: int,
+    cent_rows: list | None = None,
 ) -> DataFrame:
     """Spark-side ANN edge list: Arrow-UDF top-``probes`` cell
     multi-assignment against driver-broadcast centroids -> capped
@@ -271,14 +291,8 @@ def _ann_edges(
     elements; all-zero vectors are fine (NULL cosine, ranked last in
     both engines and in the workers)."""
     emb = io.load_table(spark, sf_dir, "embeddings")
-    n = emb.count()  # bounded scalar fetch: sizes the coarse quantizer
-    n_cents = math.ceil(math.sqrt(n)) if n else 0
-    cent_rows = [
-        (r[0], list(r[1]))
-        for r in emb.filter(F.col("vec_id") < n_cents)
-        .select("vec_id", "embedding")
-        .collect()
-    ]
+    if cent_rows is None:
+        cent_rows = _ann_model(emb)
     top_cells = _top_cells_udf(cent_rows, probes)
     wcap = Window.partitionBy("label", "cell").orderBy("vec_id")
     capped = (
@@ -320,8 +334,9 @@ def _ann_edges(
     """,
 )
 def emb_knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-cell-blocked kNN graph (k={_ANN_K}, P={_ANN_PROBES} probes,
-    C=ceil(sqrt(n)) centroids, per-block cap {_ANN_CAP}) — the routed
+    """IVF-cell-blocked kNN graph (k=3 [_ANN_K], P=4 probes
+    [_ANN_PROBES], C=ceil(sqrt(n)) centroids, per-block cap 512
+    [_ANN_CAP]) — the routed
     scale path for emb_knn_graph (see module docstring; exact key:
     breadth_round5.py emb_knn_graph). Same output contract; candidate
     pairs only where label AND cell agree, so cost is O(n^1.5) against
@@ -358,8 +373,9 @@ def emb_knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_knn_graph_ann_recall(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Measured per-label recall@{_ANN_K} of the cell-blocked kNN graph
-    against the exact label-blocked truth, at probes {_ANN_LADDER} — the
+    """Measured per-label recall@3 (_ANN_K) of the cell-blocked kNN
+    graph against the exact label-blocked truth, at probes (2, 4)
+    (_ANN_LADDER) — the
     probe-ladder quality pin for emb_knn_graph_ann (pattern of
     sim_ivfpq_recall). The exact side is quadratic; at corpus scale
     this key runs on a node sample to monitor the index, while the
@@ -399,9 +415,12 @@ def emb_knn_graph_ann_recall(
         .filter(F.col("rn") <= _ANN_K)
         .select("vec_a", "vec_b", "label")
     )
+    # one count + one centroid collect shared by every ladder rung —
+    # the model is probe-independent (r11 review finding)
+    cent_rows = _ann_model(emb)
     parts = []
     for p in _ANN_LADDER:
-        ann = _ann_edges(spark, sf_dir, p).select(
+        ann = _ann_edges(spark, sf_dir, p, cent_rows).select(
             "vec_a", "vec_b", F.lit(1).alias("hit")
         )
         parts.append(

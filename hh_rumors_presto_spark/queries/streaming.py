@@ -225,16 +225,11 @@ def _mod5_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical source."""
     import os
     import shutil
-    import tempfile
 
     from hh_rumors_presto_spark import io
 
     ev = io.load_events(spark, sf_dir)
-    d = os.path.join(
-        tempfile.gettempdir(),
-        f"hh_mod5_{os.path.basename(os.path.abspath(sf_dir))}"
-        f"_{spark.sparkContext.applicationId}",
-    )
+    d = io.scoped_tmp_dir(spark, "mod5", sf_dir)
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d)
     for m in range(5):
@@ -242,10 +237,22 @@ def _mod5_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_id") % 5 == m).coalesce(1).write.mode(
             "overwrite"
         ).parquet(part_dir)
-        part = next(
+        parts = [
             f for f in sorted(os.listdir(part_dir))
             if f.endswith(".parquet")
-        )
+        ]
+        if not parts:
+            # an empty task writes NO part file (the behavior
+            # sink_compact pins); silently skipping would shift the
+            # batch numbering out from under the oracle's mod-5 algebra,
+            # so fail loudly — the contract needs every residue class
+            # populated (every driver fixture satisfies this)
+            raise AssertionError(
+                f"stream_watermark_latedrop: residue class event_id%5=="
+                f"{m} is empty in {sf_dir} — the pinned 5-batch arrival "
+                f"contract requires every class non-empty"
+            )
+        part = parts[0]
         dest = os.path.join(d, f"batch-{m}.parquet")
         shutil.move(os.path.join(part_dir, part), dest)
         shutil.rmtree(part_dir)

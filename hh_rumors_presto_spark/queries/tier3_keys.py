@@ -35,7 +35,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,7 +59,7 @@ from hh_rumors_presto_spark.streaming import (
     SELECT o_orderstatus AS status,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
-           CAST(sum(2 * CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+           CAST(sum(CAST(2 * o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
                AS total_price
     FROM orders
     WHERE o_orderkey % 3 <> 2
@@ -89,11 +88,7 @@ def sink_txnlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.dataSource.register(TxnLogDataSource)
     orders = io.load_table(spark, sf_dir, "orders")
     base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
-    tbl = os.path.join(
-        tempfile.gettempdir(),
-        f"hh_sinktxn_{os.path.basename(os.path.abspath(sf_dir))}"
-        f"_{spark.sparkContext.applicationId}",
-    )
+    tbl = io.scoped_tmp_dir(spark, "sinktxn", sf_dir)
     shutil.rmtree(tbl, ignore_errors=True)
     try:
         for m in (0, 1):
@@ -185,11 +180,7 @@ def stream_crash_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary the stop landed on (n == n_ids is the no-duplicate proof
     the hash carries). Cites tests/test_streaming_crash_recovery.py —
     this is that drive, graduated."""
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"hh_crashkey_{os.path.basename(os.path.abspath(sf_dir))}"
-        f"_{spark.sparkContext.applicationId}",
-    )
+    out_dir = io.scoped_tmp_dir(spark, "crashkey", sf_dir)
     chk, data = os.path.join(out_dir, "_chk"), os.path.join(out_dir, "data")
     shutil.rmtree(out_dir, ignore_errors=True)
     written: list[int] = []

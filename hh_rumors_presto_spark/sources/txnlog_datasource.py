@@ -202,19 +202,23 @@ class TxnLogWriter(DataSourceWriter):
             for m in messages
             if m is not None and m.file is not None
         ]
-        removes = (
-            [os.path.basename(p) for p in live_files(self.path)]
-            if self.overwrite
-            else []
-        )
         os.makedirs(_log_dir(self.path), exist_ok=True)
         tmp = os.path.join(_log_dir(self.path), f".tmp-{uuid.uuid4().hex}")
         # put-if-absent publish: os.link(tmp, dest) fails with EEXIST if
         # a concurrent committer already claimed this version, in which
         # case we retry at the next version — unlike os.rename, which
-        # silently overwrites on POSIX and would lose the loser's commit
+        # silently overwrites on POSIX and would lose the loser's commit.
+        # The overwrite's remove-list is recomputed INSIDE the loop: a
+        # losing overwrite must remove everything live at the version it
+        # actually serializes after (including files a concurrent winner
+        # just committed), not the snapshot it took before the race.
         version = (_versions(self.path) or [-1])[-1] + 1
         while True:
+            removes = (
+                [os.path.basename(p) for p in live_files(self.path)]
+                if self.overwrite
+                else []
+            )
             with open(tmp, "w") as fh:
                 json.dump(
                     {"version": version, "add": adds, "remove": removes}, fh

@@ -194,3 +194,58 @@ def test_reader_projects_by_table_schema_not_file_order(spark, tbl):
         )
     got = {r.k: r.v for r in _read(spark, tbl).collect()}
     assert got == {1: 10, 2: 20, 3: 30}  # not {30: 3}-transposed
+
+
+def test_concurrent_overwrite_removes_winners_files(tbl):
+    """Overwrite-vs-append race: a losing OVERWRITE must remove every
+    file live at the version it actually serializes after — including
+    the file the concurrent winner committed DURING the race — not the
+    snapshot it took before. commit() recomputes the remove-list inside
+    the retry loop (r11 review finding); with the pre-loop snapshot the
+    winner's rows stayed silently alive under the overwrite.
+
+    The interleaving is driven for real: the winner's 1.json lands via
+    an os.link interceptor BETWEEN the loser's first remove-list
+    computation and its publish attempt, so the loser's first link
+    genuinely collides and only the retry can see file b."""
+    from unittest import mock
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hh_rumors_presto_spark.sources import txnlog_datasource as mod
+
+    os.makedirs(os.path.join(tbl, "data"), exist_ok=True)
+    os.makedirs(os.path.join(tbl, "_txn_log"), exist_ok=True)
+    # base state: version 0 with file A
+    pq.write_table(pa.table({"k": [1]}), os.path.join(tbl, "data", "a.parquet"))
+    with open(os.path.join(tbl, "_txn_log", "0.json"), "w") as fh:
+        json.dump({"version": 0,
+                   "add": [{"file": "a.parquet", "rows": 1, "checksum": 1}],
+                   "remove": []}, fh)
+    pq.write_table(pa.table({"k": [2]}), os.path.join(tbl, "data", "b.parquet"))
+    pq.write_table(pa.table({"k": [3]}), os.path.join(tbl, "data", "c.parquet"))
+
+    real_link = os.link
+    state = {"fired": False}
+
+    def racing_link(src, dst):
+        if not state["fired"]:
+            state["fired"] = True
+            # the WINNER lands its append of b as version 1 right now —
+            # after the loser computed removes=[a], before its publish
+            with open(os.path.join(tbl, "_txn_log", "1.json"), "w") as fh:
+                json.dump({"version": 1,
+                           "add": [{"file": "b.parquet", "rows": 1,
+                                    "checksum": 2}],
+                           "remove": []}, fh)
+        return real_link(src, dst)
+
+    writer = mod.TxnLogWriter({"path": tbl}, None, overwrite=True)
+    with mock.patch.object(mod.os, "link", side_effect=racing_link):
+        writer.commit([mod._TxnCommit("c.parquet", 1, 3)])
+    entry2 = json.load(open(os.path.join(tbl, "_txn_log", "2.json")))
+    assert entry2["version"] == 2
+    assert [f["file"] for f in entry2["add"]] == ["c.parquet"]
+    assert sorted(entry2["remove"]) == ["a.parquet", "b.parquet"]
+    assert [os.path.basename(p) for p in live_files(tbl)] == ["c.parquet"]
