@@ -56,19 +56,48 @@ def _versions(path: str) -> list[int]:
     )
 
 
-def live_files(path: str) -> list[str]:
-    """Replay the log last-action-wins and return the live data files
-    (absolute paths) in deterministic (version, name) order."""
+def _live_map(path: str, as_of: int | None = None) -> dict[str, int]:
+    """Replay the log last-action-wins up to and including version
+    ``as_of`` (None = latest) and return {file name: version added}."""
     live: dict[str, int] = {}
     for v in _versions(path):
+        if as_of is not None and v > as_of:
+            break
         entry = json.load(open(os.path.join(_log_dir(path), f"{v}.json")))
         for f in entry.get("remove", []):
             live.pop(f, None)
         for f in entry.get("add", []):
             live[f["file"]] = v
+    return live
+
+
+def live_files(path: str, as_of: int | None = None) -> list[str]:
+    """Replay the log last-action-wins and return the live data files
+    (absolute paths) in deterministic (version, name) order — the
+    TIME-TRAVEL read when ``as_of`` pins a version (the state any
+    reader saw at that version, reproducible forever because removed
+    files stay on disk until a vacuum)."""
     return [
         os.path.join(path, "data", name)
-        for name, _ in sorted(live.items(), key=lambda kv: (kv[1], kv[0]))
+        for name, _ in sorted(
+            _live_map(path, as_of).items(), key=lambda kv: (kv[1], kv[0])
+        )
+    ]
+
+
+def added_live_files(path: str, from_v: int, to_v: int) -> list[str]:
+    """INCREMENTAL (CDC-of-appends) read set: files added in versions
+    (from_v, to_v] that are still live at to_v. A consumer that
+    processed the table at from_v reads exactly these to catch up —
+    files both added AND removed inside the range (e.g. by an
+    overwrite) never appear, matching the state-diff semantics of
+    snapshot_diff."""
+    return [
+        os.path.join(path, "data", name)
+        for name, v in sorted(
+            _live_map(path, to_v).items(), key=lambda kv: (kv[1], kv[0])
+        )
+        if from_v < v <= to_v
     ]
 
 
@@ -95,10 +124,36 @@ class _TxnCommit(WriterCommitMessage):
         self.checksum = checksum
 
 
+def _read_plan(options) -> list[str]:
+    """Resolve the read-side options to the file set: ``version`` pins
+    an as-of (time-travel) snapshot; ``fromVersion``+``toVersion`` pin
+    an incremental range (files added in (from, to] and live at to);
+    neither = the latest snapshot. The two modes are exclusive."""
+    path = options.get("path", "")
+    version = options.get("version")
+    from_v, to_v = options.get("fromversion"), options.get("toversion")
+    if version is not None and (from_v is not None or to_v is not None):
+        raise ValueError(
+            "hh_txnlog: 'version' (time travel) and 'fromVersion'/"
+            "'toVersion' (incremental) are mutually exclusive"
+        )
+    if (from_v is None) != (to_v is None):
+        raise ValueError(
+            "hh_txnlog: incremental reads need BOTH fromVersion and "
+            "toVersion"
+        )
+    if from_v is not None:
+        return added_live_files(path, int(from_v), int(to_v))
+    return live_files(path, int(version) if version is not None else None)
+
+
 class TxnLogDataSource(DataSource):
     """``spark.read.format("hh_txnlog")`` / ``df.write.format("hh_txnlog")``.
 
-    Options: ``path`` — the table root directory.
+    Options: ``path`` — the table root directory. Read side also takes
+    ``version`` (time-travel: the snapshot as of that log version) or
+    ``fromVersion``+``toVersion`` (incremental: only files added in
+    that range and still live at ``toVersion``).
     """
 
     @classmethod
@@ -106,14 +161,16 @@ class TxnLogDataSource(DataSource):
         return "hh_txnlog"
 
     def schema(self) -> str:
-        # read-side schema comes from the first live file's parquet
-        # footer; a path-less or empty table has no schema to offer
+        # read-side schema comes from the first planned file's parquet
+        # footer (option-aware: a time-travel read infers from the
+        # pinned snapshot); an empty plan has no schema to offer
         import pyarrow.parquet as pq
 
-        files = live_files(self.options.get("path", ""))
+        files = _read_plan(self.options)
         if not files:
             raise ValueError(
-                "hh_txnlog: cannot infer schema from an empty table"
+                "hh_txnlog: cannot infer schema from an empty table "
+                "or empty version range"
             )
         arrow = pq.read_schema(files[0])
         from pyspark.sql.pandas.types import from_arrow_schema
@@ -130,6 +187,7 @@ class TxnLogDataSource(DataSource):
 class TxnLogReader(DataSourceReader):
     def __init__(self, options, schema=None) -> None:
         self.path = options.get("path")
+        self.options = options
         # the TABLE schema (inferred once from the first live file) is
         # the row contract; every file must be projected onto it so a
         # file written with the same columns in a different order can
@@ -139,7 +197,7 @@ class TxnLogReader(DataSourceReader):
         )
 
     def partitions(self):
-        return [_FilePartition(p) for p in live_files(self.path)]
+        return [_FilePartition(p) for p in _read_plan(self.options)]
 
     def read(self, partition: _FilePartition):
         import pyarrow.parquet as pq

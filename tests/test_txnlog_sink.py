@@ -249,3 +249,87 @@ def test_concurrent_overwrite_removes_winners_files(tbl):
     assert [f["file"] for f in entry2["add"]] == ["c.parquet"]
     assert sorted(entry2["remove"]) == ["a.parquet", "b.parquet"]
     assert [os.path.basename(p) for p in live_files(tbl)] == ["c.parquet"]
+
+
+def _pub(tbl, version, add=(), remove=()):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.join(tbl, "data"), exist_ok=True)
+    os.makedirs(os.path.join(tbl, "_txn_log"), exist_ok=True)
+    for name, k in add:
+        pq.write_table(
+            pa.table({"k": pa.array([k], "int64")}),
+            os.path.join(tbl, "data", name),
+        )
+    with open(os.path.join(tbl, "_txn_log", f"{version}.json"), "w") as fh:
+        json.dump(
+            {"version": version,
+             "add": [{"file": n, "rows": 1, "checksum": k} for n, k in add],
+             "remove": list(remove)}, fh)
+
+
+def test_live_files_as_of_and_added_range(tbl):
+    """Replay truncation (time travel) and range-diff (incremental)
+    semantics, including the add-then-remove-then-readd chain that
+    distinguishes 'added in range and live at its end' from 'touched
+    in range'."""
+    from hh_rumors_presto_spark.sources.txnlog_datasource import (
+        added_live_files,
+        live_files,
+    )
+
+    _pub(tbl, 0, add=[("a.parquet", 1)])
+    _pub(tbl, 1, add=[("b.parquet", 2)])
+    _pub(tbl, 2, add=[("c.parquet", 3)], remove=["a.parquet", "b.parquet"])
+    _pub(tbl, 3, add=[("a.parquet", 4)])  # re-added: live version is 3
+
+    def names(paths):
+        return [os.path.basename(p) for p in paths]
+
+    assert names(live_files(tbl, as_of=0)) == ["a.parquet"]
+    assert names(live_files(tbl, as_of=1)) == ["a.parquet", "b.parquet"]
+    assert names(live_files(tbl, as_of=2)) == ["c.parquet"]
+    assert names(live_files(tbl)) == ["c.parquet", "a.parquet"]  # (ver, name)
+    # incremental: b added at 1, but REMOVED by 2 -> absent from (0, 2]
+    assert names(added_live_files(tbl, 0, 2)) == ["c.parquet"]
+    assert names(added_live_files(tbl, 0, 1)) == ["b.parquet"]
+    # the re-add surfaces at its re-add version, not its original one
+    assert names(added_live_files(tbl, 2, 3)) == ["a.parquet"]
+    assert names(added_live_files(tbl, 0, 3)) == ["c.parquet", "a.parquet"]
+
+
+def test_read_option_validation(tbl):
+    """version vs fromVersion/toVersion are mutually exclusive, and the
+    incremental pair must arrive together."""
+    from hh_rumors_presto_spark.sources.txnlog_datasource import _read_plan
+
+    _pub(tbl, 0, add=[("a.parquet", 1)])
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        _read_plan({"path": tbl, "version": "1", "fromversion": "0",
+                    "toversion": "1"})
+    with pytest.raises(ValueError, match="BOTH"):
+        _read_plan({"path": tbl, "fromversion": "0"})
+    assert [os.path.basename(p) for p in _read_plan({"path": tbl})] == [
+        "a.parquet"
+    ]
+
+
+def test_spark_time_travel_read(spark, tbl):
+    """End-to-end: overwrite at v1, then option('version', 0) restores
+    the pre-overwrite rows through the Spark read path."""
+    a = spark.range(5).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    _write(a, tbl, "append")
+    b = spark.range(100, 102).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    )
+    _write(b, tbl, "overwrite")
+    latest = sorted(r.k for r in _read(spark, tbl).collect())
+    assert latest == [100, 101]
+    past = (
+        spark.read.format("hh_txnlog")
+        .option("path", tbl)
+        .option("version", "0")
+        .load()
+    )
+    assert sorted(r.k for r in past.collect()) == [0, 1, 2, 3, 4]
