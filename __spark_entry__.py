@@ -67,12 +67,13 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 # oracle (round-11; see its docstring) — under the current contract its
 # stale rows-only row re-classifies as a re-prove, which would otherwise
 # jump the queue and push the 50th backlog key out of the window. The
-# backlog drains completely in r11; latedrop's re-prove plus the nine
-# round-11 additions (emb_knn_graph_ann[_recall], sink_txnlog,
+# backlog drains completely in r11; latedrop's re-prove plus the
+# ten round-11 additions (emb_knn_graph_ann[_recall], sink_txnlog,
 # stream_rocksdb_state, stream_crash_recovery, constraints_infer, and
 # the lakehouse second wave scan_txnlog_timetravel /
-# scan_txnlog_incremental / sink_txnlog_compact) form the 10-key
-# round-12 window, closing the full 537-key ledger.
+# scan_txnlog_incremental / sink_txnlog_compact / sink_txnlog_vacuum)
+# form the 11-key
+# round-12 window, closing the full 538-key ledger.
 FRONT_KEYS = [
     "mm_resize_plan", "debug_counters", "dq_drift_psi", "dq_impute",
     "dq_benford", "dq_freshness", "dq_join_skew", "dq_embedding_drift",

@@ -101,6 +101,27 @@ def added_live_files(path: str, from_v: int, to_v: int) -> list[str]:
     ]
 
 
+def vacuum(path: str) -> int:
+    """Delete every data file NOT live at the current version —
+    overwritten/compacted-away history plus never-committed orphans —
+    and return how many were removed. The latest snapshot is untouched;
+    TIME TRAVEL to pre-vacuum versions intentionally stops working
+    (their files are gone), which is the retention trade every
+    production table format's VACUUM makes. Driver-side like the log
+    itself: the file list is KB-scale metadata; the deletes are
+    unlink() calls, not data movement."""
+    data_dir = os.path.join(path, "data")
+    if not os.path.isdir(data_dir):
+        return 0
+    live = {os.path.basename(p) for p in live_files(path)}
+    removed = 0
+    for name in sorted(os.listdir(data_dir)):
+        if name.endswith(".parquet") and name not in live:
+            os.remove(os.path.join(data_dir, name))
+            removed += 1
+    return removed
+
+
 def manifest(path: str) -> list[dict]:
     """Per-file (rows, checksum) of the CURRENT live set — the delivery
     certificate a consumer diffs against a re-read."""

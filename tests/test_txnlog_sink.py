@@ -333,3 +333,39 @@ def test_spark_time_travel_read(spark, tbl):
         .load()
     )
     assert sorted(r.k for r in past.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_vacuum_removes_dead_and_orphans_keeps_live(spark, tbl):
+    """vacuum() deletes overwritten history AND uncommitted orphans,
+    leaves the live set intact, and time travel to a vacuumed version
+    raises on read while the latest read is unaffected."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hh_rumors_presto_spark.sources.txnlog_datasource import vacuum
+
+    a = spark.range(6).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    _write(a, tbl, "append")
+    b = spark.range(50, 53).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    )
+    _write(b, tbl, "overwrite")
+    n_dead = len(glob.glob(os.path.join(tbl, "data", "*.parquet"))) - len(
+        live_files(tbl)
+    )
+    # plus one never-committed orphan
+    pq.write_table(
+        pa.table({"k": pa.array([9], "int64"), "v": pa.array([9], "int64")}),
+        os.path.join(tbl, "data", "orphan.parquet"),
+    )
+    assert vacuum(tbl) == n_dead + 1
+    assert vacuum(tbl) == 0  # idempotent
+    assert sorted(r.k for r in _read(spark, tbl).collect()) == [50, 51, 52]
+    with pytest.raises(Exception):
+        (
+            spark.read.format("hh_txnlog")
+            .option("path", tbl)
+            .option("version", "0")
+            .load()
+            .count()
+        )
