@@ -369,3 +369,19 @@ def test_vacuum_removes_dead_and_orphans_keeps_live(spark, tbl):
             .load()
             .count()
         )
+
+
+def test_incremental_empty_range_fails_loudly(spark, tbl):
+    """An incremental range with no surviving files (e.g. both ends at
+    the same version) cannot infer a schema — the read must raise the
+    descriptive empty-plan error, not return silent emptiness."""
+    a = spark.range(3).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    _write(a, tbl, "append")
+    with pytest.raises(Exception, match="empty table or empty version"):
+        (
+            spark.read.format("hh_txnlog")
+            .option("path", tbl)
+            .option("fromVersion", "0")
+            .option("toVersion", "0")
+            .load()
+        )
