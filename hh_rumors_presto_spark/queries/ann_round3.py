@@ -48,7 +48,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hh_rumors_presto_spark import io
-from hh_rumors_presto_spark.functions import dot, l2_norm
 from hh_rumors_presto_spark.registry import query
 
 _ANN_K = 3  # must match breadth_round5._KNN_K: same output contract
@@ -186,10 +185,12 @@ def _top_cells_udf(cent_rows: list, probes: int):
     return top_cells
 
 
-def _block_topk_fn(k: int):
-    """Per-(label, cell)-block all-pairs cosine + per-node block-local
-    top-``k`` for applyInPandas, under the same sequential-dim
-    bit-parity contract as :func:`_top_cells_udf`.
+def _block_topk_fn(k: int, emit_label: bool = False, row_chunk: int = 512):
+    """Per-block all-pairs cosine + per-node block-local top-``k`` for
+    applyInPandas, under the same sequential-dim bit-parity contract as
+    :func:`_top_cells_udf`. Used with (label, cell) blocks by the ANN
+    path and (r11 optimization) with whole label blocks by the exact
+    ``emb_knn_graph`` key, whose per-pair JVM HOF fold this replaces.
 
     Emitting only each node's block-local top-k is EXACT: a node's
     global candidate set is the union of its blocks, and top-k of a
@@ -199,53 +200,69 @@ def _block_topk_fn(k: int):
     the final window, and in the oracle. NULL cosines (zero vectors)
     are kept as candidates: with < k valid neighbors the engines rank
     them in, so the block emits them too (None, not NaN — the object
-    column maps to a true SQL NULL through Arrow)."""
+    column maps to a true SQL NULL through Arrow).
+
+    ``row_chunk`` bounds the live cosine matrix at chunk x m doubles
+    (r11): the dim accumulation runs per row-chunk, which leaves every
+    acc[i][j] element's left-to-right add order — and therefore the
+    bits — unchanged. ``emit_label`` adds the block's label column
+    (the recall key's truth side needs it)."""
 
     def block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         m = len(pdf)
+        cols = {"vec_a": [], "vec_b": [], "cos_sim": []}
+        if emit_label:
+            cols["label"] = []
         if m < 2:
-            return pd.DataFrame(
-                {"vec_a": [], "vec_b": [], "cos_sim": []}
-            ).astype({"vec_a": "int64", "vec_b": "int64"})
+            return pd.DataFrame(cols).astype(
+                {"vec_a": "int64", "vec_b": "int64"}
+            )
         ids = pdf["vec_id"].to_numpy()
         emat = np.vstack(
             [np.asarray(e, dtype="float64") for e in pdf["embedding"]]
         )
-        acc = np.zeros((m, m))
         en2 = np.zeros(m)
         for d in range(emat.shape[1]):
-            acc = acc + emat[:, d : d + 1] * emat[None, :, d]
             en2 = en2 + emat[:, d] * emat[:, d]
         nrm = np.sqrt(en2)
-        denom = nrm[:, None] * nrm[None, :]
-        invalid = denom == 0.0
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = acc / denom
         va, vb, cs_out = [], [], []
-        for i in range(m):
-            key_cs = np.where(invalid[i], 0.0, -cos[i])
-            key_cs = np.where(
-                np.isnan(key_cs) & ~invalid[i], -np.inf, key_cs
-            )
-            key_cs[i] = np.inf  # self-pair: sort dead last, then slice
-            inv = invalid[i].copy()
-            inv[i] = True
-            order = np.lexsort((ids, key_cs, inv))
-            for j in order[:k]:
-                if j == i:
-                    continue
-                va.append(int(ids[i]))
-                vb.append(int(ids[j]))
-                cs_out.append(
-                    None if invalid[i][j] else float(cos[i][j])
+        for lo in range(0, m, row_chunk):
+            hi = min(lo + row_chunk, m)
+            acc = np.zeros((hi - lo, m))
+            for d in range(emat.shape[1]):
+                acc = acc + emat[lo:hi, d : d + 1] * emat[None, :, d]
+            denom = nrm[lo:hi, None] * nrm[None, :]
+            invalid = denom == 0.0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / denom
+            for ci in range(hi - lo):
+                i = lo + ci
+                key_cs = np.where(invalid[ci], 0.0, -cos[ci])
+                key_cs = np.where(
+                    np.isnan(key_cs) & ~invalid[ci], -np.inf, key_cs
                 )
-        return pd.DataFrame(
-            {
-                "vec_a": pd.array(va, dtype="int64"),
-                "vec_b": pd.array(vb, dtype="int64"),
-                "cos_sim": pd.array(cs_out, dtype="object"),
-            }
-        )
+                key_cs[i] = np.inf  # self-pair: sort dead last, slice off
+                inv = invalid[ci].copy()
+                inv[i] = True
+                order = np.lexsort((ids, key_cs, inv))
+                for j in order[:k]:
+                    if j == i:
+                        continue
+                    va.append(int(ids[i]))
+                    vb.append(int(ids[j]))
+                    cs_out.append(
+                        None if invalid[ci][j] else float(cos[ci][j])
+                    )
+        out = {
+            "vec_a": pd.array(va, dtype="int64"),
+            "vec_b": pd.array(vb, dtype="int64"),
+            "cos_sim": pd.array(cs_out, dtype="object"),
+        }
+        if emit_label:
+            out["label"] = pd.array(
+                [pdf["label"].iloc[0]] * len(va), dtype="int32"
+            )
+        return pd.DataFrame(out)
 
     return block_topk
 
@@ -381,38 +398,18 @@ def emb_knn_graph_ann_recall(
     this key runs on a node sample to monitor the index, while the
     construction key is the production path unchanged."""
     emb = io.load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("label").alias("la"),
-        F.col("embedding").alias("ea"),
-        l2_norm(F.col("embedding")).alias("na"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("lb"),
-        F.col("embedding").alias("eb"),
-        l2_norm(F.col("embedding")).alias("nb"),
-    )
-    wt = Window.partitionBy("vec_a").orderBy(
-        F.col("cos_sim").desc_nulls_last(), "vec_b"
-    )
+    # r11: the exact truth side rides the same vectorized per-label
+    # block worker as emb_knn_graph (bit-parity contract, see
+    # _block_topk_fn) instead of duplicating the quadratic pair JOIN +
+    # HOF fold — emit_label keeps the per-label grouping column.
     truth = (
-        a.join(
-            b,
-            (F.col("la") == F.col("lb"))
-            & (F.col("vec_a") != F.col("vec_b")),
+        emb.filter(F.col("label").isNotNull())
+        .select("vec_id", "label", "embedding")
+        .groupBy("label")
+        .applyInPandas(
+            _block_topk_fn(_ANN_K, emit_label=True),
+            "vec_a long, vec_b long, cos_sim double, label int",
         )
-        .select(
-            "vec_a",
-            "vec_b",
-            F.col("la").alias("label"),
-            (
-                dot(F.col("ea"), F.col("eb"))
-                / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0))
-            ).alias("cos_sim"),
-        )
-        .withColumn("rn", F.row_number().over(wt))
-        .filter(F.col("rn") <= _ANN_K)
         .select("vec_a", "vec_b", "label")
     )
     # one count + one centroid collect shared by every ladder rung —

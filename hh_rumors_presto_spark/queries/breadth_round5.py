@@ -128,49 +128,38 @@ _KNN_K = 3
 def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN graph construction (k={_KNN_K}) over embeddings, blocked by
     label (the IVF-bucket stand-in): candidate pairs form only within a
-    block, per-node top-k by cosine via a keyed window. The edge list this
-    emits is the input to graph-based near-dup clustering and kNN-graph
-    ANN indexes (NN-descent seeds). Cost is sum(block^2), never n^2; the
-    window partitions by vec_id — no global sort."""
-    from hh_rumors_presto_spark.functions import dot, l2_norm
-    from pyspark.sql import Window
+    block, per-node top-k by cosine. The edge list this emits is the
+    input to graph-based near-dup clustering and kNN-graph ANN indexes
+    (NN-descent seeds). Cost is sum(block^2), never n^2.
+
+    r11 OPTIMIZATION (guide §4.2: hand whole batches to vectorized
+    native code): the pair stream used to be a label-keyed self-JOIN
+    whose per-pair cosine ran Spark's aggregate() HOF fold — ~400k
+    64-dim folds at sf0.1 (2.8-4.2 s), 321.7 s at sf1. Pairs are now
+    born and reduced inside a per-label applyInPandas worker
+    (ann_round3._block_topk_fn, the same worker the ANN path certified):
+    one (label) shuffle of n thin rows, zero pair-sized exchanges, and
+    the Σblock² cosines run as chunked NumPy row ops under the module's
+    sequential-dim BIT-PARITY contract — acc accumulates a[d]*b[d]
+    left-to-right in float64 exactly like the old zip_with/aggregate
+    fold and DuckDB's list_inner_product, so every cos_sim bit and
+    every (cos DESC NULLS LAST, vec_b) tie-break is unchanged (verified
+    with VERIFY_EXACT_FLOATS=1). The null-label filter reproduces the
+    old join-on-equality semantics (null labels never matched). This
+    stays the QUADRATIC exact key — its scale route is still
+    emb_knn_graph_ann; the rewrite moves the constant, not the
+    exponent (sf1: 321.7 s -> see OPTIMIZATION_r11.md)."""
+    from hh_rumors_presto_spark.queries.ann_round3 import _block_topk_fn
 
     emb = io.load_table(spark, sf_dir, "embeddings")
-    # Precompute each vector's norm ONCE before the pair join: per-pair
-    # work drops to a single dot fold instead of dot + two norm folds
-    # (measured 3x on the blocked pair stream; norms are one cheap column
-    # per row, the standard normalize-before-index step of any ANN build).
-    with_norm = emb.select(
-        "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm")
-    )
-    a = with_norm.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("label").alias("la"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    b = with_norm.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("lb"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    scored = (
-        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") != F.col("vec_b")))
-        .select(
-            "vec_a",
-            "vec_b",
-            (
-                dot(F.col("ea"), F.col("eb"))
-                / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0))
-            ).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("vec_a").orderBy(F.col("cos_sim").desc(), "vec_b")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _KNN_K)
-        .select("vec_a", "vec_b", "cos_sim")
+        emb.filter(F.col("label").isNotNull())
+        .select("vec_id", "label", "embedding")
+        .groupBy("label")
+        .applyInPandas(
+            _block_topk_fn(_KNN_K),
+            "vec_a long, vec_b long, cos_sim double",
+        )
     )
 
 

@@ -279,9 +279,12 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
          "prefix-collision candidates via equi-join, never all-pairs"),
     ],
+    # r11 optimization: the exact key's pair stream moved inside a
+    # per-label vectorized block worker (ann_round3._block_topk_fn) —
+    # one thin label-keyed shuffle, no pair-sized exchange, no window.
     "emb_knn_graph": [
-        (r"hashpartitioning\(vec_a", "per-node top-k window keyed by vec_a"),
-        (r"WindowGroupLimit", "rank<=k rewritten to per-partition group limit"),
+        (r"FlatMapGroupsInPandas", "all-pairs cosine confined to the label-block worker"),
+        (r"hashpartitioning\(label", "single thin shuffle keyed by label"),
     ],
     # r11: the bucketed scale path — assignment is a vectorized Arrow
     # UDF (never row-at-a-time), the per-(label,cell) cap gets a
