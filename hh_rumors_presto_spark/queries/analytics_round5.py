@@ -284,11 +284,11 @@ def join_pit_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     leakage). Left-outer per feature table: spines with no history keep
     NULL features.
 
-    Shape at scale: each feature table is one as-of join = equi-join on
-    the entity key + max_by((ts, id)) re-aggregation (operators/asof.py)
-    — one keyed shuffle per feature table, no window over the join
-    fan-out, features resolved independently then stitched on the unique
-    spine id."""
+    Shape at scale: each feature table is one MERGE-AS-OF
+    (operators/asof.py, r11): tagged union + one keyed shuffle of
+    spine+feature thin rows + running last(ignorenulls) window — no join
+    fan-out ever materializes; features resolved independently then
+    stitched on the unique spine id."""
     ev = io.load_table(spark, sf_dir, "events")
     spine = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("spine_id"), "user_id", "ts"

@@ -34,7 +34,7 @@ from hh_rumors_presto_spark.queries.graph import (
     _DAMP_NUM,
     _GRAPH_SQL,
     _SCALE,
-    _edges,
+    _edges_by_dst,
 )
 from hh_rumors_presto_spark.registry import query
 from hh_rumors_presto_spark.streaming import read_events_stream
@@ -109,7 +109,9 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-sized shares/contribs broadcast per round, zero edge-sized
     shuffles after setup. Sparse restart means unreached nodes carry
     rank 0 and the vector compresses at web scale."""
-    edges = _edges(spark, sf_dir).repartition(32, "dst").persist()
+    # r11: same single-exchange dst-partitioned edge prep as
+    # graph_pagerank (graph._edges_by_dst), partition count parameterized.
+    edges = _edges_by_dst(spark, sf_dir).persist()
     deg = (
         edges.groupBy("src")
         .agg(F.count("*").alias("outdeg"))

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from hh_rumors_presto_spark import io
 from hh_rumors_presto_spark.registry import query
+from hh_rumors_presto_spark.session import default_parallelism
 
 # --------------------------------------------------------------------------
 # sketch_hll_det
@@ -632,7 +633,7 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("c"),
         )
-        .repartition(32, "vec_id")
+        .repartition(default_parallelism(), "vec_id")
         .persist()
     )
     w = mu.select(

@@ -395,13 +395,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(diameter) scale gap the round-6 verdict flagged. Cluster id = min
     doc_id in the component; singleton docs cluster to themselves.
 
-    PHASE 1 — min-label propagation, 5 materializations of a DOUBLE
-    propagation step (a 10-hop horizon: near-dup components are dense,
-    so real diameters are small — the fixtures converge at double-round
-    3-4). Each round is one keyed shuffle over a FIXED edge list; at
-    fixture scale this phase converges and the star phase never runs, so
-    the bench cost equals the pre-round-7 implementation (~3.8-4.2 s
-    probe-parity at sf0.1).
+    PHASE 1 — min-label propagation, 3 materializations of a QUAD
+    propagation step (a 12-hop horizon: near-dup components are dense,
+    so real diameters are small — the fixtures converge at 5-8 hops).
+    Each hop is ONE keyed shuffle over a FIXED self-loop-carrying edge
+    list (r11: the self-loops fold the old merge-back join into the
+    min-agg); at fixture scale this phase converges and the star phase
+    never runs.
 
     PHASE 2 — if propagation has NOT converged the graph has deep
     (chain-shaped) components, exactly the 1e9-node templated/boilerplate
@@ -442,40 +442,46 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # ---- PHASE 1: bounded min-label propagation over the fixed edges
-    prop_edges = pairs.unionAll(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+    # r11 OPTIMIZATION (guide §2.4: remove shuffles outright): the edge
+    # list carries a SELF-LOOP per node, so one hop is a single
+    # join+min-agg — label'(u) = min over {u} ∪ N(u) — instead of the
+    # old neighbor-agg THEN left-join-merge-back (two joins per hop).
+    # Identical integer fixpoint, identical per-hop labels, one keyed
+    # shuffle per hop instead of two.
+    prop_edges = (
+        pairs.unionAll(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
         )
-    ).localCheckpoint()
+        .unionAll(
+            nodes.select(
+                F.col("doc_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+            )
+        )
+        .localCheckpoint()
+    )
     labels = nodes.select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     ).localCheckpoint()
 
     def propagate(lbl: DataFrame) -> DataFrame:
-        neigh = (
+        return (
             prop_edges.join(lbl, prop_edges.doc_b == lbl.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("neigh_min"))
-        )
-        return (
-            lbl.withColumnRenamed("cluster_id", "prev")
-            .join(neigh, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("prev"),
-                    F.coalesce(F.col("neigh_min"), F.col("prev")),
-                ).alias("cluster_id"),
-            )
+            .agg(F.min("cluster_id").alias("cluster_id"))
         )
 
     converged = False
-    for _ in range(5):  # 10-hop horizon (fixture graphs converge at
-        # double-round 3-4); deeper chain-shaped graphs go to phase 2
-        # double step: min-label propagation is monotone non-increasing
-        # (no oscillation), so two hops per materialization+probe halve
-        # the checkpoint/convergence-job overhead at the same fixpoint
-        stepped = propagate(propagate(labels.select("doc_id", "cluster_id")))
+    for _ in range(3):  # 12-hop horizon (fixture graphs converge at
+        # 5-8 hops); deeper chain-shaped graphs go to phase 2
+        # quad step (r11, was double): min-label propagation is monotone
+        # non-increasing (no oscillation), so four hops per
+        # materialization+probe quarter the checkpoint/convergence-job
+        # overhead at the same fixpoint
+        stepped = propagate(
+            propagate(propagate(propagate(labels.select("doc_id", "cluster_id"))))
+        )
         merged = (
             labels.select("doc_id", F.col("cluster_id").alias("old_label"))
             .join(stepped, "doc_id")

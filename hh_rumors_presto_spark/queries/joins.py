@@ -273,8 +273,11 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: latest event at-or-before each order date per key
-    (orders keyed to event users by o_custkey % 20). Implemented as
-    equi-join + max_by — one shuffle, no window over the fan-out."""
+    (orders keyed to event users by o_custkey % 20). Implemented as a
+    MERGE-AS-OF (r11, operators/asof.py): both sides tagged and unioned,
+    one keyed shuffle of |orders|+|events| thin rows, running
+    last(ignorenulls) window — the old equi-join's per-key pair fan-out
+    never materializes."""
     orders = (
         io.load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 100 == 0)
