@@ -148,9 +148,12 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", "hash equi-join on (key, salt)"),
         (r"explode\(\[0,1,2", "build side exploded once per salt value"),
     ],
+    # r11: merge-as-of — tagged union + one keyed shuffle + running
+    # last(ignorenulls) window; the old equi-join fan-out is gone.
     "join_asof": [
-        (r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", "equi-join on the key (band is a join condition, not a nested loop)"),
-        (r"max_by", "as-of reduced via max_by, no fan-out window"),
+        (r"Union", "both sides tagged and unioned (merge-as-of)"),
+        (r"hashpartitioning\(user_key", "one keyed shuffle of thin union rows"),
+        (r"last\(__asof_pay", "payload carried forward via running last over the key window"),
     ],
     "dedup_minhash": [
         (r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", "candidate pairs via band-bucket equi-join"),
@@ -188,8 +191,11 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"BroadcastHashJoin", "bucket offsets broadcast back (no data-scale sort)"),
         (r"hashpartitioning\(bucket", "full-data window partitioned by bucket"),
     ],
+    # r11: df derives from the ONE collected set — a single
+    # partial+final object-hash aggregate, no separate distinct-count
+    # dedup exchange.
     "inverted_index": [
-        (r"partial_count", "map-side partial aggregation of postings"),
+        (r"partial_collect_set", "posting sets partially aggregated (deduped) map-side"),
     ],
     "table_checksum": [
         (r"partial_sum|partial_count", "checksum partially aggregated map-side"),
@@ -415,10 +421,11 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "feat_target_encode": [
         (r"BroadcastHashJoin", "per-category sums broadcast over one fact scan"),
     ],
+    # r11: merge-as-of per feature table (operators/asof.py).
     "join_pit_multi": [
-        (r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
-         "each feature table is an equi-join on the entity key"),
-        (r"max_by", "as-of resolved via max_by, no window over the fan-out"),
+        (r"Union", "spine and feature sides tagged and unioned (merge-as-of)"),
+        (r"hashpartitioning\(user_id", "keyed shuffles of thin union rows"),
+        (r"last\(__asof_pay", "payloads carried forward via running last windows"),
     ],
     "ts_holt_winters": [
         (r"FlatMapGroupsInPandas", "Arrow-grouped stateful pass"),
