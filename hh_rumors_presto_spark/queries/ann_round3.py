@@ -267,6 +267,60 @@ def _block_topk_fn(k: int, emit_label: bool = False, row_chunk: int = 512):
     return block_topk
 
 
+def _block_thresh_pairs_fn(threshold: float, row_chunk: int = 512):
+    """Per-block all-pairs cosine THRESHOLD filter for applyInPandas
+    (r11) — the vectorized twin of :func:`_block_topk_fn` for
+    pair-emitting dedup keys (dedup_embedding): emit (vec_a, vec_b,
+    cos_sim) for every in-block pair with vec_a < vec_b and
+    cos_sim > threshold, under the same sequential-dim bit-parity
+    contract. NULL cosines (zero-norm vectors) are dropped exactly as
+    the engines drop them (NULL > t is not true); NaN cosines (NaN
+    data elements) are KEPT because both Spark and DuckDB order NaN
+    above every number, so NaN > t holds there — np.isnan is the
+    explicit replay of that rule."""
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "cos_sim": []}
+            ).astype({"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"})
+        ids = pdf["vec_id"].to_numpy()
+        emat = np.vstack(
+            [np.asarray(e, dtype="float64") for e in pdf["embedding"]]
+        )
+        en2 = np.zeros(m)
+        for d in range(emat.shape[1]):
+            en2 = en2 + emat[:, d] * emat[:, d]
+        nrm = np.sqrt(en2)
+        va, vb, cs_out = [], [], []
+        for lo in range(0, m, row_chunk):
+            hi = min(lo + row_chunk, m)
+            acc = np.zeros((hi - lo, m))
+            for d in range(emat.shape[1]):
+                acc = acc + emat[lo:hi, d : d + 1] * emat[None, :, d]
+            denom = nrm[lo:hi, None] * nrm[None, :]
+            invalid = denom == 0.0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / denom
+            keep = ~invalid & ((cos > threshold) | np.isnan(cos))
+            # upper triangle by ID, not index: vec_a < vec_b
+            keep &= ids[lo:hi, None] < ids[None, :]
+            for ci, j in zip(*np.nonzero(keep)):
+                va.append(int(ids[lo + ci]))
+                vb.append(int(ids[j]))
+                cs_out.append(float(cos[ci, j]))
+        return pd.DataFrame(
+            {
+                "vec_a": pd.array(va, dtype="int64"),
+                "vec_b": pd.array(vb, dtype="int64"),
+                "cos_sim": pd.array(cs_out, dtype="float64"),
+            }
+        )
+
+    return block_pairs
+
+
 def _ann_model(emb: DataFrame) -> list:
     """Driver-collected coarse-quantizer model: the first
     C = ceil(sqrt(n)) vectors as (cent_id, embedding) rows, sorted by

@@ -84,12 +84,19 @@ def recs_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushes the top-3 below the shuffle). Hot items skew the pair join
     — AQE skew-split or basket-size capping handles the head, as in
     dedup_ngram_jaccard."""
+    # r11 (guide §2.5): the checkpointed basket is small at shuffle
+    # time, so AQE coalesced the basket self-join to one partition and
+    # the within-basket pair explosion ran single-task; the explicit
+    # orderkey repartition is user-specified and keeps its count.
+    from hh_rumors_presto_spark.session import default_parallelism
+
     basket = (
         io.load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
         # feeds three plan legs (both self-join sides + item counts)
         .localCheckpoint()
+        .repartition(default_parallelism(), "l_orderkey")
     )
     item = basket.groupBy("l_partkey").agg(F.count("*").alias("c"))
     a, b = basket.alias("a"), basket.alias("b")

@@ -76,11 +76,22 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     a rank over the pair table. Hub suppliers are the skew risk —
     exactly the rows AA down-weights; a degree cap handles the
     pathological head as in dedup_ngram_jaccard."""
+    # r11 OPTIMIZATION (guide §2.5: AQE cannot see a join explosion
+    # coming): the checkpointed edge list is only ~600k thin rows, so
+    # AQE's size-based coalescing planned the s-keyed self-join into ONE
+    # post-shuffle partition — and the 83M-row pair explosion plus its
+    # partial aggregation ran single-task (measured 122 s at sf0.1). An
+    # EXPLICIT hash repartition on the join key is user-specified, so
+    # AQE leaves its partition count alone and the pair mass fans out
+    # across the cluster: 122 s -> 25 s, same 82,940,816 pairs.
+    from hh_rumors_presto_spark.session import default_parallelism
+
     cs = (
         _edges(spark, sf_dir)
         .filter(F.col("src") % 2 == 0)
         .select(F.col("src").alias("c"), F.col("dst").alias("s"))
         .localCheckpoint()
+        .repartition(default_parallelism(), "s")
     )
     sdeg = (
         cs.groupBy("s")

@@ -146,7 +146,15 @@ def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.col("n") - F.expr(
         f"({_PP_NUM} * n + {_PP_DEN - 1}) DIV {_PP_DEN}"
     ) + F.lit(1)
-    pref = toks.filter(F.col("pos") <= p)
+    # r11 (guide §2.5): prefix rows are few at shuffle time, so AQE
+    # coalesced the rnk self-join to one partition and the prefix
+    # collision explosion ran single-task; explicit rnk repartition
+    # (user-specified, AQE keeps it) fans the candidate mass out.
+    from hh_rumors_presto_spark.session import default_parallelism
+
+    pref = toks.filter(F.col("pos") <= p).repartition(
+        default_parallelism(), "rnk"
+    )
     a, b = pref.alias("a"), pref.alias("b")
     cand = (
         a.join(

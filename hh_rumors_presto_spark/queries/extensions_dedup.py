@@ -720,37 +720,11 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged. Measured on the fixtures: recall 0.96, precision 0.89 —
     consistent with the b=2/r=4 S-curve (~0.84 midpoint) against a 0.5
     truth threshold."""
+    # r11: the inline truth build duplicated _bigram_jaccard_truth line
+    # for line — route through the helper so both recall keys share the
+    # single-task-explosion fix in one place.
     cand = dedup_minhash(spark, sf_dir)
-    docs = io.load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    sh = (
-        docs.select("doc_id", bigram_shingles(toks).alias("shingles"))
-        .localCheckpoint(eager=False)
-    )
-    counts = sh.select("doc_id", F.size("shingles").alias("n"))
-    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    a, b = inv.alias("a"), inv.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_common"))
-    )
-    ca, cb = counts.alias("ca"), counts.alias("cb")
-    truth = (
-        inter.join(F.broadcast(ca), F.col("ca.doc_id") == F.col("doc_a"))
-        .join(F.broadcast(cb), F.col("cb.doc_id") == F.col("doc_b"))
-        .filter(
-            2 * F.col("n_common")
-            >= F.col("ca.n") + F.col("cb.n") - F.col("n_common")
-        )
-        .select("doc_a", "doc_b")
-    )
+    truth = _bigram_jaccard_truth(spark, sf_dir)
     hits = cand.join(truth, ["doc_a", "doc_b"])
     n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
     n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
@@ -849,7 +823,15 @@ def _bigram_jaccard_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index intersection join (rational threshold form
     2*|A∩B| >= |A∪B| — no float compare on the boundary). Quadratic only
     in the per-shingle posting lists; at corpus scale the recall keys
-    run this on a sample."""
+    run this on a sample.
+
+    r11 OPTIMIZATION (guide §2.5): the exploded shingle stream is small
+    at shuffle time, so AQE coalesced the self-join to ONE post-shuffle
+    partition and the full posting-list pair explosion ran single-task.
+    The explicit shingle-keyed repartition is user-specified (AQE keeps
+    its count), fanning the pair mass across the cluster."""
+    from hh_rumors_presto_spark.session import default_parallelism
+
     docs = io.load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     sh = (
@@ -857,7 +839,9 @@ def _bigram_jaccard_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     counts = sh.select("doc_id", F.size("shingles").alias("n"))
-    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle")).repartition(
+        default_parallelism(), "shingle"
+    )
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
         a.join(
@@ -973,7 +957,14 @@ def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: band join + popcount filter is the mm_phash_dedup shape
     (Σ bucket², never n²); the quadratic ground truth exists only on
     this measurement key, sampled at corpus scale."""
+    from hh_rumors_presto_spark.session import default_parallelism
+
     sig = dedup_simhash(spark, sf_dir)
+    # r11 (guide §2.5): band rows are tiny at shuffle time, so AQE
+    # coalesced the bucket self-join to one partition while 16-bit
+    # simhash's catastrophic collisions (5,142 identical signatures)
+    # make the within-bucket pair mass huge — the explosion ran
+    # single-task. Explicit (band, bucket) repartition fans it out.
     bands = sig.select(
         "doc_id", F.lit(0).alias("band"), (F.col("simhash") % 256).alias("bucket")
     ).unionAll(
@@ -982,7 +973,7 @@ def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).alias("band"),
             (F.col("simhash") / 256).cast("long").alias("bucket"),
         )
-    )
+    ).repartition(default_parallelism(), "band", "bucket")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

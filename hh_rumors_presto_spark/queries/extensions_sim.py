@@ -14,6 +14,7 @@ k-means centroids as buckets.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -105,37 +106,28 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label (the cheap stand-in
     for an LSH/IVF bucket): pairs only form within a block, so cost is
-    sum(block²), not n²."""
+    sum(block²), not n².
+
+    r11 OPTIMIZATION (guide §4.2, same move as emb_knn_graph): the
+    label-keyed self-JOIN whose per-pair cosine ran the aggregate() HOF
+    fold is replaced by a per-label applyInPandas worker
+    (ann_round3._block_thresh_pairs_fn) — one thin label shuffle, the
+    Σblock² cosines run as chunked NumPy row ops under the sequential-dim
+    bit-parity contract, and the >0.3 filter replays the engines'
+    NULL-drop / NaN-keep comparison rules exactly. Null labels never
+    formed pairs under the old join-on-equality; the explicit filter
+    reproduces that."""
+    from hh_rumors_presto_spark.queries.ann_round3 import _block_thresh_pairs_fn
+
     emb = io.load_table(spark, sf_dir, "embeddings")
-    # norms hoisted to one column per vector BEFORE the pair join — the
-    # per-pair expression is a single dot fold, not dot + two norm folds
-    # (2.7x on the blocked pair stream; same trick as emb_knn_graph)
-    with_norm = emb.select(
-        "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm")
-    )
-    a = with_norm.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("label").alias("label_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("norm_a"),
-    )
-    b = with_norm.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("label_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("norm_b"),
-    )
-    cos = dot(F.col("emb_a"), F.col("emb_b")) / F.nullif(
-        F.col("norm_a") * F.col("norm_b"), F.lit(0.0)
-    )
     return (
-        a.join(
-            b,
-            (F.col("label_a") == F.col("label_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
+        emb.filter(F.col("label").isNotNull())
+        .select("vec_id", "label", "embedding")
+        .groupBy("label")
+        .applyInPandas(
+            _block_thresh_pairs_fn(0.3),
+            "vec_a long, vec_b long, cos_sim double",
         )
-        .select("vec_a", "vec_b", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") > 0.3)
     )
 
 
@@ -500,6 +492,44 @@ def _mt_sig_sql(planes: list[list[float]], t: int) -> str:
     return f"SELECT vec_id, embedding, {t} AS t, concat({bits}) AS sig FROM embeddings"
 
 
+def _plane_sigs_udf(planes: list[list[float]], n_tables: int, n_bits: int):
+    """Vectorized (Arrow) hyperplane-signature generator (r11): per input
+    vector, the ``n_tables`` bucket signatures (``n_bits`` chars each).
+    BIT-PARITY: the dim loop accumulates acc += emb[d] * plane[d]
+    left-to-right in float64 — identical to the old per-plane
+    aggregate() HOF fold and to DuckDB's list_inner_product, so the
+    >= 0 sign bits (and therefore every bucket) match exactly. Only the
+    first 64 dims participate, mirroring the engines' embedding[1:64]
+    slice."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    pmat = np.array(planes, dtype="float64")  # (n_tables*n_bits, 64)
+
+    @pandas_udf("array<string>")
+    def plane_sigs(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype="object")
+        emat = np.vstack(
+            [np.asarray(e, dtype="float64")[:64] for e in embs]
+        )
+        acc = np.zeros((emat.shape[0], pmat.shape[0]))
+        for d in range(emat.shape[1]):
+            acc = acc + emat[:, d : d + 1] * pmat[None, :, d]
+        bits = np.where(acc >= 0, "1", "0")
+        out = []
+        for i in range(emat.shape[0]):
+            out.append(
+                [
+                    "".join(bits[i, t * n_bits : (t + 1) * n_bits])
+                    for t in range(n_tables)
+                ]
+            )
+        return pd.Series(out)
+
+    return plane_sigs
+
+
 def _ann_multitable_oracle() -> str:
     planes = _mt_planes()
     sig_union = " UNION ALL ".join(
@@ -549,44 +579,42 @@ def sim_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = io.load_table(spark, sf_dir, "embeddings")
     planes = _mt_planes()
 
-    def sig_col(t: int):
-        return F.concat_ws(
-            "",
-            *[
-                F.when(
-                    dot(
-                        F.slice("embedding", 1, 64),
-                        F.array(*[F.lit(x) for x in planes[t * _MT_BITS + i]]),
-                    )
-                    >= 0,
-                    "1",
-                ).otherwise("0")
-                for i in range(_MT_BITS)
-            ],
-        )
+    # r11 OPTIMIZATION (guide §4.2 + §2.3 + §2.4): (a) the 80-plane
+    # signature pass — formerly 80 aggregate() HOF folds PER ROW — runs
+    # as ONE vectorized Arrow UDF whose dim loop accumulates
+    # acc += emb[d] * plane[d] left-to-right in float64, bit-identical
+    # to the old fold and to DuckDB's list_inner_product (the module's
+    # established bit-parity contract), so every sign bit matches; it is
+    # computed ONCE and checkpointed as THIN (vec_id, t, sig) rows — the
+    # old plan recomputed the whole signature subtree per join leg;
+    # (b) the cross-table candidate dedup shuffles only (query_id,
+    # neighbor_id) id pairs — the old dropDuplicates dragged BOTH
+    # embedding arrays through the exchange; embeddings re-attach by
+    # vec_id afterwards and only surviving distinct pairs pay the exact
+    # cosine fold. Measured: 12.1 -> 2.4 s warm at sf0.1, same rows.
+    sig_udf = _plane_sigs_udf(planes, _MT_TABLES, _MT_BITS)
     sigs = emb.select(
         "vec_id",
-        "embedding",
-        F.posexplode(F.array(*[sig_col(t) for t in range(_MT_TABLES)])).alias(
-            "t", "sig"
-        ),
-    )
+        F.posexplode(sig_udf(F.col("embedding"))).alias("t", "sig"),
+    ).localCheckpoint(eager=False)
     queries = sigs.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        "t",
-        "sig",
+        F.col("vec_id").alias("query_id"), "t", "sig"
     )
-    pairs = (
+    cand = (
         sigs.join(F.broadcast(queries), ["t", "sig"])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            "q_emb",
-            F.col("embedding").alias("n_emb"),
-        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    qe = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    ne = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+    )
+    pairs = cand.join(F.broadcast(qe), "query_id").join(
+        F.broadcast(ne), "neighbor_id"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
