@@ -71,7 +71,19 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     with graph_pagerank; labels are node-sized, never edge-sized.
     localCheckpoint per round truncates the iterative lineage. Fixed
     round count bounds the work regardless of graph size."""
-    edges = _edges(spark, sf_dir).localCheckpoint()
+    # r11 (guide §2.4, the graph_pagerank/graph_coreness discipline):
+    # loop-invariant edges pre-partitioned by src and PERSISTED (hash
+    # metadata kept), node-sized labels broadcast into each round's join
+    # — the per-round (src, lbl) vote count and the argmax window both
+    # run on the preserved src partitioning, zero edge-scale exchanges
+    # per round (was one groupBy exchange each).
+    from hh_rumors_presto_spark.session import default_parallelism
+
+    edges = (
+        _edges(spark, sf_dir)
+        .repartition(default_parallelism(), "src")
+        .persist()
+    )
     labels = (
         edges.groupBy("src")
         .agg(F.count("*").alias("_d"))
@@ -81,7 +93,7 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("node").orderBy(F.col("c").desc(), "lbl")
     for _ in range(_LP_ROUNDS):
         cnt = (
-            edges.join(labels, edges.dst == labels.node)
+            edges.join(F.broadcast(labels), edges.dst == labels.node)
             .groupBy(edges.src, "lbl")
             .agg(F.count("*").alias("c"))
             .select(F.col("src").alias("node"), "lbl", "c")
@@ -92,6 +104,7 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", "lbl")
             .localCheckpoint()
         )
+    edges.unpersist()
     wsize = Window.partitionBy("lbl")
     return labels.select(
         "node",

@@ -194,3 +194,119 @@ def test_distributive_topk_across_blocks():
     assert {e for e in truth if e[0] in full} == {
         e for e in reduced if e[0] in full
     }
+
+
+# ---------------------------------------------------------------------------
+# r11 additions: row-chunking invariance, label emission, the threshold-pair
+# worker, and the vectorized hyperplane-signature dim loop
+# ---------------------------------------------------------------------------
+
+
+def test_worker_chunking_is_bit_invariant():
+    """row_chunk only bounds the live matrix; every acc element's add
+    order is unchanged, so emissions must be IDENTICAL (not just close)
+    for any chunk size."""
+    rng = random.Random(42)
+    rows = [
+        (200 + i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(23)
+    ]
+    rows[5] = (205, [0.0] * 8)
+    pdf = _mk_pdf(rows)
+    base = _block_topk_fn(_ANN_K, row_chunk=10**6)(pdf)
+    for chunk in (1, 2, 3, 7, 23):
+        got = _block_topk_fn(_ANN_K, row_chunk=chunk)(pdf)
+        assert got.values.tolist() == base.values.tolist(), chunk
+
+
+def test_worker_emit_label_carries_block_label():
+    from hh_rumors_presto_spark.queries.ann_round3 import _block_topk_fn
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": pd.array([1, 2, 3], dtype="int64"),
+            "label": pd.array([7, 7, 7], dtype="int32"),
+            "embedding": [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0]],
+        }
+    )
+    res = _block_topk_fn(2, emit_label=True)(pdf)
+    assert set(res.columns) == {"vec_a", "vec_b", "cos_sim", "label"}
+    assert set(res["label"]) == {7}
+    # same edges as the label-less worker
+    plain = _block_topk_fn(2)(pdf)
+    assert res[["vec_a", "vec_b"]].values.tolist() == (
+        plain[["vec_a", "vec_b"]].values.tolist()
+    )
+
+
+def test_thresh_pairs_matches_brute_force():
+    """dedup_embedding's worker: every in-block pair with vec_a < vec_b
+    and cos > t, NULL dropped (NULL > t is not true), NaN kept (both
+    engines order NaN above every number)."""
+    from hh_rumors_presto_spark.queries.ann_round3 import (
+        _block_thresh_pairs_fn,
+    )
+
+    rng = random.Random(7)
+    for trial in range(20):
+        m = rng.randint(2, 12)
+        rows = []
+        for i in range(m):
+            r = rng.random()
+            if r < 0.12:
+                emb = [0.0, 0.0, 0.0]
+            elif r < 0.2:
+                emb = [float("nan"), 1.0, 0.0]
+            else:
+                emb = [rng.uniform(-1, 1) for _ in range(3)]
+            rows.append((300 + i, emb))
+        pdf = _mk_pdf(rows)
+        t = 0.3
+        got = {
+            (r.vec_a, r.vec_b)
+            for r in _block_thresh_pairs_fn(t, row_chunk=rng.choice([2, 64]))(
+                pdf
+            ).itertuples(index=False)
+        }
+        ids = pdf["vec_id"].tolist()
+        embs = [list(map(float, e)) for e in pdf["embedding"]]
+        want = set()
+        for i in range(m):
+            for j in range(m):
+                if ids[i] >= ids[j]:
+                    continue
+                acc = na = nb = 0.0
+                for d in range(3):
+                    acc += embs[i][d] * embs[j][d]
+                    na += embs[i][d] * embs[i][d]
+                    nb += embs[j][d] * embs[j][d]
+                denom = math.sqrt(na) * math.sqrt(nb)
+                if denom == 0.0:
+                    continue  # NULL cosine: NULL > t is not true
+                cos = acc / denom
+                if math.isnan(cos) or cos > t:
+                    want.add((ids[i], ids[j]))
+        assert got == want, f"trial {trial}"
+
+
+def test_plane_sigs_dim_loop_matches_sequential_fold():
+    """The vectorized signature generator's dim loop must reproduce the
+    sequential left-to-right float64 fold bit-for-bit — the >= 0 sign
+    bits AND the raw accumulators."""
+    rng = random.Random(3)
+    n_tables, n_bits, dim = 4, 5, 16
+    planes = [
+        [rng.uniform(-1, 1) for _ in range(dim)]
+        for _ in range(n_tables * n_bits)
+    ]
+    embs = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(40)]
+    pmat = np.array(planes, dtype="float64")
+    emat = np.vstack([np.asarray(e, dtype="float64") for e in embs])
+    acc = np.zeros((emat.shape[0], pmat.shape[0]))
+    for d in range(dim):
+        acc = acc + emat[:, d : d + 1] * pmat[None, :, d]
+    for i, e in enumerate(embs):
+        for p, plane in enumerate(planes):
+            ref = 0.0
+            for d in range(dim):
+                ref = ref + e[d] * plane[d]
+            assert acc[i, p] == ref, (i, p)  # bit-exact, not approx
