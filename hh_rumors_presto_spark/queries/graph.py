@@ -591,6 +591,11 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     restrictions on the (shrinking) edge list; lineage truncated per
     round; at a fixpoint earlier than round {_KCORE_ROUNDS} the later
     rounds are no-ops by construction."""
+    # r11: A/B-tested the graph_pagerank discipline here (src-partitioned
+    # persist chain, broadcast semi-joins, exchange-free degree aggs) —
+    # warm it is NOT faster (3.6 vs 3.3 s: the per-round degree exchange
+    # is thin and AQE-coalesced, and the discipline's eager final
+    # materialization costs a job), so the lazy-checkpoint chain stays.
     edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
     e = edges
     for _ in range(_KCORE_ROUNDS):
@@ -797,6 +802,10 @@ def graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
+    # r11: A/B-tested the dedup_clusters self-loop/quad-step rewrite here
+    # — this graph's trading clusters converge in 2-4 hops, so neither
+    # variant beat the original warm (2.9-3.7 s band in every shape);
+    # the original double-step with merge-back stays.
     def propagate(lbl: DataFrame) -> DataFrame:
         neigh = (
             edges.join(lbl, edges.b == lbl.node)
