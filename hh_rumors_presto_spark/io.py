@@ -33,6 +33,17 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def table_num_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of a fixture table from parquet FOOTER metadata —
+    no Spark job, no data read. A planner statistic (r12, guide §3: pick
+    the strategy from input size, the way Spark's own broadcast
+    threshold does), used to choose between result-identical physical
+    shapes; it is not a result cache."""
+    import pyarrow.dataset as ds
+
+    return ds.dataset(table_path(sf_dir, name)).count_rows()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Lazy: no data is read until an action.
 

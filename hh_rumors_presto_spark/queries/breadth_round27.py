@@ -76,22 +76,30 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     a rank over the pair table. Hub suppliers are the skew risk —
     exactly the rows AA down-weights; a degree cap handles the
     pathological head as in dedup_ngram_jaccard."""
-    # r11 OPTIMIZATION (guide §2.5: AQE cannot see a join explosion
-    # coming): the checkpointed edge list is only ~600k thin rows, so
-    # AQE's size-based coalescing planned the s-keyed self-join into ONE
-    # post-shuffle partition — and the 83M-row pair explosion plus its
-    # partial aggregation ran single-task (measured 122 s at sf0.1). An
-    # EXPLICIT hash repartition on the join key is user-specified, so
-    # AQE leaves its partition count alone and the pair mass fans out
-    # across the cluster: 122 s -> 25 s, same 82,940,816 pairs.
-    from hh_rumors_presto_spark.session import default_parallelism
+    # r11 took the s-keyed self-join from 122 s (single-task AQE
+    # collapse) to 25-35 s with an explicit repartition — but the
+    # 82,940,816-row pair explosion and its pair-space hash aggregate
+    # were still the whole cost.  r12 OPTIMIZATION (guide §4.2,
+    # operators/pairblocks.py): the pair sums are now block GEMMs
+    # inside per-(block-pair) Arrow workers — items are customers,
+    # the "vocabulary" is the 1000-supplier side, and one stacked
+    # matmul yields Σ w_micro and the shared count together.  Both are
+    # exact integers < 2^53, so float64 sums are exact under any BLAS
+    # order, and per-worker top-k under the final total order
+    # (aa DESC, cust_a, cust_b) is globally exact because each
+    # unordered pair meets in exactly one worker.  The pair-mass
+    # exchange and 83M-group aggregate disappear from the plan: the
+    # one exchange carries 15k thin array rows.
+    from hh_rumors_presto_spark.operators.pairblocks import (
+        blocked_pairs,
+        weighted_topk_fn,
+    )
 
     cs = (
         _edges(spark, sf_dir)
         .filter(F.col("src") % 2 == 0)
         .select(F.col("src").alias("c"), F.col("dst").alias("s"))
         .localCheckpoint()
-        .repartition(default_parallelism(), "s")
     )
     sdeg = (
         cs.groupBy("s")
@@ -104,32 +112,32 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("w_micro"),
         )
     )
-    a, b = cs.alias("a"), cs.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.c") < F.col("b.c")),
-        )
-        .join(
-            F.broadcast(sdeg.withColumnRenamed("s", "sd_s")),
-            F.col("a.s") == F.col("sd_s"),
-        )
-        .groupBy(
-            F.col("a.c").alias("cust_a"), F.col("b.c").alias("cust_b")
-        )
-        .agg(
-            F.sum("w_micro").alias("aa_micro"),
-            F.count("*").alias("n_shared"),
+    # suppliers with d == 1 drop out of the items' arrays here (inner
+    # join): they cannot be SHARED by two customers, so no pair row
+    # ever involved them — same pair table as the old inner join chain.
+    sw = F.sort_array(F.collect_list(F.struct("s", "w_micro")))
+    items = (
+        cs.join(F.broadcast(sdeg), "s")
+        .groupBy(F.col("c").alias("id"))
+        .agg(sw.alias("_sw"))
+        .select(
+            "id",
+            F.transform("_sw", lambda x: x["s"]).alias("vids"),
+            F.transform("_sw", lambda x: x["w_micro"]).alias("ws"),
         )
     )
-    w = Window.orderBy(F.col("aa_micro").desc(), "cust_a", "cust_b")
+    pairs = blocked_pairs(
+        items,
+        weighted_topk_fn(_AA_TOP),
+        "id_a long, id_b long, aa_micro long, n_shared long",
+    )
+    w = Window.orderBy(F.col("aa_micro").desc(), "id_a", "id_b")
     return (
         pairs.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _AA_TOP)
         .select(
-            "cust_a",
-            "cust_b",
+            F.col("id_a").alias("cust_a"),
+            F.col("id_b").alias("cust_b"),
             F.col("n_shared").cast("long").alias("n_shared"),
             F.col("aa_micro").cast("long").alias("aa_micro"),
             F.col("rnk").cast("long").alias("rnk"),

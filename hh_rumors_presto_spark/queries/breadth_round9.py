@@ -110,99 +110,44 @@ def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     true intersection only for survivors. All-integer rational
     comparisons; the one float is the reported jaccard itself.
 
-    Scale: postings are built only for PREFIX tokens, and the global
-    rarest-first order makes hot tokens structurally ineligible to be
-    anyone's prefix collision partner until the very end of a long doc
-    — candidate mass tracks Sum(prefix-posting^2), never n^2. The
-    vocabulary rank window is vocabulary-bounded (same posture as
-    dq_ks_test's value domain); per-doc windows partition by doc_id.
-    No recall loss, unlike minhash banding: the prefix-collision
-    guarantee is a theorem, and the no-false-negative property is
-    brute-force-tested at sf0.001."""
-    docs = io.load_table(spark, sf_dir, "documents")
-    inv = (
-        docs.select("doc_id", F.split("text", " ").alias("toks"))
-        .select("doc_id", bigram_shingles(F.col("toks")).alias("shingles"))
-        .select("doc_id", F.explode("shingles").alias("shingle"))
-    )
-    df_tbl = inv.groupBy("shingle").agg(F.count("*").alias("df"))
-    ranked = df_tbl.select(
-        "shingle",
-        F.row_number().over(Window.orderBy("df", "shingle")).alias("rnk"),
-    )
-    wdoc = Window.partitionBy("doc_id")
-    toks = (
-        inv.join(F.broadcast(ranked), "shingle")
-        .select(
-            "doc_id",
-            "rnk",
-            F.row_number().over(wdoc.orderBy("rnk")).alias("pos"),
-            F.count("*").over(wdoc).alias("n"),
-        )
-        # feeds the prefix self-join (twice) and the verification join
-        # (twice more): materialize once, like dedup_ngram_jaccard
-        .localCheckpoint()
-    )
-    p = F.col("n") - F.expr(
-        f"({_PP_NUM} * n + {_PP_DEN - 1}) DIV {_PP_DEN}"
-    ) + F.lit(1)
-    # r11 (guide §2.5): prefix rows are few at shuffle time, so AQE
-    # coalesced the rnk self-join to one partition and the prefix
-    # collision explosion ran single-task; explicit rnk repartition
-    # (user-specified, AQE keeps it) fans the candidate mass out.
-    from hh_rumors_presto_spark.session import default_parallelism
+    The prefix machinery is result-INVISIBLE: the PPJoin bounds only
+    prune candidates (no false negatives — a theorem, brute-force
+    tested at sf0.001) and the final rational filter is the exact
+    predicate, so the output is precisely the Jaccard >= 7/10 pair set
+    with its exact (inter, uni) counts.
 
-    pref = toks.filter(F.col("pos") <= p).repartition(
-        default_parallelism(), "rnk"
+    r12 OPTIMIZATION (guide §4.2, operators/pairblocks.py): r11 fixed
+    the single-task prefix-collision explosion with an explicit rnk
+    repartition, but the candidate join + per-pair verification joins
+    (4 plan legs over the checkpointed rank table) still cost ~12-19 s
+    at sf0.1 — and one stop-bigram's posting list is a single
+    unsplittable hash key (the skew VERDICT flagged at 100 TB).  The
+    same intersection counts are now exact-integer block matmuls
+    inside per-(block-pair) workers (items partitioned by doc hash, so
+    NO key is ever a shuffle unit), sharing doc_bigram_items with
+    _bigram_jaccard_truth; only threshold survivors leave the workers,
+    and the rank windows, both self-join legs, and both verification
+    joins disappear from the plan."""
+    from hh_rumors_presto_spark.operators.pairblocks import (
+        blocked_pairs,
+        overlap_pairs_fn,
     )
-    a, b = pref.alias("a"), pref.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.rnk") == F.col("b.rnk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("a.n") * _PP_DEN >= _PP_NUM * F.col("b.n"))
-            & (F.col("b.n") * _PP_DEN >= _PP_NUM * F.col("a.n"))
-            & (
-                (_PP_NUM + _PP_DEN)
-                * (
-                    F.lit(1)
-                    + F.least(
-                        F.col("a.n") - F.col("a.pos"),
-                        F.col("b.n") - F.col("b.pos"),
-                    )
-                )
-                >= _PP_NUM * (F.col("a.n") + F.col("b.n"))
-            ),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
-        )
-        .distinct()
+    from hh_rumors_presto_spark.queries.extensions_dedup import (
+        doc_bigram_items,
     )
-    ta, tb = toks.alias("ta"), toks.alias("tb")
-    verified = (
-        cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
-        .join(
-            tb,
-            (F.col("tb.doc_id") == F.col("doc_b"))
-            & (F.col("tb.rnk") == F.col("ta.rnk")),
-        )
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count("*").alias("inter"))
-    )
-    uni = F.col("na") + F.col("nb") - F.col("inter")
-    return verified.filter(
-        F.lit(_PP_DEN) * F.col("inter") >= F.lit(_PP_NUM) * uni
+
+    return blocked_pairs(
+        doc_bigram_items(spark, sf_dir),
+        overlap_pairs_fn(
+            rational=(_PP_NUM, _PP_DEN), emit_counts=True, emit_jaccard=True
+        ),
+        "id_a long, id_b long, inter long, uni long, jaccard double",
     ).select(
-        "doc_a",
-        "doc_b",
-        F.col("inter").cast("long").alias("inter"),
-        uni.cast("long").alias("uni"),
-        (F.col("inter").cast("double") / uni).alias("jaccard"),
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "inter",
+        "uni",
+        "jaccard",
     )
 
 

@@ -109,6 +109,18 @@ _BIGRAM_SQL = """
 """
 
 
+# Corpus size (total document rows, parquet footer stat) above which
+# dedup_ngram_jaccard switches from the inverted-index self-join to the
+# blocked dense-GEMM workers. Measured crossover (sf0.1 = 5k rows/1k
+# admitted docs: join 2.0-2.4 s inside dedup_clusters vs worker 3.6 s —
+# the worker's ~1.3 s fixed floor of extra small stages + Python worker
+# dispatch dominates tiny corpora; sf1 = 50k rows/10k admitted docs:
+# join ~35 s of posting-list pair mass vs worker ~a few s). Both paths
+# are result-identical (same oracle at all SFs + the branch-equivalence
+# unit test), so this constant is purely a cost-model knob.
+_NGRAM_DENSE_MIN_DOCS = 20_000
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -130,25 +142,42 @@ _BIGRAM_SQL = """
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-bigram Jaccard near-dup via inverted-index join (blocked by
-    lang): |A∩B| from a shingle equi-join, |A∪B| by inclusion-exclusion.
-    Rational arithmetic only -> exact cross-engine parity.
+    """Token-bigram Jaccard near-dup (blocked by lang): |A∩B| counted
+    exactly, |A∪B| by inclusion-exclusion, the one float being the
+    engines' own double division at the threshold compare.
 
-    Scale: the join fans out per shared shingle, so cost tracks true
-    similarity mass, not n². Hot shingles (stop-bigrams) are the skew risk —
-    AQE skew-join splits them; a production variant would also drop
-    top-document-frequency shingles.
-    """
+    r12 OPTIMIZATION (guide §3/§4.2, operators/pairblocks.py): COST-BASED
+    physical choice, decided from the parquet footer row count the way
+    Spark's own broadcast threshold reads table stats. Small corpora keep
+    the inverted-index self-join (pair mass is tiny; the blocked workers'
+    fixed floor — vocab rank, collect_list, Arrow worker dispatch — is
+    the larger cost). Large corpora — where the 10x exact-dup cliques
+    make per-shingle posting lists deep and the join's pair mass
+    dominated dedup_clusters' 39.9 s at sf1 — run the blocked dense-GEMM
+    worker: items are docs, vocab ids range over (lang, shingle) so
+    sharing a vid implies SAME lang AND same shingle (the old join's two
+    equi-keys), and only pairs passing the exact float64(C)/float64(union)
+    >= 0.05 compare (the engines' division replayed on the same exact
+    integers) leave the workers. Docs with NULL lang could never satisfy
+    a.lang = b.lang — the vocab equi-join drops them, like the self-join
+    does. Both branches produce identical rows (oracle-verified at all
+    SFs; branch-equivalence pinned by a unit test)."""
     docs = io.load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 5 == 0
     )
+    if io.table_num_rows(sf_dir, "documents") < _NGRAM_DENSE_MIN_DOCS:
+        return _ngram_jaccard_join(docs)
+    return _ngram_jaccard_blocked(docs)
+
+
+def _ngram_jaccard_join(docs: DataFrame) -> DataFrame:
+    """Inverted-index self-join branch (small corpora): |A∩B| from a
+    (shingle, lang) equi-join, cost tracks Σ posting-list², never n²."""
     toks = F.split("text", " ")
     # Materialize the shingle stage once: it feeds FOUR plan legs (counts
     # x2 broadcast sides + both self-join sides), and without this the
     # text split + shingle build re-runs per leg (8 parquet scans, no
-    # ReusedExchange). ~1 row per admitted doc with one array column —
-    # at cluster scale this is the classic persist() of a shared
-    # intermediate; localCheckpoint also truncates lineage for the
+    # ReusedExchange). localCheckpoint also truncates lineage for the
     # iterative consumer (dedup_clusters).
     sh = (
         docs.select("doc_id", "lang", toks.alias("toks"))
@@ -181,6 +210,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cb), F.col("cb.doc_id") == F.col("doc_b"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.05)
+    )
+
+
+def _ngram_jaccard_blocked(docs: DataFrame) -> DataFrame:
+    """Blocked dense-GEMM branch (large corpora): intersection counts as
+    exact-integer block matmuls; no pair-sized exchange or aggregate."""
+    from hh_rumors_presto_spark.operators.pairblocks import (
+        blocked_pairs,
+        overlap_pairs_fn,
+        vocab_ids,
+    )
+
+    inv = (
+        # bind split() into a named column first — the bigram_shingles
+        # perf contract (inline split re-evaluates inside the lambdas)
+        docs.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+        .select("doc_id", "lang", bigram_shingles(F.col("toks")).alias("shingles"))
+        .select("doc_id", "lang", F.explode("shingles").alias("shingle"))
+        .localCheckpoint(eager=False)
+    )
+    items = (
+        inv.join(F.broadcast(vocab_ids(inv, ["lang", "shingle"])), ["lang", "shingle"])
+        .groupBy(F.col("doc_id").alias("id"))
+        .agg(F.sort_array(F.collect_list(F.col("vid").cast("int"))).alias("vids"))
+    )
+    return blocked_pairs(
+        items,
+        overlap_pairs_fn(float_threshold=0.05, emit_jaccard=True),
+        "id_a long, id_b long, jaccard double",
+    ).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "jaccard",
     )
 
 
@@ -723,8 +785,11 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r11: the inline truth build duplicated _bigram_jaccard_truth line
     # for line — route through the helper so both recall keys share the
     # single-task-explosion fix in one place.
-    cand = dedup_minhash(spark, sf_dir)
-    truth = _bigram_jaccard_truth(spark, sf_dir)
+    # r12 (guide §2.4): cand feeds two legs (n_candidates + hits) and
+    # truth feeds two legs (n_truth + hits) — materialize each once
+    # instead of re-running the LSH / truth subtrees per leg.
+    cand = dedup_minhash(spark, sf_dir).localCheckpoint(eager=False)
+    truth = _bigram_jaccard_truth(spark, sf_dir).localCheckpoint(eager=False)
     hits = cand.join(truth, ["doc_a", "doc_b"])
     n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
     n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
@@ -819,50 +884,54 @@ def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bigram_jaccard_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ground-truth near-dup pairs: bigram-Jaccard >= 0.5, via the
-    inverted-index intersection join (rational threshold form
-    2*|A∩B| >= |A∪B| — no float compare on the boundary). Quadratic only
-    in the per-shingle posting lists; at corpus scale the recall keys
-    run this on a sample.
+    """Ground-truth near-dup pairs: bigram-Jaccard >= 0.5 (rational
+    threshold form 2*|A∩B| >= |A∪B| — no float compare on the boundary).
+    At corpus scale the recall keys run this on a sample.
 
-    r11 OPTIMIZATION (guide §2.5): the exploded shingle stream is small
-    at shuffle time, so AQE coalesced the self-join to ONE post-shuffle
-    partition and the full posting-list pair explosion ran single-task.
-    The explicit shingle-keyed repartition is user-specified (AQE keeps
-    its count), fanning the pair mass across the cluster."""
-    from hh_rumors_presto_spark.session import default_parallelism
+    r12 OPTIMIZATION (guide §4.2, operators/pairblocks.py): the old
+    inverted-index self-join emitted 36.5M pair rows at sf0.1 that a
+    near-1:1 partial/final hash aggregate collapsed into 10.3M
+    (doc_a, doc_b) groups to keep 256 survivors — measured ~5-10 s with
+    the time in the join fan-out and the group-space exchange, NOT in a
+    hot key (df spread 931 shingles, max 338 vs mean 275; the r11 skew
+    framing was wrong, this is per-row cost).  The same intersection
+    counts are now exact-integer block matmuls inside per-(block-pair)
+    workers; only the 256 survivors leave the workers, and the pair-mass
+    exchange + aggregation disappear from the plan.  Shingle ids come
+    from a vocabulary-bounded rank (collision-free, unlike hashing)."""
+    from hh_rumors_presto_spark.operators.pairblocks import (
+        blocked_pairs,
+        overlap_pairs_fn,
+    )
+
+    return blocked_pairs(
+        doc_bigram_items(spark, sf_dir),
+        overlap_pairs_fn(rational=(1, 2)),
+        "id_a long, id_b long",
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+
+
+def doc_bigram_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per document: (id, sorted distinct bigram-shingle vocab
+    ids) — the item form the blocked pair workers consume.  Shared by
+    _bigram_jaccard_truth (Jaccard >= 1/2) and dedup_ppjoin (>= 7/10).
+    Shingle ids come from a vocabulary-bounded rank (collision-free,
+    unlike hashing)."""
+    from hh_rumors_presto_spark.operators.pairblocks import vocab_ids
 
     docs = io.load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    sh = (
-        docs.select("doc_id", bigram_shingles(toks).alias("shingles"))
+    inv = (
+        # bind split() into a named column first — the bigram_shingles
+        # perf contract (inline split re-evaluates inside the lambdas)
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", bigram_shingles(F.col("toks")).alias("shingles"))
+        .select("doc_id", F.explode("shingles").alias("shingle"))
         .localCheckpoint(eager=False)
     )
-    counts = sh.select("doc_id", F.size("shingles").alias("n"))
-    inv = sh.select("doc_id", F.explode("shingles").alias("shingle")).repartition(
-        default_parallelism(), "shingle"
-    )
-    a, b = inv.alias("a"), inv.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_common"))
-    )
-    ca, cb = counts.alias("ca"), counts.alias("cb")
     return (
-        inter.join(F.broadcast(ca), F.col("ca.doc_id") == F.col("doc_a"))
-        .join(F.broadcast(cb), F.col("cb.doc_id") == F.col("doc_b"))
-        .filter(
-            2 * F.col("n_common")
-            >= F.col("ca.n") + F.col("cb.n") - F.col("n_common")
-        )
-        .select("doc_a", "doc_b")
+        inv.join(F.broadcast(vocab_ids(inv, ["shingle"])), "shingle")
+        .groupBy(F.col("doc_id").alias("id"))
+        .agg(F.sort_array(F.collect_list(F.col("vid").cast("int"))).alias("vids"))
     )
 
 
@@ -998,8 +1067,13 @@ def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= _SIMHASH_HAMMING_MAX
         )
         .select("doc_a", "doc_b")
+        # r12 A/B: close feeds two legs, but a lazy checkpoint here is
+        # noise (7.15 vs 7.39 s sf0.1 warm min-of-3 — the band subtree
+        # is cheap) and it hides the gated bit_count filter from the
+        # pre-execution plan; truth below is the expensive leg and IS
+        # materialized once.
     )
-    truth = _bigram_jaccard_truth(spark, sf_dir)
+    truth = _bigram_jaccard_truth(spark, sf_dir).localCheckpoint(eager=False)
     hits = close.join(truth, ["doc_a", "doc_b"])
     n_cand = close.agg(F.count("*").cast("long").alias("n_candidates"))
     n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))

@@ -281,9 +281,14 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"BroadcastHashJoin", "hot keys take the map-side broadcast branch"),
         (r"SortMergeJoin|ShuffledHashJoin", "cold keys take the ordinary shuffle join"),
     ],
+    # r12: the prefix machinery moved inside the blocked pair workers —
+    # intersection counts are per-(block-pair) GEMMs; the one exchange
+    # carries thin (id, vid-array) rows, never the pair mass.
     "dedup_ppjoin": [
-        (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
-         "prefix-collision candidates via equi-join, never all-pairs"),
+        (r"FlatMapGroupsInPandas",
+         "exact intersection counts confined to the block-pair worker"),
+        (r"hashpartitioning\(__bp_i",
+         "single thin shuffle keyed by block-pair, no pair-sized exchange"),
     ],
     # r11 optimization: the exact key's pair stream moved inside a
     # per-label vectorized block worker (ann_round3._block_topk_fn) —
@@ -675,9 +680,14 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         (r"partial_min", "first-view/first-buy partials map-side combined"),
     ],
     # round-27 batch
+    # r12: the supplier-keyed pair self-join + 83M-group aggregate moved
+    # inside the blocked pair workers (stacked GEMM per block-pair);
+    # only per-worker top-k survivors reach the final rank.
     "graph_adamic_adar": [
-        (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
-         "pairs form inside supplier blocks via the equi-join"),
+        (r"FlatMapGroupsInPandas",
+         "pair AA sums confined to the block-pair GEMM worker"),
+        (r"hashpartitioning\(__bp_i",
+         "single thin shuffle keyed by block-pair, no pair-sized exchange"),
         (r"WindowGroupLimit|TakeOrderedAndProject",
          "top-20 as a partial rank"),
     ],
