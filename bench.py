@@ -78,25 +78,37 @@ def _probe_burn(_=None) -> int:
 
 def _host_probe() -> dict:
     """Pure-CPython, Spark-free load witness (tools/host_probe.py inlined;
-    adds ~2 s to the bench): single-core and 32-way-parallel busy-loop
-    seconds in the units BASELINE.md bands are recorded in (idle band
-    ~0.70-0.78 single / ~1.2-1.4 parallel)."""
+    adds ~2 s to the bench): single-core and parallel busy-loop seconds
+    in the units BASELINE.md bands are recorded in (idle band
+    ~0.70-0.78 single / ~1.2-1.4 parallel at 32 lanes).
+
+    r12 (VERDICT r11 item 2): the pool honors $SPARK_GRAFT_CPUS — a
+    hard-coded Pool(32) at cpus=8 oversubscribed the probe 4x and
+    mislabeled the reading, feeding the false "ignores CPUS" signal.
+    ``parallel_sec`` + ``probe_parallelism`` are the honest pair; the
+    historical ``parallel32_sec`` key is kept ONLY when the pool really
+    is 32-wide, so the BASELINE.md bands stay comparable."""
     import multiprocessing as mp
 
+    lanes = min(32, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     t0 = time.time()
     _probe_burn()
     single = time.time() - t0
     try:
         t0 = time.time()
-        with mp.Pool(32) as pool:
-            pool.map(_probe_burn, range(32))
+        with mp.Pool(lanes) as pool:
+            pool.map(_probe_burn, range(lanes))
         par = time.time() - t0
     except Exception:  # restricted fork environments: single-core only
         par = None
-    return {
+    out = {
         "single_core_sec": round(single, 3),
-        "parallel32_sec": round(par, 3) if par is not None else None,
+        "probe_parallelism": lanes,
+        "parallel_sec": round(par, 3) if par is not None else None,
     }
+    if lanes == 32:
+        out["parallel32_sec"] = out["parallel_sec"]
+    return out
 
 
 def main() -> None:
