@@ -43,7 +43,6 @@ def asof_join(
     right_ts: str,
     payload_cols: list[str],
     right_tiebreak: str | None = None,
-    left_id: str | None = None,
 ) -> DataFrame:
     """Latest-right-at-or-before-left per key. Left rows with no match keep
     nulls (left outer semantics, like DuckDB ASOF LEFT JOIN).
@@ -52,12 +51,14 @@ def asof_join(
     ties deterministically (a bare ts is nondeterministic when two right
     rows collapse to the same microsecond).
 
-    ``left_id`` is retained for API compatibility; the merge form keeps
-    each left row's identity positionally (no re-aggregation), so it is
-    no longer consulted.
+    (r12, ADVICE: the merge form keeps each left row's identity
+    positionally — no re-aggregation — so the old ``left_id`` parameter
+    was a silent no-op and is removed rather than left to drift.)
     """
-    del left_id  # no re-aggregation step anymore; see docstring
     ts, side, tb, pay = "__asof_ts", "__asof_side", "__asof_tb", "__asof_pay"
+    clash = {ts, side, tb, pay}.intersection(left.columns)
+    if clash:
+        raise ValueError(f"asof_join reserved column collision: {sorted(clash)}")
     tb_col = F.col(right_tiebreak) if right_tiebreak else F.lit(None)
     r = (
         right.filter(F.col(key).isNotNull() & F.col(right_ts).isNotNull())

@@ -319,7 +319,6 @@ def join_pit_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="a_ts",
         payload_cols=["click_event_id", "click_value"],
         right_tiebreak="click_event_id",
-        left_id="spine_id",
     )
     with_ab = asof_join(
         with_a,
@@ -329,7 +328,6 @@ def join_pit_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="b_ts",
         payload_cols=["view_event_id", "view_value"],
         right_tiebreak="view_event_id",
-        left_id="spine_id",
     )
     return with_ab.select(
         "spine_id",

@@ -214,9 +214,13 @@ def _block_topk_fn(k: int, emit_label: bool = False, row_chunk: int = 512):
         if emit_label:
             cols["label"] = []
         if m < 2:
-            return pd.DataFrame(cols).astype(
-                {"vec_a": "int64", "vec_b": "int64"}
-            )
+            # r12 (ADVICE): type EVERY column of the degenerate frame —
+            # untyped empty object columns leaned on Arrow's lenient
+            # empty cast to the declared schema
+            dtypes = {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
+            if emit_label:
+                dtypes["label"] = "int32"
+            return pd.DataFrame(cols).astype(dtypes)
         ids = pdf["vec_id"].to_numpy()
         emat = np.vstack(
             [np.asarray(e, dtype="float64") for e in pdf["embedding"]]

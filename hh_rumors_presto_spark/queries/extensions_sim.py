@@ -606,16 +606,19 @@ def sim_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    qe = emb.select(
+    # r12 (ADVICE): broadcast ONLY the N_QUERIES-row query side — the
+    # r11 shape force-broadcast the ENTIRE corpus on both re-attach
+    # legs (the hint bypasses autoBroadcastJoinThreshold), pinning the
+    # full embedding table on every executor at scale. The neighbor
+    # re-attach stays a keyed equi-join the planner sizes itself.
+    qe = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     ne = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("n_emb"),
     )
-    pairs = cand.join(F.broadcast(qe), "query_id").join(
-        F.broadcast(ne), "neighbor_id"
-    )
+    pairs = cand.join(F.broadcast(qe), "query_id").join(ne, "neighbor_id")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )

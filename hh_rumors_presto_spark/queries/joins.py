@@ -300,7 +300,6 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="last_event_ts",
         payload_cols=["last_event_id", "last_event_ts"],
         right_tiebreak="last_event_id",
-        left_id="o_orderkey",
     )
     return out.select("o_orderkey", "last_event_id", "last_event_ts")
 

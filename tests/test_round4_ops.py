@@ -278,7 +278,6 @@ def test_asof_join_matches_bruteforce(spark, lrows, rrows):
             right_ts="rts",
             payload_cols=["val"],
             right_tiebreak="rid",
-            left_id="lid",
         ).collect()
     }
     for lid, k, t in ldata:
